@@ -1,4 +1,5 @@
 from kgray.kernels.kgx_agg import (  # noqa: F401
+    MinAny,
     PriorityCoalesceMax,
     SortedUniqueConcat,
     merge_edges_pandas,

@@ -137,6 +137,34 @@ class PriorityCoalesceMax(AggregateFnV2):
         return prio if prio is not None else overall
 
 
+class MinAny(AggregateFnV2):
+    """Min over any ordered type incl. strings, NULLs ignored.
+
+    (Ray's built-in ``Min`` seeds its accumulator with ``float("+inf")``
+    which cannot be compared against strings; this kernel seeds with
+    ``None`` and handles it explicitly.)
+    """
+
+    def __init__(self, on: str, alias_name: Optional[str] = None):
+        super().__init__(alias_name or f"min({on})", on=on, ignore_nulls=True, zero_factory=lambda: None)
+
+    def aggregate_block(self, block: Block) -> Any:
+        col = pc.drop_null(_arrow_column(block, self._target_col_name))
+        if len(col) == 0:
+            return None
+        return pc.min(col).as_py()
+
+    def combine(self, current_accumulator: Any, new: Any) -> Any:
+        if current_accumulator is None:
+            return new
+        if new is None:
+            return current_accumulator
+        return current_accumulator if current_accumulator <= new else new
+
+    def finalize(self, accumulator: Any) -> Any:
+        return accumulator
+
+
 # ---------------------------------------------------------------------------
 # Pure-pandas reference kernels (unit-test oracle; small driver-side merges)
 # ---------------------------------------------------------------------------

@@ -1,0 +1,172 @@
+"""Canonicalization: resolve equivalent ids to one canonical id.
+
+Reimplements kg-microbe-merge's merge-by-id semantics as the north rule
+demands for web scale: equivalences (sameAs edges / CURIE
+normalization) become connected components, and every component is
+labeled by its lexicographic-min member. Two execution paths:
+
+* ``union_find`` — driver-side, for equivalence sets that fit in one
+  process (the alias/sameAs table is the *small* side of the pipeline
+  by construction; even a 10^8-node KB's sameAs pairs are ~GBs). The
+  resulting map is ``ray.put`` once and applied inside ``map_batches``
+  — broadcast join, no shuffle.
+* ``connected_components_distributed`` — iterative min-label
+  propagation over a Dataset of edges, one hash-shuffle groupby per
+  round, converging in O(component diameter) rounds (each round also
+  propagates the best-known label transitively through the join, so
+  star-shaped sameAs sets converge in 1-2 rounds). For when the
+  equivalence graph itself outgrows a single node.
+
+Partitioning assumption (documented per SURVEY §7.3): label
+propagation shuffles on node id each round; skew is bounded because a
+component's messages distribute over its member nodes, not one key.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterable, List, Optional, Tuple
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+from ray.data import Dataset
+
+
+def sameas_pairs_from_alias_table(aliases: pa.Table) -> List[Tuple[str, str]]:
+    """(curie, same_as) equivalence pairs; same_as may be '|'-joined."""
+    curies = aliases.column("curie").to_pylist()
+    sames = aliases.column("same_as").to_pylist()
+    out = []
+    for c, s in zip(curies, sames):
+        if not s:
+            continue
+        for other in s.split("|"):
+            if other:
+                out.append((c, other))
+    return out
+
+
+def union_find(pairs: Iterable[Tuple[str, str]]) -> Dict[str, str]:
+    """Driver-side union-find → {node: canonical_min_label}.
+
+    Only nodes that appear in a pair are present in the map; absent
+    nodes are their own canonical id (apply with ``.get(x, x)``).
+    """
+    parent: Dict[str, str] = {}
+
+    def find(x: str) -> str:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+def connected_components_distributed(
+    edges: Dataset,
+    src: str = "src",
+    dst: str = "dst",
+    max_iters: int = 25,
+    num_partitions: int = 8,
+) -> Dataset:
+    """Min-label propagation over an edge Dataset → Dataset(node, label).
+
+    Each round: every node sends its current label to its neighbors
+    (hash join on the edge endpoint), then takes the min over received
+    and own labels (groupby-min — an algebraic aggregate, so the
+    shuffle moves partial minima, not raw messages). Terminates when a
+    round changes no label or at ``max_iters``; star-shaped
+    equivalence sets converge in 2 rounds, chains in O(diameter).
+    """
+    from kgray.kernels.kgx_agg import MinAny
+
+    def _swap(t: pa.Table) -> pa.Table:
+        return pa.table({src: t.column(dst).cast(pa.string()), dst: t.column(src).cast(pa.string())})
+
+    both = edges.select_columns([src, dst]).union(
+        edges.map_batches(_swap, batch_format="pyarrow")
+    )
+    both = both.materialize()
+
+    labels = (
+        both.groupby(src)
+        .aggregate(MinAny(dst, alias_name="nbr_min"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "node": t.column(src),
+                    "label": pc.min_element_wise(t.column(src), t.column("nbr_min")),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+
+    for _ in range(max_iters):
+        # Neighbor messages: node u's label travels to each neighbor v.
+        msgs = both.join(
+            labels,
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=(src,),
+            right_on=("node",),
+        ).map_batches(
+            lambda t: pa.table({"node": t.column(dst), "label": t.column("label")}),
+            batch_format="pyarrow",
+        )
+        new_labels = (
+            labels.union(msgs).groupby("node").aggregate(MinAny("label", alias_name="label"))
+        ).materialize()
+        changed = (
+            new_labels.rename_columns({"label": "new_label"})
+            .join(
+                labels,
+                join_type="inner",
+                num_partitions=num_partitions,
+                on=("node",),
+                right_on=("node",),
+            )
+            .filter(expr="new_label != label")
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def canonical_map_from_aliases(aliases: pa.Table) -> Dict[str, str]:
+    return union_find(sameas_pairs_from_alias_table(aliases))
+
+
+def apply_canonical_map(
+    ds: Dataset,
+    mapping_ref,
+    columns: Iterable[str],
+) -> Dataset:
+    """Rewrite id columns through the canonical map (broadcast join).
+
+    ``mapping_ref``: ray.ObjectRef of the {id: canonical} dict —
+    ``ray.put`` once on the driver; each task/actor reads it from the
+    object store (zero-copy within a node), never re-shipped per batch.
+    """
+    cols = list(columns)
+
+    def _apply(t: pa.Table) -> pa.Table:
+        mapping = ray.get(mapping_ref) if isinstance(mapping_ref, ray.ObjectRef) else mapping_ref
+        for c in cols:
+            vals = t.column(c).to_pylist()
+            arr = pa.array([mapping.get(v, v) for v in vals], type=pa.string())
+            t = t.set_column(t.column_names.index(c), c, arr)
+        return t
+
+    return ds.map_batches(_apply, batch_format="pyarrow")
