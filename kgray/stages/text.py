@@ -1,0 +1,133 @@
+"""Text-analysis operators for training-data curation.
+
+All vectorized: pyarrow.compute regex kernels per batch, no per-row
+Python in the hot paths (langid keeps a tiny per-row loop over
+precomputed token sets — stopword tables compiled once per actor).
+Definitions are pinned so a SQL oracle can reproduce them exactly:
+
+* token_count    = number of ``\\S+`` runs
+* punct_ratio    = count of ``[.,;:!?]`` / n_chars (0 for empty)
+* digit_ratio    = count of ``[0-9]`` / n_chars
+* quality_score  = round(1/(1+exp(-(tokens/100))) - punct_ratio, 6)
+  (a toy logistic length prior minus punctuation noise — deterministic
+  and SQL-expressible; swap for a model scorer via the same stage shape)
+* fingerprint    = md5 of lowercased, whitespace-collapsed, stripped text
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from typing import Dict, List
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+from ray.data import Dataset
+
+_PUNCT_RE = r"[.,;:!?]"
+_DIGIT_RE = r"[0-9]"
+_TOKEN_RE = r"\S+"
+_WS_COLLAPSE = re.compile(r"\s+")
+
+
+def token_count_batch(t: pa.Table, text_col: str = "text", out_col: str = "n_tokens") -> pa.Table:
+    n = pc.count_substring_regex(t.column(text_col), _TOKEN_RE)
+    return t.append_column(out_col, n.cast(pa.int64()))
+
+
+def quality_batch(t: pa.Table, text_col: str = "text") -> pa.Table:
+    text = t.column(text_col)
+    n_chars = pc.utf8_length(text).cast(pa.float64())
+    safe = pc.max_element_wise(n_chars, pa.scalar(1.0))
+    tokens = pc.count_substring_regex(text, _TOKEN_RE).cast(pa.float64())
+    punct = pc.count_substring_regex(text, _PUNCT_RE).cast(pa.float64())
+    digit = pc.count_substring_regex(text, _DIGIT_RE).cast(pa.float64())
+    punct_ratio = pc.divide(punct, safe)
+    digit_ratio = pc.divide(digit, safe)
+    q = pc.subtract(
+        pc.divide(pa.scalar(1.0), pc.add(pa.scalar(1.0), pc.exp(pc.negate(pc.divide(tokens, pa.scalar(100.0)))))),
+        punct_ratio,
+    )
+    t = t.append_column("n_tokens", tokens.cast(pa.int64()))
+    t = t.append_column("punct_ratio", pc.round(punct_ratio, 6))
+    t = t.append_column("digit_ratio", pc.round(digit_ratio, 6))
+    return t.append_column("quality_score", pc.round(q, 6))
+
+
+def fingerprint_batch(t: pa.Table, text_col: str = "text", out_col: str = "fingerprint") -> pa.Table:
+    texts = t.column(text_col).to_pylist()
+    fps = [
+        hashlib.md5(_WS_COLLAPSE.sub(" ", (x or "").lower()).strip().encode("utf-8")).hexdigest()
+        for x in texts
+    ]
+    return t.append_column(out_col, pa.array(fps, type=pa.string()))
+
+
+class RollingFingerprint:
+    """Winnowing-style document fingerprint: k-gram rolling hashes,
+    keep the min hash per window → sorted distinct joined hex.
+
+    Actor-pool stage (precomputed powers in __init__)."""
+
+    def __init__(self, k: int = 8, window: int = 16, text_col: str = "text", out_col: str = "winnow"):
+        self.k, self.window = k, window
+        self.text_col, self.out_col = text_col, out_col
+        self.base = 257
+        self.mod = (1 << 61) - 1
+        self.pow_k = pow(self.base, k - 1, self.mod)
+
+    def _hashes(self, s: str) -> List[int]:
+        if len(s) < self.k:
+            return []
+        h = 0
+        out = []
+        for i, ch in enumerate(s):
+            h = (h * self.base + ord(ch)) % self.mod
+            if i >= self.k - 1:
+                out.append(h)
+                h = (h - ord(s[i - self.k + 1]) * self.pow_k) % self.mod
+        return out
+
+    def fingerprint(self, s: str) -> str:
+        hs = self._hashes(s)
+        if not hs:
+            return ""
+        picks = set()
+        arr = np.asarray(hs, dtype=np.uint64)
+        for i in range(0, max(1, len(arr) - self.window + 1)):
+            picks.add(int(arr[i : i + self.window].min()))
+        return "|".join(f"{p:x}" for p in sorted(picks)[:32])
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        fps = [self.fingerprint(x or "") for x in t.column(self.text_col).to_pylist()]
+        return t.append_column(self.out_col, pa.array(fps, type=pa.string()))
+
+
+_STOPWORDS: Dict[str, frozenset] = {
+    "en": frozenset("the and of to is in that for with are was".split()),
+    "de": frozenset("der die das und ist von mit für auf nicht".split()),
+    "fr": frozenset("le la les et est des que pour dans une".split()),
+    "es": frozenset("el la los y es de que para con una".split()),
+}
+
+
+class LangId:
+    """n-gram/stopword language-ID heuristic (actor pool: tables compiled once)."""
+
+    def __init__(self, text_col: str = "text", out_col: str = "lang_pred"):
+        self.text_col, self.out_col = text_col, out_col
+        self.word = re.compile(r"[a-zA-ZäöüßéèêàçñÁ-ÿ]+")
+        self.tables = {k: v for k, v in _STOPWORDS.items()}
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        preds = []
+        for text in t.column(self.text_col).to_pylist():
+            words = [w.lower() for w in self.word.findall(text or "")]
+            best, best_hits = "und", 0
+            for lang, stop in sorted(self.tables.items()):
+                hits = sum(1 for w in words if w in stop)
+                if hits > best_hits:
+                    best, best_hits = lang, hits
+            preds.append(best)
+        return t.append_column(self.out_col, pa.array(preds, type=pa.string()))

@@ -1,0 +1,85 @@
+"""Dedup-family operator tests on constructed corpora with known answers."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from kgray.stages.dedup import (
+    embedding_near_dup,
+    exact_dedup,
+    minhash_lsh_dedup,
+    minhash_lsh_pairs,
+    simhash_pairs,
+)
+
+
+def _docs_with_near_dups(n=60, seed=7):
+    rng = np.random.RandomState(seed)
+    vocab = [f"word{j}" for j in range(80)]
+    ids, texts = [], []
+    for i in range(n):
+        words = [vocab[j] for j in rng.randint(0, len(vocab), 40)]
+        ids.append(i)
+        texts.append(" ".join(words))
+        # near-dup copy: one word appended
+        ids.append(i + 100000)
+        texts.append(" ".join(words) + " omega")
+    return pa.table({"doc_id": pa.array(ids, type=pa.int64()), "text": pa.array(texts)})
+
+
+def test_exact_dedup(ray_session):
+    t = pa.table(
+        {
+            "doc_id": pa.array([3, 1, 2, 5], type=pa.int64()),
+            "text": pa.array(["aa", "aa", "bb", "bb"]),
+        }
+    )
+    out = exact_dedup(ray.data.from_arrow(t)).take_all()
+    got = sorted((r["doc_id"], r["text"]) for r in out)
+    assert got == [(1, "aa"), (2, "bb")]
+
+
+def test_minhash_lsh_pairs_and_dedup(ray_session):
+    t = _docs_with_near_dups()
+    ds = ray.data.from_arrow(t)
+    pairs = minhash_lsh_pairs(ds, threshold=0.7).take_all()
+    got = sorted((r["id_a"], r["id_b"]) for r in pairs)
+    assert got == [(i, i + 100000) for i in range(60)]
+
+    survivors = minhash_lsh_dedup(ds, threshold=0.7)
+    ids = sorted(r["doc_id"] for r in survivors.select_columns(["doc_id"]).take_all())
+    assert ids == list(range(60))
+
+
+def test_simhash_pairs(ray_session):
+    from kgray.stages.dedup import _SimHasher
+
+    t = _docs_with_near_dups()
+    got = {(r["id_a"], r["id_b"]) for r in simhash_pairs(ray.data.from_arrow(t), max_hamming=10).take_all()}
+    dup_pairs = {(i, i + 100000) for i in range(60)}
+    # No false positives on this corpus (random pairs measured ≥ 12).
+    assert got <= dup_pairs
+    # Pigeonhole guarantee: every dup pair within hamming < n_bands(=8)
+    # MUST be found; pairs at 8-10 are probabilistic extras.
+    texts = dict(zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()))
+    for i in range(60):
+        d = bin(_SimHasher.simhash64(texts[i]) ^ _SimHasher.simhash64(texts[i + 100000])).count("1")
+        if d < 8:
+            assert (i, i + 100000) in got, (i, d)
+
+
+def test_embedding_near_dup(ray_session):
+    rng = np.random.RandomState(11)
+    vecs = rng.randn(40, 16)
+    ids = list(range(40)) + [i + 100000 for i in range(40)]
+    all_vecs = np.vstack([vecs, vecs * 2.0])  # scaled copies: cosine == 1
+    t = pa.table(
+        {
+            "vec_id": pa.array(ids, type=pa.int64()),
+            "embedding": pa.array([v.tolist() for v in all_vecs], type=pa.list_(pa.float32())),
+        }
+    )
+    pairs = embedding_near_dup(ray.data.from_arrow(t), threshold=0.999).take_all()
+    got = sorted((r["id_a"], r["id_b"]) for r in pairs)
+    assert got == [(i, i + 100000) for i in range(40)]

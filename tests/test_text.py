@@ -1,0 +1,58 @@
+import pyarrow as pa
+import ray.data
+
+from kgray.stages.text import (
+    LangId,
+    RollingFingerprint,
+    fingerprint_batch,
+    quality_batch,
+    token_count_batch,
+)
+
+
+def _t(texts):
+    return pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()), "text": pa.array(texts)})
+
+
+def test_token_count():
+    out = token_count_batch(_t(["a b  c", "", "one"]))
+    assert out.column("n_tokens").to_pylist() == [3, 0, 1]
+
+
+def test_quality_columns():
+    out = quality_batch(_t(["Hello, world! 42", ""]))
+    assert out.column("n_tokens").to_pylist()[0] == 3
+    assert out.column("punct_ratio").to_pylist()[0] > 0
+    assert out.column("digit_ratio").to_pylist()[1] == 0.0
+
+
+def test_fingerprint_normalization():
+    out = fingerprint_batch(_t(["Hello   World", "hello world", "other"]))
+    fps = out.column("fingerprint").to_pylist()
+    assert fps[0] == fps[1] != fps[2]
+
+
+def test_rolling_fingerprint_stability():
+    rf = RollingFingerprint()
+    a = rf.fingerprint("the quick brown fox jumps over the lazy dog")
+    b = rf.fingerprint("the quick brown fox jumps over the lazy dog")
+    c = rf.fingerprint("a completely different sentence here")
+    assert a == b != c
+    out = rf(_t(["abcdefghijklmnop"]))
+    assert out.column("winnow").to_pylist()[0]
+
+
+def test_langid(ray_session):
+    ds = ray.data.from_arrow(
+        _t(
+            [
+                "the cat and the dog are in the house",
+                "der Hund und die Katze ist nicht da",
+                "le chat est dans la maison pour une nuit",
+                "xyzzy qwerty",
+            ]
+        )
+    )
+    out = ds.map_batches(LangId, batch_format="pyarrow", concurrency=1).take_all()
+    preds = [r["lang_pred"] for r in sorted(out, key=lambda r: r["doc_id"])]
+    assert preds == ["en", "de", "fr", "und"]
