@@ -1,44 +1,47 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the kgray Ray-Data KG-construction engine.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver initialises Ray BEFORE importing this module; nothing here
+(or in the kgray library) calls ``ray.init()`` / ``ray.shutdown()``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+* ``entry()``      — flagship KG-construction pipeline at sf0.001 scale:
+  synthesize the Common-Crawl-style pages corpus (input_hint shape,
+  seed-fixed, sized from sf0.001's documents table), run extract →
+  triple-extract → link → canonicalize → KGX merge, return the distinct
+  canonical (subject, predicate, object) triples.
+* ``queries()``    — one callable per implemented operator/pipeline
+  (SURVEY.md §2 + training-data ops); see kgray/pipelines/queries.py.
+* ``oracle_sql()`` — matching DuckDB SQL per query where expressible;
+  non-SQL ops (simhash, LSH-ANN, langid heuristic, the construction
+  pipeline itself) are rows-only by design — their correctness is
+  pinned by tests/ (byte-goldens, P/R vs generator oracle, brute-force
+  ground truth).
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 from typing import Any
+
+_REPO = str(Path(__file__).resolve().parent)
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    from kgray.pipelines.queries import q_construct_kg
+
+    return q_construct_kg("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from kgray.pipelines.queries import QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from kgray.pipelines.queries import ORACLES
+
+    return dict(ORACLES)

@@ -1,0 +1,162 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Default: run the headline pipelines over ``$GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) under ``ray.init(num_cpus=$RAY_GRAFT_CPUS or 32)``
+and print ONE JSON line:
+  {"metric": ..., "value": <headline sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
+   "docs_per_sec": ...}
+
+``--scaling``: run the identical job twice in fresh processes at
+num_cpus=8 and num_cpus=32 on the same input and print throughput at
+both plus scaling efficiency = (t_8 / t_32) / 4 — the sandbox proxy for
+the north rule's two-cluster-size criterion (see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+_REPO = str(Path(__file__).resolve().parent)
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+# Corpus size = documents_rows × pages-per-doc. The scaling run uses a
+# 10× corpus so the job is compute-dominated at both parallelism levels
+# (at the default size an 8-CPU run already finishes in ~12 s of mostly
+# fixed execution startup — nothing left to scale).
+PAGES_PER_DOC = int(os.environ.get("GRAFT_BENCH_PPD", "4"))
+
+# Per-query benchmarks (a representative slice of the operator surface).
+BENCH_QUERIES = [
+    "kgx_node_merge",
+    "kgx_edge_provenance",
+    "dedup_minhash_pairs",
+    "dedup_exact",
+    "ann_topk",
+    "lineitem_agg",
+    "sessionize",
+    "token_count",
+]
+
+
+def _consume(res) -> int:
+    """Fully execute a query result; return row count."""
+    import pyarrow as pa
+    import ray.data
+
+    if isinstance(res, ray.data.Dataset):
+        return res.count()
+    if isinstance(res, pa.Table):
+        return len(res)
+    return len(res)
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    import ray.data
+
+    ctx = ray.data.DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from kgray.pipelines.construct import construct_kg
+    from kgray.pipelines.queries import QUERIES, construct_corpus_for_sf
+
+    # ---- headline: end-to-end KG construction over the pages corpus ----
+    paths = construct_corpus_for_sf(SF_DIR, pages_per_doc=PAGES_PER_DOC)  # cached, untimed synthesis
+    # Warm the page cache (measure compute+shuffle, not first disk read).
+    ray.data.read_parquet(paths["pages"]).count()
+
+    out_dir = f"/tmp/kgray_bench/kg_out_{NUM_CPUS}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    construct_kg(
+        paths["pages"],
+        paths["aliases"],
+        out_dir,
+        # NB: min pool size must leave CPUs for read/write tasks — two
+        # pools × min equal to half the CPUs starves the reads and the
+        # pipeline stalls (observed at num_cpus=8).
+        shard_group_size=8,
+        actor_concurrency=(2, max(2, NUM_CPUS // 2)),
+        num_partitions=max(8, NUM_CPUS),
+    )
+    headline = time.perf_counter() - t0
+    n_pages = paths["n_pages"]
+
+    # ---- per-operator timings ----
+    qtimes = {}
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        _consume(QUERIES[name](SF_DIR))
+        qtimes[name] = round(time.perf_counter() - t0, 3)
+
+    result = {
+        "metric": "kg_construct_e2e_sec",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "n_pages": n_pages,
+        "docs_per_sec": round(n_pages / headline, 1),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    def run_at(ncpu: int) -> dict:
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            GRAFT_BENCH_PPD=os.environ.get("GRAFT_SCALING_PPD", "40"),
+        )
+        out = subprocess.run(
+            [sys.executable, os.path.join(_REPO, "bench.py")],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo = run_at(lo)
+    r_hi = run_at(hi)
+    eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        f"sec_{lo}": r_lo["value"],
+        f"sec_{hi}": r_hi["value"],
+        f"docs_per_sec_{lo}": r_lo["docs_per_sec"],
+        f"docs_per_sec_{hi}": r_hi["docs_per_sec"],
+        "sf": SF_DIR,
+        "n_pages": r_hi.get("n_pages"),
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -23,13 +23,14 @@ import os
 from typing import Dict, List, Optional
 from urllib.parse import urlparse
 
+import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 import ray
 import ray.data
 from ray.data import Dataset
 
-from kgray.pipelines.kgx_merge import merge_edges, merge_nodes
+from kgray.pipelines.kgx_merge import merge_edges, merge_nodes_frame
 from kgray.stages.canonical import (
     apply_canonical_map,
     canonical_map_from_aliases,
@@ -37,7 +38,7 @@ from kgray.stages.canonical import (
     sameas_pairs_from_alias_table,
 )
 from kgray.stages.extract import extract_text_batch
-from kgray.stages.integrity import missing_endpoints, stub_nodes
+from kgray.stages.integrity import infer_category
 from kgray.stages.linking import EntityLinker
 from kgray.stages.triples import TripleExtractor
 from kgray.state.manifest import (
@@ -136,7 +137,7 @@ def construct_kg(
     out_dir: str,
     lang: str = "en",
     resume: bool = True,
-    shard_group_size: int = 1,
+    shard_group_size: Optional[int] = None,
     extract_batch_size: int = 512,
     actor_concurrency=(1, 8),
     distributed_cc: bool = False,
@@ -155,6 +156,13 @@ def construct_kg(
     alias_ref = ray.put(alias_table.select(["alias", "curie"]))
 
     # ---- front half: per-shard, resumable -------------------------------
+    # Each shard group is one Ray Data execution (one actor-pool spin-up,
+    # ~seconds of fixed cost). Auto-grouping bounds a run to ≤4
+    # executions; pass shard_group_size=1 for per-file resume
+    # granularity when shards are big enough to amortize the startup.
+    if shard_group_size is None:
+        n_files = len(list_page_shards(pages_dir, 1))
+        shard_group_size = max(1, -(-n_files // 4))
     shards = list_page_shards(pages_dir, shard_group_size)
     triples_root = os.path.join(out_dir, "triples")
     for i, files in enumerate(shards):
@@ -202,21 +210,39 @@ def construct_kg(
 
     canon = apply_canonical_map(triples, cref, ["subject", "object"])
     canon = canon.map_batches(_host_provenance, batch_format="pyarrow")
-    edges = merge_edges(canon.select_columns(EDGE_COLUMNS), provenance=True)
+    edges = merge_edges(
+        canon.select_columns(EDGE_COLUMNS), provenance=True, num_partitions=num_partitions
+    )
 
     with atomic_output_dir(edges_out) as tmp:
         edges.write_parquet(tmp, partition_cols=["predicate"])
 
-    # Node side: KB nodes + stub repair for any dangling endpoint.
-    nodes_ds = ray.data.from_arrow(build_node_table(alias_table, cmap))
-    edges_ds = ray.data.read_parquet(edges_out)
-    missing = missing_endpoints(edges_ds, nodes_ds)
-    n_missing = missing.count()
+    # Node side. The KB (alias table) is the pipeline's small side by
+    # construction — merge it driver-side with the same vectorized
+    # frame kernel the distributed path uses. The integrity endpoint
+    # set is KB-bounded (the linker only emits KB CURIEs), so stream
+    # per-batch uniques to a driver set — one pass, no exchange; for a
+    # non-KB-bounded edge source use stages.integrity.edge_endpoints
+    # (distributed distinct) instead.
+    endpoints: set = set()
+    eps_ds = ray.data.read_parquet(edges_out, columns=["subject", "object"])
+    for b in eps_ds.iter_batches(batch_format="pyarrow", batch_size=1 << 17):
+        import pyarrow.compute as _pc
+
+        endpoints.update(_pc.unique(b.column("subject")).to_pylist())
+        endpoints.update(_pc.unique(b.column("object")).to_pylist())
+
+    nodes_df = build_node_table(alias_table, cmap).to_pandas()
+    missing = sorted(endpoints - set(nodes_df["id"]))
+    n_missing = len(missing)
     if n_missing:
-        nodes_ds = nodes_ds.union(stub_nodes(missing, NODE_COLUMNS))
-    merged_nodes = merge_nodes(nodes_ds, priority_sources=["kb_primary"])
+        stub_df = pd.DataFrame({c: [None] * n_missing for c in NODE_COLUMNS})
+        stub_df["id"] = missing
+        stub_df["category"] = [infer_category(i) for i in missing]
+        nodes_df = pd.concat([nodes_df, stub_df], ignore_index=True)
+    merged_nodes = merge_nodes_frame(nodes_df, NODE_COLUMNS, priority_sources=["kb_primary"])
     with atomic_output_dir(nodes_out) as tmp:
-        merged_nodes.write_parquet(tmp)
+        pq.write_table(pa.Table.from_pandas(merged_nodes, preserve_index=False), os.path.join(tmp, "nodes.parquet"))
 
     manifest.mark_stage(
         "materialize",

@@ -24,13 +24,14 @@ from __future__ import annotations
 
 from typing import List, Optional, Sequence, Tuple
 
+import pandas as pd
 import pyarrow as pa
 import ray.data
 from ray.data import Dataset
 from ray.data.aggregate import Count
 
 from kgray.constants import EDGE_KEY
-from kgray.kernels.kgx_agg import PriorityCoalesceMax, SortedUniqueConcat
+from kgray.kernels.hashagg import distinct, grouped_apply, sorted_unique_join_frame
 from kgray.sources.kgx_tsv import dataset_to_sorted_tsv, load_kgx_files, priority_sniff
 
 
@@ -40,50 +41,95 @@ def merge_nodes(
     id_col: str = "id",
     name_col: str = "name",
     source_col: str = "provided_by",
+    num_partitions: int = 64,
 ) -> Dataset:
     """§2.3 node merge: GROUP BY id, reference column rules, unsorted.
 
-    Output columns keep the input's names/order (id first). Sorting is
-    the caller's concern (conformance mode sorts; web-scale mode keeps
-    the hash-partitioned layout).
+    Executed as a hash-partitioned vectorized aggregation
+    (kernels/hashagg.grouped_apply): per-batch whole-row dedup combiner
+    → exchange on H(id) → per-partition pandas reduce implementing the
+    exact reference semantics — priority-name COALESCE-MAX
+    (duckdb_utils.py:329-331) and sorted distinct pipe-join per other
+    column (:332). Id-cardinality-independent: Ray sees only
+    ``num_partitions`` groups. Output columns keep the input's order;
+    sorting is the caller's concern (conformance mode sorts).
     """
     schema_names = nodes.schema().names
-    aggs = []
+
+    def _reduce(part: pd.DataFrame) -> pd.DataFrame:
+        return merge_nodes_frame(part, schema_names, priority_sources, id_col, name_col, source_col)
+
+    return grouped_apply(
+        nodes,
+        [id_col],
+        _reduce,
+        num_partitions=num_partitions,
+        map_side=lambda df: df.drop_duplicates(),
+    )
+
+
+def merge_nodes_frame(
+    part: pd.DataFrame,
+    schema_names: Sequence[str],
+    priority_sources: Sequence[str] = (),
+    id_col: str = "id",
+    name_col: str = "name",
+    source_col: str = "provided_by",
+) -> pd.DataFrame:
+    """Vectorized §2.3 node merge over one in-memory frame — used both
+    as the per-partition reduce of ``merge_nodes`` and directly for
+    driver-side merges of small (KB-bounded) node tables."""
+    priority = frozenset(priority_sources)
+    other_cols = [c for c in schema_names if c not in (id_col, name_col)]
+    out = sorted_unique_join_frame(part, [id_col], other_cols)
     if name_col in schema_names:
-        aggs.append(
-            PriorityCoalesceMax(priority_sources, on=name_col, source_col=source_col, alias_name=name_col)
-        )
-    for c in schema_names:
-        if c in (id_col, name_col):
-            continue
-        aggs.append(SortedUniqueConcat(c, alias_name=c))
-    merged = nodes.groupby(id_col).aggregate(*aggs)
-    return merged.select_columns([c for c in schema_names])
+        named = part[[id_col, name_col]].dropna(subset=[name_col])
+        name_all = named.groupby(id_col, sort=False)[name_col].max()
+        if priority and source_col in part.columns:
+            prio_rows = part[part[source_col].isin(priority)][[id_col, name_col]].dropna(
+                subset=[name_col]
+            )
+            name_prio = prio_rows.groupby(id_col, sort=False)[name_col].max()
+            name = name_prio.combine_first(name_all)
+        else:
+            name = name_all
+        out = out.join(name.rename(name_col), how="left")
+    out = out.reset_index()
+    return out[[c for c in schema_names]]
 
 
 def merge_edges(
     edges: Dataset,
     provenance: bool = False,
     key: Optional[List[str]] = None,
+    num_partitions: int = 64,
 ) -> Dataset:
-    """§2.4 edge merge.
+    """§2.4 edge merge (hash-partitioned vectorized dedup).
 
     ``provenance=False`` (reference current behavior): exact dedup on
-    the triple, all non-key columns dropped (duckdb_utils.py:442-448).
+    the triple, all non-key columns dropped (duckdb_utils.py:442-448) —
+    per-batch ``drop_duplicates`` combiner, exchange on the triple
+    hash, per-partition ``drop_duplicates`` reduce.
     ``provenance=True``: non-key columns merged as sorted distinct
     pipe-join (the reference's disabled-as-too-slow variant, golden
-    ``expected_edges_merged_full.tsv``).
+    ``expected_edges_merged_full.tsv``) — the two-phase form makes it
+    tractable at scale.
     """
     key = key or list(EDGE_KEY)
-    if provenance:
-        other = [c for c in edges.schema().names if c not in key]
-        aggs = [SortedUniqueConcat(c, alias_name=c) for c in other]
-        if not aggs:
-            aggs = [Count(alias_name="__n")]
-        out = edges.groupby(key).aggregate(*aggs)
-        return out.select_columns(key + other)
-    out = edges.select_columns(key).groupby(key).aggregate(Count(alias_name="__n"))
-    return out.select_columns(key)
+    if not provenance:
+        return distinct(edges.select_columns(key), key, num_partitions=num_partitions)
+    other = [c for c in edges.schema().names if c not in key]
+
+    def _reduce(part: pd.DataFrame) -> pd.DataFrame:
+        return sorted_unique_join_frame(part, key, other).reset_index()[key + other]
+
+    return grouped_apply(
+        edges,
+        key,
+        _reduce,
+        num_partitions=num_partitions,
+        map_side=lambda df: df.drop_duplicates(),
+    )
 
 
 def priority_merge_two_tables(
@@ -93,6 +139,7 @@ def priority_merge_two_tables(
     base_tag: str = "base",
     subset_tag: str = "subset",
     tag_column: str = "source_table",
+    num_partitions: int = 64,
 ) -> Tuple[Dataset, Dataset]:
     """§2.5 two-table priority merge (duckdb_utils.py:84-188).
 
@@ -104,9 +151,9 @@ def priority_merge_two_tables(
     Returned datasets carry the ``source_table`` lineage column.
     Within-source rank ties are broken deterministically by the full row
     (the reference's ROW_NUMBER tie order is unspecified; we pin it so
-    retries are idempotent).
+    retries are idempotent). Ranking runs hash-partitioned and fully
+    vectorized (sort + per-key cumcount per partition).
     """
-    import pandas as pd
 
     def _tag(tag: str):
         def fn(t: pa.Table) -> pa.Table:
@@ -119,25 +166,26 @@ def priority_merge_two_tables(
     )
     keys = list(key)
 
-    def _rank(g: pd.DataFrame) -> pd.DataFrame:
-        order = (g[tag_column] != base_tag).astype(int)
-        tie_cols = [c for c in g.columns]
-        g = g.assign(__order=order).sort_values(["__order"] + tie_cols, kind="mergesort")
-        g = g.drop(columns="__order")
-        g["__rank"] = range(1, len(g) + 1)
-        return g
+    def _rank(part: pd.DataFrame) -> pd.DataFrame:
+        cols = list(part.columns)
+        order = (part[tag_column] != base_tag).astype("int8")
+        part = part.assign(__order=order).sort_values(
+            keys + ["__order"] + cols, kind="mergesort"
+        )
+        part["__rank"] = part.groupby(keys, sort=False).cumcount() + 1
+        return part.drop(columns="__order")
 
-    ranked = tagged.groupby(keys).map_groups(_rank, batch_format="pandas")
+    ranked = grouped_apply(tagged, keys, _rank, num_partitions=num_partitions)
     merged = ranked.filter(expr="__rank == 1").drop_columns(["__rank"])
     duplicates = ranked.filter(expr="__rank > 1").drop_columns(["__rank"])
     return merged, duplicates
 
 
-def dedup_whole_rows(ds: Dataset) -> Dataset:
+def dedup_whole_rows(ds: Dataset, num_partitions: int = 64) -> Dataset:
     """O5 (reference utils/pandas_utils.py:8-17 drop_duplicates): exact
-    whole-row dedup, distributed as a groupby over all columns."""
+    whole-row dedup — hash-partitioned vectorized distinct."""
     cols = ds.schema().names
-    return ds.groupby(cols).aggregate(Count(alias_name="__n")).select_columns(cols)
+    return distinct(ds, cols, num_partitions=num_partitions)
 
 
 def graph_stats(nodes: Dataset, edges: Dataset) -> dict:

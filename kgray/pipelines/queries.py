@@ -1,0 +1,795 @@
+"""Driver-contract query registry: every operator from SURVEY.md §2 (plus
+the training-data operators) as a ``(sf_dir) -> Dataset/Table`` callable
+with, where expressible, an exact DuckDB oracle over the same parquet.
+
+The KGX operators run over KGX-shaped tables DERIVED from the driver
+tables (documents/events/customer/…) with derivations simple enough to
+mirror in ANSI SQL, so the oracle exercises the real merge semantics
+(priority-name rule, sorted distinct pipe-join, triple dedup, windowed
+priority merge, anti-join repair) end-to-end.
+
+Column names in each Ray result match the oracle's aliases exactly
+(driver compares order-insensitively by sorted column name).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+import ray.data
+from ray.data import Dataset
+from ray.data.aggregate import Count, Mean, Sum
+
+# ---------------------------------------------------------------------------
+# shared derivations (Ray side). Each has a matching SQL fragment below.
+# ---------------------------------------------------------------------------
+
+_PRIORITY = ["src3", "src7"]
+
+
+def _docs(sf_dir: str, columns=None) -> Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+def _events(sf_dir: str, columns=None) -> Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
+
+
+def _mod(arr, m: int):
+    """Elementwise modulo (pyarrow 16 has no pc.mod kernel) — zero-copy
+    to numpy for int columns, back to Arrow."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    return pa.array(np.mod(arr.to_numpy(zero_copy_only=False), m))
+
+
+def _concat(prefix: str, ints) -> pa.Array:
+    return pc.binary_join_element_wise(
+        pa.array([prefix] * len(ints), type=pa.string()),
+        ints.cast(pa.string()),
+        "",
+    )
+
+
+def _doc_nodes_batch(t: pa.Table) -> pa.Table:
+    """documents → KGX node rows (two hundred fifty overlapping ids)."""
+    doc_id = t.column("doc_id")
+    return pa.table(
+        {
+            "id": _concat("DOC:", _mod(doc_id, 250)),
+            "name": pc.utf8_slice_codeunits(t.column("text"), 0, 24),
+            "category": _concat("biolink:", t.column("lang")),
+            "provided_by": t.column("source"),
+            "synonym": pc.if_else(
+                pc.greater_equal(t.column("n_chars"), 200),
+                pa.scalar("long", type=pa.string()),
+                pa.scalar(None, type=pa.string()),
+            ),
+        }
+    )
+
+
+_DOC_NODES_SQL = (
+    "SELECT 'DOC:' || CAST(doc_id % 250 AS VARCHAR) AS id, "
+    "substr(text, 1, 24) AS name, "
+    "'biolink:' || lang AS category, "
+    "source AS provided_by, "
+    "CASE WHEN n_chars >= 200 THEN 'long' ELSE NULL END AS synonym "
+    "FROM documents"
+)
+
+
+def _event_edges_batch(t: pa.Table) -> pa.Table:
+    """events → KGX edge rows with M5-recognizable object prefixes."""
+    ev = t.column("event_type")
+    suffix = _mod(t.column("event_id"), 500)
+    prefix = pc.if_else(
+        pc.equal(ev, "view"),
+        pa.scalar("EC:", type=pa.string()),
+        pc.if_else(
+            pc.equal(ev, "click"),
+            pa.scalar("UniprotKB:", type=pa.string()),
+            pa.scalar("medium:", type=pa.string()),
+        ),
+    )
+    obj = pc.binary_join_element_wise(prefix, suffix.cast(pa.string()), "")
+    return pa.table(
+        {
+            "subject": _concat("U:", _mod(t.column("user_id"), 200)),
+            "predicate": ev,
+            "object": obj,
+            "provenance": _concat("prov_", _mod(t.column("event_id"), 7)),
+            "suffix": suffix,
+        }
+    )
+
+
+_EVENT_EDGES_SQL = (
+    "SELECT 'U:' || CAST(user_id % 200 AS VARCHAR) AS subject, "
+    "event_type AS predicate, "
+    "(CASE WHEN event_type = 'view' THEN 'EC:' WHEN event_type = 'click' "
+    "THEN 'UniprotKB:' ELSE 'medium:' END) || CAST(event_id % 500 AS VARCHAR) AS object, "
+    "'prov_' || CAST(event_id % 7 AS VARCHAR) AS provenance, "
+    "event_id % 500 AS suffix "
+    "FROM events"
+)
+
+
+def _dup_docs(sf_dir: str, suffix: str = "") -> Dataset:
+    """documents ∪ copies (doc_id+100000, text [|| ' ' || suffix])."""
+
+    def _dup(t: pa.Table) -> pa.Table:
+        text = t.column("text")
+        if suffix:
+            text2 = pc.binary_join_element_wise(text, pa.array([suffix] * len(t), type=pa.string()), " ")
+        else:
+            text2 = text
+        t1 = pa.table({"doc_id": t.column("doc_id"), "text": t.column("text")})
+        t2 = pa.table({"doc_id": pc.add(t.column("doc_id"), 100000), "text": text2})
+        return pa.concat_tables([t1, t2])
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(_dup, batch_format="pyarrow")
+
+
+def _dup_docs_sql(suffix: str = "") -> str:
+    extra = f"text || ' {suffix}'" if suffix else "text"
+    return (
+        "SELECT doc_id, text FROM documents "
+        f"UNION ALL SELECT doc_id + 100000 AS doc_id, {extra} AS text FROM documents"
+    )
+
+
+# ---------------------------------------------------------------------------
+# KGX operator queries
+# ---------------------------------------------------------------------------
+
+def q_kgx_node_merge(sf_dir: str):
+    from kgray.pipelines.kgx_merge import merge_nodes
+
+    nodes = _docs(sf_dir).map_batches(_doc_nodes_batch, batch_format="pyarrow")
+    return merge_nodes(nodes, priority_sources=_PRIORITY)
+
+
+SQL_KGX_NODE_MERGE = f"""
+SELECT id,
+  COALESCE(MAX(CASE WHEN provided_by IN ('src3','src7') THEN name END), MAX(name)) AS name,
+  STRING_AGG(DISTINCT category, '|' ORDER BY category) AS category,
+  STRING_AGG(DISTINCT provided_by, '|' ORDER BY provided_by) AS provided_by,
+  STRING_AGG(DISTINCT synonym, '|' ORDER BY synonym) AS synonym
+FROM ({_DOC_NODES_SQL}) GROUP BY id
+"""
+
+
+def q_kgx_edge_dedup(sf_dir: str):
+    from kgray.pipelines.kgx_merge import merge_edges
+
+    edges = _events(sf_dir).map_batches(_event_edges_batch, batch_format="pyarrow")
+    return merge_edges(edges.select_columns(["subject", "predicate", "object"]))
+
+
+SQL_KGX_EDGE_DEDUP = f"SELECT DISTINCT subject, predicate, object FROM ({_EVENT_EDGES_SQL})"
+
+
+def q_kgx_edge_provenance(sf_dir: str):
+    from kgray.pipelines.kgx_merge import merge_edges
+
+    edges = _events(sf_dir).map_batches(_event_edges_batch, batch_format="pyarrow")
+    return merge_edges(
+        edges.select_columns(["subject", "predicate", "object", "provenance"]), provenance=True
+    )
+
+
+SQL_KGX_EDGE_PROVENANCE = f"""
+SELECT subject, predicate, object,
+  STRING_AGG(DISTINCT provenance, '|' ORDER BY provenance) AS provenance
+FROM ({_EVENT_EDGES_SQL}) GROUP BY subject, predicate, object
+"""
+
+
+def _base_subset(sf_dir: str):
+    def _cust(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"id": _concat("K:", _mod(t.column("c_custkey"), 100)), "name": t.column("c_name")}
+        )
+
+    def _supp(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"id": _concat("K:", _mod(t.column("s_suppkey"), 100)), "name": t.column("s_name")}
+        )
+
+    base = ray.data.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]).map_batches(
+        _cust, batch_format="pyarrow"
+    )
+    subset = ray.data.read_parquet(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]).map_batches(
+        _supp, batch_format="pyarrow"
+    )
+    return base, subset
+
+
+_PRIORITY_MERGE_SQL_CTE = """
+WITH t AS (
+  SELECT 'K:' || CAST(c_custkey % 100 AS VARCHAR) AS id, c_name AS name, 'base' AS source_table FROM customer
+  UNION ALL
+  SELECT 'K:' || CAST(s_suppkey % 100 AS VARCHAR) AS id, s_name AS name, 'subset' AS source_table FROM supplier
+), r AS (
+  SELECT id, name, source_table,
+    ROW_NUMBER() OVER (
+      PARTITION BY id
+      ORDER BY CASE WHEN source_table = 'base' THEN 0 ELSE 1 END, id, name, source_table
+    ) AS rn
+  FROM t
+)
+"""
+
+
+def q_kgx_priority_merge(sf_dir: str):
+    from kgray.pipelines.kgx_merge import priority_merge_two_tables
+
+    base, subset = _base_subset(sf_dir)
+    merged, _dups = priority_merge_two_tables(base, subset, key=["id"])
+    return merged
+
+
+SQL_KGX_PRIORITY_MERGE = _PRIORITY_MERGE_SQL_CTE + "SELECT id, name, source_table FROM r WHERE rn = 1"
+
+
+def q_kgx_priority_merge_duplicates(sf_dir: str):
+    from kgray.pipelines.kgx_merge import priority_merge_two_tables
+
+    base, subset = _base_subset(sf_dir)
+    _merged, dups = priority_merge_two_tables(base, subset, key=["id"])
+    return dups
+
+
+SQL_KGX_PRIORITY_MERGE_DUPLICATES = (
+    _PRIORITY_MERGE_SQL_CTE + "SELECT id, name, source_table FROM r WHERE rn > 1"
+)
+
+
+_NODE_IDS_SQL = f"""
+SELECT DISTINCT subject AS id FROM ({_EVENT_EDGES_SQL})
+UNION
+SELECT DISTINCT object AS id FROM ({_EVENT_EDGES_SQL}) WHERE suffix % 3 = 0
+"""
+
+
+def _integrity_inputs(sf_dir: str):
+    edges = _events(sf_dir).map_batches(_event_edges_batch, batch_format="pyarrow")
+
+    def _nodes(t: pa.Table) -> pa.Table:
+        keep = t.filter(pc.equal(_mod(t.column("suffix"), 3), 0))
+        subj = pa.table({"id": t.column("subject")})
+        obj = pa.table({"id": keep.column("object")})
+        return pa.concat_tables([subj, obj])
+
+    nodes = edges.map_batches(_nodes, batch_format="pyarrow")
+    from kgray.pipelines.kgx_merge import dedup_whole_rows
+
+    return edges.select_columns(["subject", "predicate", "object"]), dedup_whole_rows(nodes)
+
+
+def q_integrity_missing_nodes(sf_dir: str):
+    from kgray.stages.integrity import missing_endpoints
+
+    edges, nodes = _integrity_inputs(sf_dir)
+    return missing_endpoints(edges, nodes)
+
+
+SQL_INTEGRITY_MISSING = f"""
+SELECT id FROM (
+  SELECT DISTINCT subject AS id FROM ({_EVENT_EDGES_SQL})
+  UNION SELECT DISTINCT object AS id FROM ({_EVENT_EDGES_SQL})
+) e WHERE id NOT IN ({_NODE_IDS_SQL})
+"""
+
+
+def q_integrity_stub_repair(sf_dir: str):
+    from kgray.stages.integrity import missing_endpoints, stub_nodes
+
+    edges, nodes = _integrity_inputs(sf_dir)
+    missing = missing_endpoints(edges, nodes)
+    return stub_nodes(missing, ["id", "category"])
+
+
+SQL_INTEGRITY_STUBS = f"""
+SELECT id,
+  CASE WHEN starts_with(id, 'EC:') THEN 'biolink:Enzyme'
+       WHEN starts_with(id, 'assay:') THEN 'biolink:PhenotypicQuality'
+       WHEN starts_with(id, 'UniprotKB:') THEN 'biolink:Protein'
+       WHEN starts_with(id, 'medium:') THEN 'biolink:ChemicalEntity'
+       WHEN starts_with(id, 'carbon_substrates:') THEN 'biolink:ChemicalEntity'
+       ELSE 'Unknown' END AS category
+FROM (
+  SELECT id FROM (
+    SELECT DISTINCT subject AS id FROM ({_EVENT_EDGES_SQL})
+    UNION SELECT DISTINCT object AS id FROM ({_EVENT_EDGES_SQL})
+  ) e WHERE id NOT IN ({_NODE_IDS_SQL})
+)
+"""
+
+
+def q_whole_row_dedup(sf_dir: str):
+    from kgray.pipelines.kgx_merge import dedup_whole_rows
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderstatus", "o_orderpriority"]
+    )
+    return dedup_whole_rows(ds)
+
+
+SQL_WHOLE_ROW_DEDUP = "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders"
+
+
+def q_graph_stats(sf_dir: str):
+    nodes = _docs(sf_dir).map_batches(_doc_nodes_batch, batch_format="pyarrow")
+    return nodes.groupby("category").aggregate(Count(alias_name="n"))
+
+
+SQL_GRAPH_STATS = f"SELECT category, COUNT(*) AS n FROM ({_DOC_NODES_SQL}) GROUP BY category"
+
+
+def q_union_by_name(sf_dir: str):
+    from kgray.sources.kgx_tsv import align_to_columns, union_columns
+
+    def _a(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "id": _concat("DOC:", t.column("doc_id")),
+                "name": pc.utf8_slice_codeunits(t.column("text"), 0, 8),
+            }
+        )
+
+    def _b(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "id": _concat("CUST:", t.column("c_custkey")),
+                "segment": t.column("c_mktsegment"),
+            }
+        )
+
+    da = _docs(sf_dir, ["doc_id", "text"]).map_batches(_a, batch_format="pyarrow")
+    db = ray.data.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]).map_batches(
+        _b, batch_format="pyarrow"
+    )
+    cols = union_columns([["id", "name"], ["id", "segment"]])
+    return align_to_columns(da, cols).union(align_to_columns(db, cols))
+
+
+SQL_UNION_BY_NAME = """
+SELECT 'DOC:' || CAST(doc_id AS VARCHAR) AS id, substr(text, 1, 8) AS name, NULL AS segment FROM documents
+UNION ALL BY NAME
+SELECT 'CUST:' || CAST(c_custkey AS VARCHAR) AS id, NULL AS name, c_mktsegment AS segment FROM customer
+"""
+
+
+# ---------------------------------------------------------------------------
+# Training-data operator queries
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(sf_dir: str):
+    from kgray.stages.dedup import exact_dedup
+
+    return exact_dedup(_dup_docs(sf_dir))
+
+
+SQL_DEDUP_EXACT = f"SELECT MIN(doc_id) AS doc_id, text FROM ({_dup_docs_sql()}) GROUP BY text"
+
+
+def q_dedup_minhash_pairs(sf_dir: str):
+    from kgray.stages.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_docs(sf_dir, ["doc_id", "text"]), threshold=0.7)
+
+
+# Brute-force word-3-gram Jaccard in SQL — the exact ground truth the
+# (probabilistically near-exhaustive, exactly-verified) LSH must match.
+SQL_DEDUP_MINHASH_PAIRS = """
+WITH words AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+  FROM words, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+  WHERE len(w) >= 3
+), counts AS (
+  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS m
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b
+FROM inter JOIN counts ca ON ca.doc_id = id_a JOIN counts cb ON cb.doc_id = id_b
+WHERE m * 1.0 / (ca.n + cb.n - m) >= 0.7
+"""
+
+
+def q_dedup_embedding_pairs(sf_dir: str):
+    from kgray.stages.dedup import embedding_near_dup
+
+    def _dup(t: pa.Table) -> pa.Table:
+        emb = t.column("embedding")
+        scaled = pa.array(
+            [[x * 2.0 for x in v] for v in emb.to_pylist()],
+            type=pa.list_(pa.float32()),
+        )
+        t1 = pa.table({"vec_id": t.column("vec_id"), "embedding": emb})
+        t2 = pa.table({"vec_id": pc.add(t.column("vec_id"), 100000), "embedding": scaled})
+        return pa.concat_tables([t1, t2])
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]).map_batches(
+        _dup, batch_format="pyarrow"
+    )
+    return embedding_near_dup(ds, threshold=0.99)
+
+
+SQL_DEDUP_EMBEDDING_PAIRS = """
+WITH all_v AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id, list_transform(embedding, x -> x * 2.0) AS embedding FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM all_v a JOIN all_v b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.99
+"""
+
+
+def _query_matrix(sf_dir: str, n: int = 5) -> np.ndarray:
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    order = pc.sort_indices(t.column("vec_id"))
+    emb = t.column("embedding").take(order[:n])
+    return np.asarray(emb.to_pylist(), dtype=np.float64)
+
+
+def q_ann_topk(sf_dir: str):
+    from kgray.stages.similarity import ann_topk_bruteforce
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    out = ann_topk_bruteforce(ds, _query_matrix(sf_dir), k=10)
+    return out.select_columns(["q_id", "vec_id", "rank"])
+
+
+SQL_ANN_TOPK = """
+SELECT q_id, vec_id, rank FROM (
+  SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+    ROW_NUMBER() OVER (
+      PARTITION BY q.vec_id
+      ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id
+    ) AS rank
+  FROM embeddings q, embeddings c
+  WHERE q.vec_id < 5
+) WHERE rank <= 10
+"""
+
+
+def q_ann_lsh(sf_dir: str):
+    from kgray.stages.similarity import ann_topk_lsh
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return ann_topk_lsh(ds, _query_matrix(sf_dir), k=10).select_columns(["q_id", "vec_id", "rank"])
+
+
+def q_dedup_simhash(sf_dir: str):
+    from kgray.stages.dedup import simhash_pairs
+
+    return simhash_pairs(_dup_docs(sf_dir, suffix="zz"), max_hamming=10)
+
+
+def q_token_count(sf_dir: str):
+    from kgray.stages.text import token_count_batch
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        lambda t: token_count_batch(t).select(["doc_id", "n_tokens"]), batch_format="pyarrow"
+    )
+
+
+SQL_TOKEN_COUNT = "SELECT doc_id, CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens FROM documents"
+
+
+def q_text_stats(sf_dir: str):
+    def _stats(t: pa.Table) -> pa.Table:
+        text = t.column("text")
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_chars": pc.utf8_length(text).cast(pa.int64()),
+                "n_tokens": pc.count_substring_regex(text, r"\S+").cast(pa.int64()),
+                "n_punct": pc.count_substring_regex(text, r"[.,;:!?]").cast(pa.int64()),
+                "n_digits": pc.count_substring_regex(text, r"[0-9]").cast(pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(_stats, batch_format="pyarrow")
+
+
+SQL_TEXT_STATS = """
+SELECT doc_id,
+  CAST(length(text) AS BIGINT) AS n_chars,
+  CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
+  CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT) AS n_punct,
+  CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digits
+FROM documents
+"""
+
+
+def q_fingerprint(sf_dir: str):
+    from kgray.stages.text import fingerprint_batch
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        lambda t: fingerprint_batch(t).select(["doc_id", "fingerprint"]), batch_format="pyarrow"
+    )
+
+
+SQL_FINGERPRINT = (
+    "SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint FROM documents"
+)
+
+
+def q_langid(sf_dir: str):
+    from kgray.stages.text import LangId
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        LangId, batch_format="pyarrow", concurrency=(1, 4)
+    ).select_columns(["doc_id", "lang_pred"])
+
+
+# ---------------------------------------------------------------------------
+# Relational coverage (partial-agg groupby, broadcast join, window)
+# ---------------------------------------------------------------------------
+
+def q_lineitem_agg(sf_dir: str):
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def _rev(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t.column("l_extendedprice"), pc.subtract(pa.scalar(1.0), t.column("l_discount")))
+        return t.append_column("disc_price", rev)
+
+    out = (
+        ds.map_batches(_rev, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("disc_price", alias_name="sum_disc_price"),
+            Mean("l_quantity", alias_name="avg_qty"),
+            Count(alias_name="count_order"),
+        )
+    )
+
+    def _round(t: pa.Table) -> pa.Table:
+        t = t.set_column(t.column_names.index("sum_qty"), "sum_qty", pc.round(t.column("sum_qty"), 2))
+        t = t.set_column(
+            t.column_names.index("sum_disc_price"), "sum_disc_price", pc.round(t.column("sum_disc_price"), 2)
+        )
+        return t.set_column(t.column_names.index("avg_qty"), "avg_qty", pc.round(t.column("avg_qty"), 4))
+
+    return out.map_batches(_round, batch_format="pyarrow")
+
+
+SQL_LINEITEM_AGG = """
+SELECT l_returnflag, l_linestatus,
+  ROUND(SUM(l_quantity), 2) AS sum_qty,
+  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+  ROUND(AVG(l_quantity), 4) AS avg_qty,
+  COUNT(*) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_orders_by_nation(sf_dir: str):
+    """Broadcast join: orders ⋈ customer ⋈ nation (small sides ray.put once)."""
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    c2n = dict(zip(cust.column("c_custkey").to_pylist(), cust.column("c_nationkey").to_pylist()))
+    n2name = dict(zip(nation.column("n_nationkey").to_pylist(), nation.column("n_name").to_pylist()))
+    ref = ray.put((c2n, n2name))
+
+    def _tag(t: pa.Table) -> pa.Table:
+        c2n_, n2name_ = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        names = [n2name_.get(c2n_.get(ck)) for ck in t.column("o_custkey").to_pylist()]
+        return pa.table({"n_name": pa.array(names, type=pa.string())})
+
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+    return orders.map_batches(_tag, batch_format="pyarrow").groupby("n_name").aggregate(
+        Count(alias_name="n_orders")
+    )
+
+
+SQL_ORDERS_BY_NATION = """
+SELECT n_name, COUNT(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def q_filter_prune(sf_dir: str):
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "event_type", "value"])
+    return ds.filter(expr="event_type == 'click' and value > 100.0").select_columns(["event_id", "user_id"])
+
+
+SQL_FILTER_PRUNE = "SELECT event_id, user_id FROM events WHERE event_type = 'click' AND value > 100.0"
+
+
+def q_sessionize(sf_dir: str):
+    """Stream-shaped: per-user event sequence numbers by (ts, event_id).
+    Hash-partitioned on user; per-partition vectorized sort + cumcount."""
+    import pandas as pd
+
+    from kgray.kernels.hashagg import grouped_apply
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"])
+
+    def _seq(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        part["seq"] = part.groupby("user_id", sort=False).cumcount() + 1
+        return part[["event_id", "user_id", "seq"]]
+
+    return grouped_apply(ds, ["user_id"], _seq, num_partitions=32)
+
+
+SQL_SESSIONIZE = """
+SELECT event_id, user_id,
+  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq
+FROM events
+"""
+
+
+def q_tumbling_window(sf_dir: str):
+    """Hour-bucket counts per user (epoch-second buckets, exact ints)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        epoch = t.column("ts").cast(pa.int64())  # µs since epoch
+        hour = pc.multiply(pc.divide(epoch, 3_600_000_000), 3600)
+        return pa.table(
+            {"user_id": t.column("user_id"), "hour_epoch": hour, "value": t.column("value")}
+        )
+
+    out = ds.map_batches(_bucket, batch_format="pyarrow").groupby(["user_id", "hour_epoch"]).aggregate(
+        Count(alias_name="n_events"),
+        Sum("value", alias_name="sum_value"),
+    )
+
+    def _round(t: pa.Table) -> pa.Table:
+        return t.set_column(
+            t.column_names.index("sum_value"), "sum_value", pc.round(t.column("sum_value"), 4)
+        )
+
+    return out.map_batches(_round, batch_format="pyarrow")
+
+
+SQL_TUMBLING_WINDOW = """
+SELECT user_id,
+  CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+  COUNT(*) AS n_events,
+  ROUND(SUM(value), 4) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Flagship construction pipeline as a query (rows-only check)
+# ---------------------------------------------------------------------------
+
+def _corpus_cache_dir(sf_dir: str, n_pages: int) -> str:
+    import hashlib as _h
+
+    key = _h.md5(f"{sf_dir}:{n_pages}:v1".encode()).hexdigest()[:12]
+    return f"/tmp/kgray_corpus/{key}"
+
+
+def construct_corpus_for_sf(sf_dir: str, pages_per_doc: int = 4):
+    """Deterministic pages corpus sized from the sf's documents table."""
+    import os
+
+    from kgray.sources.pages import write_corpus
+
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    n_pages = n_docs * pages_per_doc
+    d = _corpus_cache_dir(sf_dir, n_pages)
+    marker = os.path.join(d, "_done")
+    if not os.path.exists(marker):
+        paths = write_corpus(d, n_pages, seed=42, n_files=16)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return {
+        "pages": f"{d}/pages",
+        "aliases": f"{d}/aliases.parquet",
+        "expected_text": f"{d}/expected_text.parquet",
+        "expected_triples": f"{d}/expected_triples.parquet",
+        "n_pages": n_pages,
+    }
+
+
+def q_construct_kg(sf_dir: str):
+    """Flagship: full construction; returns distinct canonical triples."""
+    import shutil
+
+    from kgray.pipelines.construct import construct_kg
+
+    paths = construct_corpus_for_sf(sf_dir)
+    out = _corpus_cache_dir(sf_dir, paths["n_pages"]) + "/kg_out"
+    shutil.rmtree(out, ignore_errors=True)
+    construct_kg(paths["pages"], paths["aliases"], out, shard_group_size=4, actor_concurrency=(1, 4))
+    edges = pq.read_table(out + "/edges", columns=["subject", "predicate", "object"])
+    pred = pa.array([str(p) for p in edges.column("predicate").to_pylist()], type=pa.string())
+    return pa.table(
+        {"subject": edges.column("subject"), "predicate": pred, "object": edges.column("object")}
+    )
+
+
+def q_extract_text(sf_dir: str):
+    """Extraction stage alone over the synthetic corpus (rows-only)."""
+    from kgray.stages.extract import extract_text_batch
+
+    paths = construct_corpus_for_sf(sf_dir)
+    ds = ray.data.read_parquet(paths["pages"])
+    out = ds.map_batches(extract_text_batch, batch_format="pyarrow", batch_size=256)
+    return out.select_columns(["url", "text"])
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "kgx_node_merge": q_kgx_node_merge,
+    "kgx_edge_dedup": q_kgx_edge_dedup,
+    "kgx_edge_provenance": q_kgx_edge_provenance,
+    "kgx_priority_merge": q_kgx_priority_merge,
+    "kgx_priority_merge_duplicates": q_kgx_priority_merge_duplicates,
+    "integrity_missing_nodes": q_integrity_missing_nodes,
+    "integrity_stub_repair": q_integrity_stub_repair,
+    "whole_row_dedup": q_whole_row_dedup,
+    "graph_stats": q_graph_stats,
+    "union_by_name": q_union_by_name,
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash_pairs": q_dedup_minhash_pairs,
+    "dedup_embedding_pairs": q_dedup_embedding_pairs,
+    "dedup_simhash": q_dedup_simhash,
+    "ann_topk": q_ann_topk,
+    "ann_lsh": q_ann_lsh,
+    "token_count": q_token_count,
+    "text_stats": q_text_stats,
+    "fingerprint": q_fingerprint,
+    "langid": q_langid,
+    "lineitem_agg": q_lineitem_agg,
+    "orders_by_nation": q_orders_by_nation,
+    "filter_prune": q_filter_prune,
+    "sessionize": q_sessionize,
+    "tumbling_window": q_tumbling_window,
+    "construct_kg": q_construct_kg,
+    "extract_text": q_extract_text,
+}
+
+ORACLES = {
+    "kgx_node_merge": SQL_KGX_NODE_MERGE,
+    "kgx_edge_dedup": SQL_KGX_EDGE_DEDUP,
+    "kgx_edge_provenance": SQL_KGX_EDGE_PROVENANCE,
+    "kgx_priority_merge": SQL_KGX_PRIORITY_MERGE,
+    "kgx_priority_merge_duplicates": SQL_KGX_PRIORITY_MERGE_DUPLICATES,
+    "integrity_missing_nodes": SQL_INTEGRITY_MISSING,
+    "integrity_stub_repair": SQL_INTEGRITY_STUBS,
+    "whole_row_dedup": SQL_WHOLE_ROW_DEDUP,
+    "graph_stats": SQL_GRAPH_STATS,
+    "union_by_name": SQL_UNION_BY_NAME,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "dedup_minhash_pairs": SQL_DEDUP_MINHASH_PAIRS,
+    "dedup_embedding_pairs": SQL_DEDUP_EMBEDDING_PAIRS,
+    "ann_topk": SQL_ANN_TOPK,
+    "token_count": SQL_TOKEN_COUNT,
+    "text_stats": SQL_TEXT_STATS,
+    "fingerprint": SQL_FINGERPRINT,
+    "lineitem_agg": SQL_LINEITEM_AGG,
+    "orders_by_nation": SQL_ORDERS_BY_NATION,
+    "filter_prune": SQL_FILTER_PRUNE,
+    "sessionize": SQL_SESSIONIZE,
+    "tumbling_window": SQL_TUMBLING_WINDOW,
+    # rows-only (non-SQL-expressible): dedup_simhash, ann_lsh, langid,
+    # construct_kg, extract_text
+}

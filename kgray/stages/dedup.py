@@ -47,12 +47,15 @@ _MERSENNE = (1 << 61) - 1
 # Exact dedup
 # ---------------------------------------------------------------------------
 
-def exact_dedup(ds: Dataset, text_col: str = "text", id_col: str = "doc_id") -> Dataset:
+def exact_dedup(
+    ds: Dataset, text_col: str = "text", id_col: str = "doc_id", num_partitions: int = 64
+) -> Dataset:
     """Keep the min-id row per distinct text. Output: (id_col, text_col).
 
-    Hash-partition on md5(text): the groupby key is 32 hex chars
-    regardless of document size, and the two aggregates are algebraic
-    (min id; any text — all texts in a group are identical).
+    Hash-partition on md5(text) — the exchange key is 32 hex chars
+    regardless of document size. Combiner keeps the min-id row per hash
+    within each batch; the per-partition reduce repeats the same
+    C-speed sort + drop_duplicates. Fully vectorized end to end.
     """
 
     def _hash(t: pa.Table) -> pa.Table:
@@ -60,12 +63,14 @@ def exact_dedup(ds: Dataset, text_col: str = "text", id_col: str = "doc_id") -> 
               for x in t.column(text_col).to_pylist()]
         return t.select([id_col, text_col]).append_column("__h", pa.array(hs, type=pa.string()))
 
+    def _keep_min(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["__h", id_col], kind="mergesort").drop_duplicates("__h")
+
+    from kgray.kernels.hashagg import grouped_apply
+
     hashed = ds.map_batches(_hash, batch_format="pyarrow")
-    out = hashed.groupby("__h").aggregate(
-        MinAny(id_col, alias_name=id_col),
-        MinAny(text_col, alias_name=text_col),
-    )
-    return out.select_columns([id_col, text_col])
+    out = grouped_apply(hashed, ["__h"], _keep_min, num_partitions=num_partitions, map_side=_keep_min)
+    return out.drop_columns(["__h"])
 
 
 # ---------------------------------------------------------------------------
@@ -151,6 +156,8 @@ def minhash_lsh_pairs(
     emitted ``__skipped`` metric (no silent caps: giant buckets mean a
     degenerate bucket — e.g. empty docs — and quadratic pair blowup).
     """
+    from kgray.kernels.hashagg import distinct, grouped_apply
+
     bands = ds.map_batches(
         _BandEmitter,
         fn_constructor_kwargs=dict(
@@ -161,20 +168,27 @@ def minhash_lsh_pairs(
         concurrency=(1, 8),
     )
 
-    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(set(g[id_col].tolist()))
-        if len(ids) < 2 or len(ids) > max_bucket:
-            return pd.DataFrame({"id_a": [], "id_b": []})
+    # Pair generation per (band, bucket), hash-partitioned on the bucket
+    # so Ray sees only P groups (LSH makes ~N·bands near-singleton
+    # buckets — per-group scheduling would dominate). Within a
+    # partition: C-speed filter to multi-member buckets, then a Python
+    # loop over only those.
+    def _pairs_partition(part: pd.DataFrame) -> pd.DataFrame:
+        multi = part[part.duplicated(["band", "bucket"], keep=False)]
         out_a, out_b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                out_a.append(ids[i])
-                out_b.append(ids[j])
+        for _, g in multi.groupby(["band", "bucket"], sort=False):
+            ids = sorted(set(g[id_col]))
+            if len(ids) < 2 or len(ids) > max_bucket:
+                continue
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    out_a.append(ids[i])
+                    out_b.append(ids[j])
         return pd.DataFrame({"id_a": out_a, "id_b": out_b})
 
-    cand = bands.groupby(["band", "bucket"]).map_groups(_pairs, batch_format="pandas")
-    # Dedup candidate pairs produced by multiple bands (small shuffle).
-    cand = cand.groupby(["id_a", "id_b"]).aggregate(Count(alias_name="__n")).select_columns(["id_a", "id_b"])
+    cand = grouped_apply(bands, ["band", "bucket"], _pairs_partition, num_partitions=32)
+    # Dedup candidate pairs produced by multiple bands (small exchange).
+    cand = distinct(cand, ["id_a", "id_b"], num_partitions=16)
 
     # Verify with true Jaccard via broadcast text lookup.
     texts: Dict = {}
@@ -295,25 +309,38 @@ def simhash_pairs(
 
     banded = sh.map_batches(_bands, batch_format="pyarrow")
 
-    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
-        rows = sorted(set(zip(g[id_col].tolist(), g["simhash"].tolist())))
-        if len(rows) < 2 or len(rows) > max_bucket:
-            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
-        a_o, b_o, h_o = [], [], []
-        for i in range(len(rows)):
-            for j in range(i + 1, len(rows)):
-                ham = bin((rows[i][1] ^ rows[j][1]) & ((1 << 64) - 1)).count("1")
-                if ham <= max_hamming:
-                    a_o.append(rows[i][0])
-                    b_o.append(rows[j][0])
-                    h_o.append(ham)
-        return pd.DataFrame({"id_a": a_o, "id_b": b_o, "hamming": h_o})
+    from kgray.kernels.hashagg import grouped_apply
 
-    pairs = banded.groupby(["band", "bucket"]).map_groups(_pairs, batch_format="pandas")
-    return (
-        pairs.groupby(["id_a", "id_b"])
-        .aggregate(MinAny("hamming", alias_name="hamming"))
-    )
+    def _pairs_partition(part: pd.DataFrame) -> pd.DataFrame:
+        multi = part[part.duplicated(["band", "bucket"], keep=False)]
+        a_o, b_o, h_o = [], [], []
+        for _, g in multi.groupby(["band", "bucket"], sort=False):
+            rows = sorted(set(zip(g[id_col], g["simhash"])))
+            if len(rows) < 2 or len(rows) > max_bucket:
+                continue
+            for i in range(len(rows)):
+                for j in range(i + 1, len(rows)):
+                    ham = bin((rows[i][1] ^ rows[j][1]) & ((1 << 64) - 1)).count("1")
+                    if ham <= max_hamming:
+                        a_o.append(rows[i][0])
+                        b_o.append(rows[j][0])
+                        h_o.append(ham)
+        return pd.DataFrame(
+            {
+                "id_a": pd.Series(a_o, dtype="int64"),
+                "id_b": pd.Series(b_o, dtype="int64"),
+                "hamming": pd.Series(h_o, dtype="int32"),
+            }
+        )
+
+    pairs = grouped_apply(banded, ["band", "bucket"], _pairs_partition, num_partitions=32)
+
+    def _min_ham(part: pd.DataFrame) -> pd.DataFrame:
+        return part.sort_values(["id_a", "id_b", "hamming"], kind="mergesort").drop_duplicates(
+            ["id_a", "id_b"]
+        )
+
+    return grouped_apply(pairs, ["id_a", "id_b"], _min_ham, num_partitions=16, map_side=_min_ham)
 
 
 # ---------------------------------------------------------------------------

@@ -48,11 +48,14 @@ def infer_category_batch(t: pa.Table, col: str = "id", prefix_map=None) -> pa.Ta
     return t.append_column("category", cat)
 
 
-def edge_endpoints(edges: Dataset) -> Dataset:
-    """Distinct(subject ∪ object) (reference :46-50) as one column 'id'."""
+def edge_endpoints(edges: Dataset, num_partitions: int = 32) -> Dataset:
+    """Distinct(subject ∪ object) (reference :46-50) as one column 'id' —
+    hash-partitioned vectorized distinct."""
+    from kgray.kernels.hashagg import distinct
+
     subs = edges.select_columns(["subject"]).rename_columns({"subject": "id"})
     objs = edges.select_columns(["object"]).rename_columns({"object": "id"})
-    return subs.union(objs).groupby("id").aggregate(Count(alias_name="__n")).select_columns(["id"])
+    return distinct(subs.union(objs), ["id"], num_partitions=num_partitions)
 
 
 def missing_endpoints(

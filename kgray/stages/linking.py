@@ -45,13 +45,18 @@ class MinHashIndex:
     are filtered by the exact-Jaccard scorer.
     """
 
+    # 31-bit Mersenne prime: a, b < 2^31 and crc32 hashes < 2^32, so
+    # a*h + b < 2^63 fits uint64 exactly — the whole signature is one
+    # vectorized uint64 matmul-shaped op, no Python bigints.
+    _P31 = np.uint64((1 << 31) - 1)
+
     def __init__(self, num_perm: int = 64, band_rows: int = 2, seed: int = 17):
         self.num_perm = num_perm
         self.band_rows = band_rows
         self.num_bands = num_perm // band_rows
         rng = np.random.RandomState(seed)
-        self._a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.int64).astype(object)
-        self._b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.int64).astype(object)
+        self._a = rng.randint(1, int(self._P31), size=num_perm, dtype=np.int64).astype(np.uint64)
+        self._b = rng.randint(0, int(self._P31), size=num_perm, dtype=np.int64).astype(np.uint64)
         self._buckets: Dict[Tuple[int, Tuple[int, ...]], List[str]] = {}
         # Verification uses 2-gram Jaccard: tolerant to single
         # transpositions/substitutions (a swapped letter pair disturbs
@@ -60,9 +65,10 @@ class MinHashIndex:
         self._gram2_sets: Dict[str, FrozenSet[str]] = {}
 
     def signature(self, grams: FrozenSet[str]) -> np.ndarray:
-        hashes = np.array([zlib.crc32(g.encode("utf-8")) for g in grams], dtype=object)
+        hashes = np.array([zlib.crc32(g.encode("utf-8")) for g in grams], dtype=np.uint64)
+        hashes %= self._P31
         # (a*h + b) mod p, elementwise min over grams per permutation.
-        mat = (self._a[:, None] * hashes[None, :] + self._b[:, None]) % _MERSENNE
+        mat = (self._a[:, None] * hashes[None, :] + self._b[:, None]) % self._P31
         return mat.min(axis=1)
 
     def add(self, key: str) -> None:

@@ -215,5 +215,14 @@ def lsh_bucketed_near_dup(
                 b_o.append(ids[j])
         return pd.DataFrame({"id_a": a_o, "id_b": b_o})
 
-    pairs = exploded.groupby(["table", "bucket"]).map_groups(_pairs, batch_format="pandas")
-    return pairs.groupby(["id_a", "id_b"]).aggregate(Count(alias_name="__n")).select_columns(["id_a", "id_b"])
+    from kgray.kernels.hashagg import distinct, grouped_apply
+
+    def _pairs_partition(part: pd.DataFrame) -> pd.DataFrame:
+        multi = part[part.duplicated(["table", "bucket"], keep=False)]
+        out = [_pairs(g) for _, g in multi.groupby(["table", "bucket"], sort=False)]
+        if not out:
+            return pd.DataFrame({"id_a": [], "id_b": []})
+        return pd.concat(out, ignore_index=True)
+
+    pairs = grouped_apply(exploded, ["table", "bucket"], _pairs_partition, num_partitions=16)
+    return distinct(pairs, ["id_a", "id_b"], num_partitions=8)

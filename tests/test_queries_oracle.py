@@ -1,0 +1,75 @@
+"""Driver-contract mirror: run every queries() entry at small scale and
+compare against its oracle_sql() via DuckDB — order-insensitive, columns
+sorted by name, exactly like the driver's correctness gate."""
+
+import math
+import os
+
+import duckdb
+import pandas as pd
+import pytest
+
+from kgray.pipelines.queries import ORACLES, QUERIES
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _connect(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def _to_pandas(res):
+    import pyarrow as pa
+    import ray.data
+
+    if isinstance(res, ray.data.Dataset):
+        return res.to_pandas()
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    return res
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.copy()
+    df = df[sorted(df.columns)]
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].where(df[c].notna(), "\x00NULL").astype(str)
+        elif str(df[c].dtype).startswith("float"):
+            df[c] = df[c].round(6)
+        elif str(df[c].dtype).startswith(("int", "uint")):
+            df[c] = df[c].astype("int64")
+        elif str(df[c].dtype).startswith("datetime"):
+            df[c] = df[c].astype("int64")
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+ORACLE_CASES = sorted(ORACLES)
+
+
+@pytest.mark.parametrize("name", ORACLE_CASES)
+def test_query_matches_oracle(name, sf_dir, ray_session):
+    ray_df = _normalize(_to_pandas(QUERIES[name](sf_dir)))
+    con = _connect(sf_dir)
+    sql_df = _normalize(con.execute(ORACLES[name]).df())
+    assert list(ray_df.columns) == list(sql_df.columns), (
+        f"column mismatch: {list(ray_df.columns)} vs {list(sql_df.columns)}"
+    )
+    assert len(ray_df) == len(sql_df), f"row count {len(ray_df)} vs {len(sql_df)}"
+    pd.testing.assert_frame_equal(ray_df, sql_df, check_dtype=False, check_exact=False, rtol=0, atol=1e-6)
+
+
+ROWS_ONLY = sorted(set(QUERIES) - set(ORACLES))
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_queries_run(name, sf_dir, ray_session):
+    df = _to_pandas(QUERIES[name](sf_dir))
+    assert len(df) >= 0
+    assert len(df.columns) >= 1
