@@ -34,7 +34,7 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # 10× corpus so the job is compute-dominated at both parallelism levels
 # (at the default size an 8-CPU run already finishes in ~12 s of mostly
 # fixed execution startup — nothing left to scale).
-PAGES_PER_DOC = int(os.environ.get("GRAFT_BENCH_PPD", "4"))
+PAGES_PER_DOC = int(os.environ.get("GRAFT_BENCH_PPD", "40"))
 
 # Per-query benchmarks (a representative slice of the operator surface).
 BENCH_QUERIES = [
@@ -91,14 +91,23 @@ def run_bench() -> dict:
         paths["pages"],
         paths["aliases"],
         out_dir,
-        # NB: min pool size must leave CPUs for read/write tasks — two
-        # pools × min equal to half the CPUs starves the reads and the
-        # pipeline stalls (observed at num_cpus=8).
-        shard_group_size=8,
-        actor_concurrency=(2, max(2, NUM_CPUS // 2)),
+        # Fixed-size pool at 3/4 of the CPUs: autoscaling ramps too
+        # slowly (~40% wall lost), and a pool spanning every CPU
+        # starves the read/write tasks (pipeline stalls at num_cpus=8).
+        # measured optimum: ~3/4 of CPUs at 32, ~1/2 at 8 (reads need
+        # proportionally more headroom on small machines)
+        shard_group_size=16,
+        actor_concurrency=max(2, min(NUM_CPUS * 3 // 4, NUM_CPUS - 4)),
         num_partitions=max(8, NUM_CPUS),
     )
     headline = time.perf_counter() - t0
+    import json as _json
+
+    try:
+        mf = _json.load(open(os.path.join(out_dir, "manifest.json")))
+        phase = {k: v for k, v in mf["stages"]["materialize"].items() if k.endswith("_sec")}
+    except Exception:
+        phase = {}
     n_pages = paths["n_pages"]
 
     # ---- per-operator timings ----
@@ -117,6 +126,7 @@ def run_bench() -> dict:
         "num_cpus": NUM_CPUS,
         "n_pages": n_pages,
         "docs_per_sec": round(n_pages / headline, 1),
+        "phases": phase,
     }
     ray.shutdown()
     return result
@@ -127,7 +137,7 @@ def run_scaling() -> dict:
         env = dict(
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
-            GRAFT_BENCH_PPD=os.environ.get("GRAFT_SCALING_PPD", "40"),
+            GRAFT_BENCH_PPD=os.environ.get("GRAFT_SCALING_PPD", "400"),
         )
         out = subprocess.run(
             [sys.executable, os.path.join(_REPO, "bench.py")],

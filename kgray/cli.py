@@ -1,0 +1,114 @@
+"""kgray command-line interface (the reference's ``kg`` CLI surface).
+
+Subcommands mirror the reference's click CLI (run.py:56-273):
+
+  merge      — reference-conformant KGX merge from a YAML config or a
+               data directory (naming-convention discovery, S8)
+  construct  — the web-scale pages→KG construction pipeline
+  download   — gated (no network; validates the YAML plan only)
+  query      — gated (SPARQL endpoint; converts saved JSON instead)
+
+This entry point OWNS the Ray session (guarded init); library code
+never initializes Ray.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ensure_ray(num_cpus=None):
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="kgray")
+    p.add_argument("--num-cpus", type=int, default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pm = sub.add_parser("merge", help="KGX merge (reference-conformant)")
+    g = pm.add_mutually_exclusive_group(required=True)
+    g.add_argument("--config", help="MergeKG-style YAML config")
+    g.add_argument("--data-dir", help="raw-data dir (naming-convention discovery)")
+    pm.add_argument("--output", default="data/merged")
+    pm.add_argument("--merge-label", default="merged-kg")
+    pm.add_argument("--subset-transforms", nargs="*", default=None)
+    pm.add_argument("--edge-provenance", action="store_true")
+
+    pc = sub.add_parser("construct", help="pages → KG construction")
+    pc.add_argument("--pages", required=True)
+    pc.add_argument("--aliases", required=True)
+    pc.add_argument("--out", required=True)
+    pc.add_argument("--no-resume", action="store_true")
+
+    pd = sub.add_parser("download", help="validate a download YAML plan (fetch is gated)")
+    pd.add_argument("--config", required=True)
+
+    pq = sub.add_parser("query", help="convert saved SPARQL JSON results to TSV")
+    pq.add_argument("--input-json", required=True)
+    pq.add_argument("--output-tsv", required=True)
+
+    args = p.parse_args(argv)
+
+    if args.cmd == "merge":
+        _ensure_ray(args.num_cpus)
+        from kgray.pipelines.config import MergeConfig, SourceConfig, load_config, merge_from_config
+
+        if args.config:
+            config = load_config(args.config)
+        else:
+            from kgray.sources.discovery import collect_kg_paths
+
+            node_paths, edge_paths, onto_nodes = collect_kg_paths(args.data_dir, args.subset_transforms)
+            config = MergeConfig(
+                name=args.merge_label,
+                output_directory=args.output,
+                sources=[SourceConfig(name=n, nodes=n) for n in node_paths]
+                + [SourceConfig(name=e, edges=e) for e in edge_paths],
+                ontologies=[SourceConfig(name=k, nodes=v) for k, v in onto_nodes.items()],
+                edge_provenance=args.edge_provenance,
+            )
+        result = merge_from_config(config)
+        print(json.dumps({k: v for k, v in result.items() if isinstance(v, (str, int, float, list))}))
+        return 0
+
+    if args.cmd == "construct":
+        _ensure_ray(args.num_cpus)
+        from kgray.pipelines.construct import construct_kg
+
+        counters = construct_kg(args.pages, args.aliases, args.out, resume=not args.no_resume)
+        print(json.dumps(counters))
+        return 0
+
+    if args.cmd == "download":
+        from kgray.sources.download import plan_downloads
+
+        plan = plan_downloads(args.config)
+        print(json.dumps([vars(i) for i in plan]))
+        print("fetch is gated in this environment (no network)", file=sys.stderr)
+        return 0
+
+    if args.cmd == "query":
+        from kgray.sources.sparql import result_dict_to_tsv
+
+        with open(args.input_json) as f:
+            result_dict_to_tsv(json.load(f), args.output_tsv)
+        print(args.output_tsv)
+        return 0
+
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -95,25 +95,55 @@ def distinct(ds: Dataset, keys: Sequence[str], num_partitions: int = 64) -> Data
     )
 
 
+def sorted_unique_join_table(
+    t: "pa.Table",
+    keys: Sequence[str],
+    cols: Sequence[str],
+    sep: str = "|",
+) -> "pa.Table":
+    """Fully C-speed KGX aggregate (pyarrow kernels): for each col, the
+    sorted distinct ``sep``-join of non-null values per key group
+    (STRING_AGG DISTINCT semantics, reference duckdb_utils.py:332).
+    Returns one row per key tuple (keys + joined cols); groups whose
+    values are all-null in a column get null.
+
+    Pipeline per column: filter-null → group_by(keys+[c]) distinct →
+    sort_by(keys+[c]) → group_by(keys) "list" (single-threaded scan
+    keeps sorted order) → pc.binary_join(sep) → hash join onto the
+    accumulator. No per-group Python anywhere."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    # All-null columns infer as Arrow `null` type (e.g. NULL-padded KGX
+    # columns) — unsupported by the hash aggregates; treat as string.
+    for i, f in enumerate(t.schema):
+        if pa.types.is_null(f.type):
+            t = t.set_column(i, f.name, t.column(f.name).cast(pa.string()))
+
+    keys = list(keys)
+    out = t.select(keys).group_by(keys).aggregate([])
+    sort_spec = [(k, "ascending") for k in keys]
+    for c in cols:
+        sub = t.select(keys + [c]).filter(pc.is_valid(t.column(c)))
+        sub = sub.group_by(keys + [c]).aggregate([])
+        sub = sub.sort_by(sort_spec + [(c, "ascending")])
+        g = sub.group_by(keys, use_threads=False).aggregate([(c, "list")])
+        joined = pc.binary_join(g.column(f"{c}_list"), sep)
+        g = g.drop_columns([f"{c}_list"]).append_column(c, joined)
+        out = out.join(g, keys=keys, join_type="left outer")
+    return out
+
+
 def sorted_unique_join_frame(
     df: pd.DataFrame,
     keys: Sequence[str],
     cols: Sequence[str],
     sep: str = "|",
 ) -> pd.DataFrame:
-    """Per-partition KGX aggregate: for each col, sorted distinct
-    ``sep``-join of non-null values per key group (STRING_AGG DISTINCT
-    semantics, reference duckdb_utils.py:332). One row per key tuple;
-    groups whose values are all-null in a column get NaN there.
+    """Pandas-frame wrapper over :func:`sorted_unique_join_table`,
+    returning a frame indexed by ``keys``."""
+    import pyarrow as pa
 
-    Everything is C-speed except the final per-group str.join, which
-    runs in-process (no scheduler round-trips)."""
-    keys = list(keys)
-    base = df[keys].drop_duplicates().set_index(keys)
-    out = base
-    for c in cols:
-        sub = df[keys + [c]].dropna(subset=[c]).drop_duplicates()
-        sub = sub.sort_values(keys + [c], kind="mergesort")
-        agg = sub.groupby(keys, sort=False)[c].agg(sep.join)
-        out = out.join(agg, how="left")
-    return out
+    t = pa.Table.from_pandas(df[list(keys) + list(cols)], preserve_index=False)
+    out = sorted_unique_join_table(t, keys, cols, sep)
+    return out.to_pandas().set_index(list(keys))

@@ -67,66 +67,86 @@ def _dir_rows(path: str) -> int:
     return total
 
 
+class PageToTriples:
+    """Fused front-half actor: extract → mention/triple extract → link.
+
+    One actor pool instead of three stages: no intermediate object-store
+    hops for the (large) page batches, and the pool can be sized to the
+    whole machine. The pieces remain the standalone classes
+    (extract_text_batch / TripleExtractor / EntityLinker) — this class
+    just composes them with state pinned once per actor.
+    """
+
+    def __init__(self, alias_ref):
+        self._triples = TripleExtractor()
+        self._linker = EntityLinker(alias_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        batch = extract_text_batch(batch)
+        mentions = self._triples(batch)
+        return self._linker(mentions)
+
+
 def extract_and_link_shard(
     files: List[str],
     alias_ref,
     out_dir: str,
     lang: str = "en",
     extract_batch_size: int = 512,
-    link_batch_size: int = 2048,
     actor_concurrency=(1, 8),
 ) -> int:
     """Front half over one input shard → triples parquet. Returns rows."""
     ds = ray.data.read_parquet(files)
     if lang:
         ds = ds.filter(expr=f"lang == '{lang}'")
-    ds = ds.map_batches(extract_text_batch, batch_format="pyarrow", batch_size=extract_batch_size)
     ds = ds.map_batches(
-        TripleExtractor,
+        PageToTriples,
+        fn_constructor_kwargs={"alias_ref": alias_ref},
         batch_format="pyarrow",
         batch_size=extract_batch_size,
         concurrency=actor_concurrency,
     )
-    ds = ds.map_batches(
-        EntityLinker,
-        fn_constructor_kwargs={"alias_ref": alias_ref},
-        batch_format="pyarrow",
-        batch_size=link_batch_size,
-        concurrency=actor_concurrency,
-    )
     with atomic_output_dir(out_dir) as tmp:
-        ds.write_parquet(tmp)
+        # Consolidate output files: tiny per-task files multiply block
+        # count (and per-block fixed costs) in every downstream stage.
+        ds.write_parquet(tmp, min_rows_per_file=200_000)
     return _dir_rows(out_dir)
 
 
 def _host_provenance(t: pa.Table) -> pa.Table:
-    hosts = [urlparse(u).netloc if u else None for u in t.column("url").to_pylist()]
-    return t.append_column("primary_knowledge_source", pa.array(hosts, type=pa.string()))
+    import pyarrow.compute as pc
+
+    # Vectorized scheme://host extraction (urlparse costs ~4 µs/row in
+    # Python — 8 CPU-s per 2M edges); rows without a scheme get null.
+    m = pc.extract_regex(t.column("url"), r"^[a-z][a-z0-9+.-]*://(?P<host>[^/]+)")
+    hosts = pc.struct_field(m, "host")
+    return t.append_column("primary_knowledge_source", hosts)
 
 
 def build_node_table(aliases: pa.Table, canonical_map: Dict[str, str]) -> pa.Table:
-    """Alias KB → KGX node rows (id = canonical CURIE)."""
-    alias = aliases.column("alias").to_pylist()
-    curie = aliases.column("curie").to_pylist()
-    same = aliases.column("same_as").to_pylist()
-    prov = aliases.column("provided_by").to_pylist()
-
-    def _cat(c: str, s: str) -> str:
-        probe = c if not c.startswith("ALT:") else (s.split("|")[0] if s else c)
-        for prefix, category in _PREFIX_CATEGORIES:
-            if probe.startswith(prefix):
-                return category
-        return "biolink:NamedThing"
-
-    ids = [canonical_map.get(c, c) for c in curie]
-    cats = [_cat(c, s) for c, s in zip(curie, same)]
+    """Alias KB → KGX node rows (id = canonical CURIE). Vectorized:
+    pandas hashtable map for the canonical rewrite, prefix cascade for
+    the category."""
+    df = aliases.to_pandas()
+    mapped = df["curie"].map(canonical_map)
+    ids = mapped.where(mapped.notna(), df["curie"])
+    # Category from the CURIE prefix; ALT: rows take their sameAs
+    # partner's prefix (first '|' segment).
+    probe = df["curie"].where(
+        ~df["curie"].str.startswith("ALT:"),
+        df["same_as"].str.split("|").str[0].where(df["same_as"].astype(bool), df["curie"]),
+    )
+    cat = pd.Series("biolink:NamedThing", index=df.index)
+    for prefix, category in reversed(_PREFIX_CATEGORIES):
+        cat = cat.mask(probe.str.startswith(prefix), category)
+    same = df["same_as"].where(df["same_as"].astype(bool), None)
     return pa.table(
         {
             "id": pa.array(ids, type=pa.string()),
-            "name": pa.array(alias, type=pa.string()),
-            "category": pa.array(cats, type=pa.string()),
-            "provided_by": pa.array(prov, type=pa.string()),
-            "same_as": pa.array([s if s else None for s in same], type=pa.string()),
+            "name": pa.array(df["alias"], type=pa.string()),
+            "category": pa.array(cat, type=pa.string()),
+            "provided_by": pa.array(df["provided_by"], type=pa.string()),
+            "same_as": pa.array(same, type=pa.string()),
         }
     )
 
@@ -151,6 +171,10 @@ def construct_kg(
       nodes/                merged KGX nodes
       manifest.json         per-partition lineage + per-stage counters
     """
+    import time as _time
+
+    timings: Dict[str, float] = {}
+    t_start = _time.perf_counter()
     manifest = Manifest(os.path.join(out_dir, "manifest.json"))
     alias_table = pq.read_table(aliases_path)
     alias_ref = ray.put(alias_table.select(["alias", "curie"]))
@@ -180,6 +204,7 @@ def construct_kg(
             actor_concurrency=actor_concurrency,
         )
         manifest.mark_shard(key, fp, triples_rows=rows, input_files=len(files))
+    timings["front_sec"] = round(_time.perf_counter() - t_start, 3)
 
     # ---- global half ----------------------------------------------------
     stage_fp = "|".join(
@@ -190,6 +215,7 @@ def construct_kg(
     if resume and manifest.stage_done("materialize", stage_fp) and os.path.exists(edges_out):
         return manifest.counters()
 
+    t_mark = _time.perf_counter()
     triples = ray.data.read_parquet(triples_root)
 
     if distributed_cc:
@@ -208,6 +234,8 @@ def construct_kg(
         cmap = canonical_map_from_aliases(alias_table)
     cref = ray.put(cmap)
 
+    timings["canonical_map_sec"] = round(_time.perf_counter() - t_mark, 3)
+    t_mark = _time.perf_counter()
     canon = apply_canonical_map(triples, cref, ["subject", "object"])
     canon = canon.map_batches(_host_provenance, batch_format="pyarrow")
     edges = merge_edges(
@@ -216,6 +244,8 @@ def construct_kg(
 
     with atomic_output_dir(edges_out) as tmp:
         edges.write_parquet(tmp, partition_cols=["predicate"])
+    timings["edges_merge_write_sec"] = round(_time.perf_counter() - t_mark, 3)
+    t_mark = _time.perf_counter()
 
     # Node side. The KB (alias table) is the pipeline's small side by
     # construction — merge it driver-side with the same vectorized
@@ -224,32 +254,63 @@ def construct_kg(
     # per-batch uniques to a driver set — one pass, no exchange; for a
     # non-KB-bounded edge source use stages.integrity.edge_endpoints
     # (distributed distinct) instead.
-    endpoints: set = set()
-    eps_ds = ray.data.read_parquet(edges_out, columns=["subject", "object"])
-    for b in eps_ds.iter_batches(batch_format="pyarrow", batch_size=1 << 17):
-        import pyarrow.compute as _pc
 
-        endpoints.update(_pc.unique(b.column("subject")).to_pylist())
-        endpoints.update(_pc.unique(b.column("object")).to_pylist())
-
+    timings["endpoints_sec"] = round(_time.perf_counter() - t_mark, 3)
+    t_mark = _time.perf_counter()
     nodes_df = build_node_table(alias_table, cmap).to_pandas()
-    missing = sorted(endpoints - set(nodes_df["id"]))
+    # Integrity anti-join stays distributed end-to-end: broadcast the
+    # node-id set once, filter edge endpoints per batch (C-speed isin),
+    # and only the (normally empty) missing set reaches the driver.
+    known_ref = ray.put(frozenset(nodes_df["id"]))
+
+    def _missing_batch(df: pd.DataFrame) -> pd.DataFrame:
+        known = ray.get(known_ref) if isinstance(known_ref, ray.ObjectRef) else known_ref
+        vals = pd.unique(pd.concat([df["subject"], df["object"]], ignore_index=True))
+        ser = pd.Series(vals)
+        return pd.DataFrame({"id": ser[~ser.isin(known)]})
+
+    missing_rows = (
+        ray.data.read_parquet(edges_out, columns=["subject", "object"])
+        .map_batches(_missing_batch, batch_format="pandas")
+        .take_all()
+    )
+    missing = sorted({r["id"] for r in missing_rows})
     n_missing = len(missing)
     if n_missing:
         stub_df = pd.DataFrame({c: [None] * n_missing for c in NODE_COLUMNS})
         stub_df["id"] = missing
         stub_df["category"] = [infer_category(i) for i in missing]
         nodes_df = pd.concat([nodes_df, stub_df], ignore_index=True)
-    merged_nodes = merge_nodes_frame(nodes_df, NODE_COLUMNS, priority_sources=["kb_primary"])
-    with atomic_output_dir(nodes_out) as tmp:
-        pq.write_table(pa.Table.from_pandas(merged_nodes, preserve_index=False), os.path.join(tmp, "nodes.parquet"))
+    if len(nodes_df) <= 50_000:
+        merged_nodes = merge_nodes_frame(nodes_df, NODE_COLUMNS, priority_sources=["kb_primary"])
+        with atomic_output_dir(nodes_out) as tmp:
+            pq.write_table(
+                pa.Table.from_pandas(merged_nodes, preserve_index=False),
+                os.path.join(tmp, "nodes.parquet"),
+            )
+    else:
+        # Big KB: run the same merge distributed (same frame kernel as
+        # the per-partition reduce) instead of on the driver. Split the
+        # input frame so the map side parallelizes (from_pandas of one
+        # frame = one block = one map task).
+        import numpy as np
 
+        from kgray.pipelines.kgx_merge import merge_nodes
+
+        chunks = np.array_split(nodes_df, max(8, num_partitions))
+        nodes_ds = ray.data.from_pandas([c for c in chunks if len(c)])
+        merged = merge_nodes(nodes_ds, priority_sources=["kb_primary"], num_partitions=num_partitions)
+        with atomic_output_dir(nodes_out) as tmp:
+            merged.write_parquet(tmp)
+
+    timings["nodes_sec"] = round(_time.perf_counter() - t_mark, 3)
     manifest.mark_stage(
         "materialize",
         stage_fp,
         edges_rows=_dir_rows(edges_out),
         nodes_rows=_dir_rows(nodes_out),
         stub_nodes=n_missing,
+        **timings,
     )
     return manifest.counters()
 

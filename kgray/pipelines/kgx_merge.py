@@ -68,6 +68,52 @@ def merge_nodes(
     )
 
 
+def merge_nodes_table(
+    t: pa.Table,
+    schema_names: Sequence[str],
+    priority_sources: Sequence[str] = (),
+    id_col: str = "id",
+    name_col: str = "name",
+    source_col: str = "provided_by",
+) -> pa.Table:
+    """§2.3 node merge over one in-memory Arrow table — all pyarrow
+    C kernels (group_by distinct/list/max, binary_join, hash joins).
+    Used as the per-partition reduce of ``merge_nodes`` and directly
+    for driver-side merges of small (KB-bounded) node tables."""
+    import pyarrow.compute as pc
+
+    from kgray.kernels.hashagg import sorted_unique_join_table
+
+    priority = sorted(frozenset(priority_sources))
+    other_cols = [c for c in schema_names if c not in (id_col, name_col)]
+    out = sorted_unique_join_table(t, [id_col], other_cols)
+    if name_col in schema_names:
+        named = t.select(
+            [id_col, name_col] + ([source_col] if source_col in t.column_names else [])
+        ).filter(pc.is_valid(t.column(name_col)))
+        overall = named.group_by(id_col).aggregate([(name_col, "max")])
+        if priority and source_col in named.column_names:
+            mask = pc.fill_null(
+                pc.is_in(named.column(source_col), value_set=pa.array(priority, type=pa.string())),
+                False,
+            )
+            prio = named.filter(mask).group_by(id_col).aggregate([(name_col, "max")])
+            prio = prio.rename_columns([id_col, "__prio_max"])
+            overall = overall.join(prio, keys=[id_col], join_type="left outer")
+            name_val = pc.if_else(
+                pc.is_valid(overall.column("__prio_max")),
+                overall.column("__prio_max"),
+                overall.column(f"{name_col}_max"),
+            )
+            names = pa.table({id_col: overall.column(id_col), name_col: name_val})
+        else:
+            names = pa.table(
+                {id_col: overall.column(id_col), name_col: overall.column(f"{name_col}_max")}
+            )
+        out = out.join(names, keys=[id_col], join_type="left outer")
+    return out.select(list(schema_names))
+
+
 def merge_nodes_frame(
     part: pd.DataFrame,
     schema_names: Sequence[str],
@@ -76,26 +122,14 @@ def merge_nodes_frame(
     name_col: str = "name",
     source_col: str = "provided_by",
 ) -> pd.DataFrame:
-    """Vectorized §2.3 node merge over one in-memory frame — used both
-    as the per-partition reduce of ``merge_nodes`` and directly for
-    driver-side merges of small (KB-bounded) node tables."""
-    priority = frozenset(priority_sources)
-    other_cols = [c for c in schema_names if c not in (id_col, name_col)]
-    out = sorted_unique_join_frame(part, [id_col], other_cols)
-    if name_col in schema_names:
-        named = part[[id_col, name_col]].dropna(subset=[name_col])
-        name_all = named.groupby(id_col, sort=False)[name_col].max()
-        if priority and source_col in part.columns:
-            prio_rows = part[part[source_col].isin(priority)][[id_col, name_col]].dropna(
-                subset=[name_col]
-            )
-            name_prio = prio_rows.groupby(id_col, sort=False)[name_col].max()
-            name = name_prio.combine_first(name_all)
-        else:
-            name = name_all
-        out = out.join(name.rename(name_col), how="left")
-    out = out.reset_index()
-    return out[[c for c in schema_names]]
+    """Pandas wrapper over :func:`merge_nodes_table`."""
+    t = pa.Table.from_pandas(part, preserve_index=False)
+    for i, f in enumerate(t.schema):
+        if pa.types.is_null(f.type):
+            t = t.set_column(i, f.name, t.column(f.name).cast(pa.string()))
+    return merge_nodes_table(
+        t, schema_names, priority_sources, id_col, name_col, source_col
+    ).to_pandas()
 
 
 def merge_edges(
@@ -188,21 +222,39 @@ def dedup_whole_rows(ds: Dataset, num_partitions: int = 64) -> Dataset:
     return distinct(ds, cols, num_partitions=num_partitions)
 
 
+def _facet_counts(ds: Dataset, cols: List[str]) -> Tuple[int, dict]:
+    """One streaming pass: total rows + value counts per facet column.
+    Facet cardinalities are small (categories/predicates/provenances);
+    per-batch value_counts is C-speed, the driver merges tiny dicts.
+    NULL values are counted under the empty string (KGX convention)."""
+    from collections import Counter
+
+    total = 0
+    counters = {c: Counter() for c in cols}
+    for b in ds.select_columns(cols).iter_batches(batch_format="pandas", batch_size=1 << 16):
+        total += len(b)
+        for c in cols:
+            for k, v in b[c].value_counts(dropna=False).items():
+                key = "" if (k is None or (isinstance(k, float) and pd.isna(k))) else k
+                counters[c][key] += int(v)
+    return total, {c: dict(counters[c]) for c in cols}
+
+
 def graph_stats(nodes: Dataset, edges: Dataset) -> dict:
     """O7 graph-stats summary (reference run.py:159-167 KGX operation):
     node counts per category, edge counts per predicate, per-facet
-    provenance counts. Small results — materialized to plain dicts."""
+    provenance counts. Small results — plain dicts."""
+    node_facets = [c for c in ("category", "provided_by") if c in nodes.schema().names]
+    total_nodes, node_counts = _facet_counts(nodes, node_facets)
+    total_edges, edge_counts = _facet_counts(edges, ["predicate"])
     out = {
-        "total_nodes": nodes.count(),
-        "total_edges": edges.count(),
+        "total_nodes": total_nodes,
+        "total_edges": total_edges,
+        "nodes_by_category": node_counts.get("category", {}),
+        "edges_by_predicate": edge_counts.get("predicate", {}),
     }
-    node_cat = nodes.groupby("category").aggregate(Count(alias_name="n")).take_all()
-    out["nodes_by_category"] = {r["category"]: r["n"] for r in node_cat}
-    edge_pred = edges.groupby("predicate").aggregate(Count(alias_name="n")).take_all()
-    out["edges_by_predicate"] = {r["predicate"]: r["n"] for r in edge_pred}
-    if "provided_by" in nodes.schema().names:
-        prov = nodes.groupby("provided_by").aggregate(Count(alias_name="n")).take_all()
-        out["nodes_by_provided_by"] = {r["provided_by"]: r["n"] for r in prov}
+    if "provided_by" in node_counts:
+        out["nodes_by_provided_by"] = node_counts["provided_by"]
     return out
 
 

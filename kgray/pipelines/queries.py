@@ -679,7 +679,7 @@ FROM events GROUP BY 1, 2
 def _corpus_cache_dir(sf_dir: str, n_pages: int) -> str:
     import hashlib as _h
 
-    key = _h.md5(f"{sf_dir}:{n_pages}:v1".encode()).hexdigest()[:12]
+    key = _h.md5(f"{sf_dir}:{n_pages}:v2".encode()).hexdigest()[:12]
     return f"/tmp/kgray_corpus/{key}"
 
 

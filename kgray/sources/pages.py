@@ -234,7 +234,14 @@ def write_corpus(
                 "lang": pa.array(lang, type=pa.string()),
             }
         )
-        pq.write_table(table, os.path.join(out_dir, "pages", f"part-{f:05d}.parquet"))
+        # Small row groups: Ray's parquet reader can split a file no
+        # finer than its row groups — one giant row group per file caps
+        # downstream parallelism at n_files tasks.
+        pq.write_table(
+            table,
+            os.path.join(out_dir, "pages", f"part-{f:05d}.parquet"),
+            row_group_size=4096,
+        )
 
     paths = {
         "pages": os.path.join(out_dir, "pages"),

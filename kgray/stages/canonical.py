@@ -161,12 +161,11 @@ def apply_canonical_map(
     """
     cols = list(columns)
 
-    def _apply(t: pa.Table) -> pa.Table:
+    def _apply(df):
         mapping = ray.get(mapping_ref) if isinstance(mapping_ref, ray.ObjectRef) else mapping_ref
         for c in cols:
-            vals = t.column(c).to_pylist()
-            arr = pa.array([mapping.get(v, v) for v in vals], type=pa.string())
-            t = t.set_column(t.column_names.index(c), c, arr)
-        return t
+            mapped = df[c].map(mapping)  # C hashtable lookup
+            df[c] = mapped.where(mapped.notna(), df[c])
+        return df
 
-    return ds.map_batches(_apply, batch_format="pyarrow")
+    return ds.map_batches(_apply, batch_format="pandas")
