@@ -34,7 +34,7 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # 10× corpus so the job is compute-dominated at both parallelism levels
 # (at the default size an 8-CPU run already finishes in ~12 s of mostly
 # fixed execution startup — nothing left to scale).
-PAGES_PER_DOC = int(os.environ.get("GRAFT_BENCH_PPD", "40"))
+PAGES_PER_DOC = int(os.environ.get("GRAFT_BENCH_PPD", "400"))
 
 # Per-query benchmarks (a representative slice of the operator surface).
 BENCH_QUERIES = [
@@ -98,7 +98,7 @@ def run_bench() -> dict:
         # proportionally more headroom on small machines)
         shard_group_size=16,
         actor_concurrency=max(2, min(NUM_CPUS * 3 // 4, NUM_CPUS - 4)),
-        num_partitions=max(8, NUM_CPUS),
+        num_partitions=max(8, NUM_CPUS * 2),
     )
     headline = time.perf_counter() - t0
     import json as _json

@@ -32,6 +32,7 @@ from __future__ import annotations
 
 from typing import Callable, List, Optional, Sequence
 
+import numpy as np
 import pandas as pd
 import ray.data
 from ray.data import Dataset
@@ -40,13 +41,17 @@ from ray.data import Dataset
 def add_partition_column(
     df: pd.DataFrame, keys: Sequence[str], num_partitions: int, col: str = "__part"
 ) -> pd.DataFrame:
-    """Deterministic vectorized key-hash partition id."""
-    h = pd.util.hash_pandas_object(
-        df[list(keys)].astype(str).agg("\x1f".join, axis=1) if len(keys) > 1 else df[keys[0]],
-        index=False,
-    )
+    """Deterministic vectorized key-hash partition id.
+
+    Multi-key: hash each column independently (C kernel) and mix with
+    distinct odd multipliers — no row-wise string concatenation."""
+    keys = list(keys)
+    h = pd.util.hash_pandas_object(df[keys[0]], index=False).to_numpy()
+    for i, k in enumerate(keys[1:], start=1):
+        hk = pd.util.hash_pandas_object(df[k], index=False).to_numpy()
+        h = h * np.uint64(0x9E3779B97F4A7C15) + hk + np.uint64(i)
     df = df.copy(deep=False)
-    df[col] = (h % num_partitions).astype("int32")
+    df[col] = (h % np.uint64(num_partitions)).astype("int32")
     return df
 
 

@@ -20,7 +20,7 @@ same kernels the conformance tests pin down.
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Optional
+from typing import Any, Dict, List, Optional
 from urllib.parse import urlparse
 
 import pandas as pd
@@ -242,22 +242,27 @@ def construct_kg(
         canon.select_columns(EDGE_COLUMNS), provenance=True, num_partitions=num_partitions
     )
 
+    # Node-side prep overlaps with the cluster-side edges exchange: the
+    # KB (alias table) is the pipeline's small side by construction, so
+    # its node-row build runs on the (otherwise idle) driver thread
+    # while the edges merge executes.
+    import threading
+
+    _node_build: Dict[str, Any] = {}
+
+    def _build_nodes():
+        _node_build["df"] = build_node_table(alias_table, cmap).to_pandas()
+
+    nb_thread = threading.Thread(target=_build_nodes)
+    nb_thread.start()
+
     with atomic_output_dir(edges_out) as tmp:
         edges.write_parquet(tmp, partition_cols=["predicate"])
     timings["edges_merge_write_sec"] = round(_time.perf_counter() - t_mark, 3)
     t_mark = _time.perf_counter()
 
-    # Node side. The KB (alias table) is the pipeline's small side by
-    # construction — merge it driver-side with the same vectorized
-    # frame kernel the distributed path uses. The integrity endpoint
-    # set is KB-bounded (the linker only emits KB CURIEs), so stream
-    # per-batch uniques to a driver set — one pass, no exchange; for a
-    # non-KB-bounded edge source use stages.integrity.edge_endpoints
-    # (distributed distinct) instead.
-
-    timings["endpoints_sec"] = round(_time.perf_counter() - t_mark, 3)
-    t_mark = _time.perf_counter()
-    nodes_df = build_node_table(alias_table, cmap).to_pandas()
+    nb_thread.join()
+    nodes_df = _node_build["df"]
     # Integrity anti-join stays distributed end-to-end: broadcast the
     # node-id set once, filter edge endpoints per batch (C-speed isin),
     # and only the (normally empty) missing set reaches the driver.
