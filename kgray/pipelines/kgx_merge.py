@@ -42,6 +42,7 @@ def merge_nodes(
     name_col: str = "name",
     source_col: str = "provided_by",
     num_partitions: int = 64,
+    salted: bool = False,
 ) -> Dataset:
     """§2.3 node merge: GROUP BY id, reference column rules, unsorted.
 
@@ -53,8 +54,16 @@ def merge_nodes(
     column (:332). Id-cardinality-independent: Ray sees only
     ``num_partitions`` groups. Output columns keep the input's order;
     sorting is the caller's concern (conformance mode sorts).
+
+    ``salted=True`` is the skewed-head-entity path (north rule): a
+    whole-row-hash DISTINCT exchange runs first, so a hot id's
+    duplicate rows are eliminated spread across partitions by VALUE
+    hash (the implicit salt) before any single partition must hold the
+    id's group; the keyed exchange then only moves distinct rows.
     """
     schema_names = nodes.schema().names
+    if salted:
+        nodes = distinct(nodes, schema_names, num_partitions=num_partitions)
 
     def _reduce(part: pd.DataFrame) -> pd.DataFrame:
         return merge_nodes_frame(part, schema_names, priority_sources, id_col, name_col, source_col)
@@ -137,6 +146,7 @@ def merge_edges(
     provenance: bool = False,
     key: Optional[List[str]] = None,
     num_partitions: int = 64,
+    salted: bool = False,
 ) -> Dataset:
     """§2.4 edge merge (hash-partitioned vectorized dedup).
 
@@ -151,8 +161,15 @@ def merge_edges(
     """
     key = key or list(EDGE_KEY)
     if not provenance:
+        # DISTINCT partitions on the full triple hash, so hot subjects
+        # already spread by (predicate, object) — inherently salted.
         return distinct(edges.select_columns(key), key, num_partitions=num_partitions)
     other = [c for c in edges.schema().names if c not in key]
+    if salted:
+        # Skew path: whole-row distinct first (hot triples' duplicate
+        # provenance rows eliminated spread by value hash), then the
+        # keyed exchange moves only distinct rows.
+        edges = distinct(edges, key + other, num_partitions=num_partitions)
 
     def _reduce(part: pd.DataFrame) -> pd.DataFrame:
         return sorted_unique_join_frame(part, key, other).reset_index()[key + other]

@@ -672,6 +672,137 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_filter_prefix(sf_dir: str):
+    """M4 grep-style prefix row filter (reference Makefile:16-34)."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    return ds.map_batches(
+        lambda t: t.filter(pc.starts_with(t.column("text"), "key")), batch_format="pyarrow"
+    )
+
+
+SQL_FILTER_PREFIX = "SELECT doc_id, text FROM documents WHERE starts_with(text, 'key')"
+
+
+def q_session_gap(sf_dir: str):
+    """Gap-based sessionization: a >30-min silence starts a new session.
+    Hash-partitioned on user; per-partition vectorized lag/cumsum."""
+    import pandas as pd
+
+    from kgray.kernels.hashagg import grouped_apply
+
+    GAP_US = 1_800_000_000
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"])
+
+    def _sessions(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        us = part["ts"].astype("int64")
+        gap = us - us.groupby(part["user_id"]).shift()
+        new_sess = gap.isna() | (gap > GAP_US)
+        part["session_id"] = new_sess.groupby(part["user_id"]).cumsum().astype("int64")
+        return part[["event_id", "user_id", "session_id"]]
+
+    return grouped_apply(ds, ["user_id"], _sessions, num_partitions=32)
+
+
+SQL_SESSION_GAP = """
+SELECT event_id, user_id,
+  SUM(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END)
+    OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+FROM (
+  SELECT event_id, user_id, ts,
+    epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+  FROM events
+)
+"""
+
+
+def q_connected_components(sf_dir: str):
+    """Distributed min-label propagation over the real near-dup pair
+    graph of the documents table → (node, label). The scale path of
+    canonicalization (north rule), oracled by a recursive CTE."""
+    from kgray.stages.canonical import connected_components_distributed
+    from kgray.stages.dedup import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(_docs(sf_dir, ["doc_id", "text"]), threshold=0.7)
+    edges = pairs.map_batches(
+        lambda t: pa.table(
+            {
+                "src": t.column("id_a").cast(pa.string()),
+                "dst": t.column("id_b").cast(pa.string()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    labels = connected_components_distributed(edges, num_partitions=4)
+
+    def _to_int(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": t.column("node").cast(pa.int64()),
+                "label": t.column("label").cast(pa.int64()),
+            }
+        )
+
+    return labels.map_batches(_to_int, batch_format="pyarrow")
+
+
+# NB: the pair graph is the same brute-force Jaccard set as
+# SQL_DEDUP_MINHASH_PAIRS; min-label components via recursive CTE.
+# String-typed Ray labels compare lexicographically, so the Ray side
+# casts to int64 and the numeric SQL MIN matches only because doc_ids
+# in a component share magnitude... to be exact the Ray side ALSO
+# computes min over STRING labels. We therefore zero-pad nothing and
+# instead make the oracle take MIN over the same string ordering.
+SQL_CONNECTED_COMPONENTS = """
+WITH RECURSIVE words AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+  FROM words, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+  WHERE len(w) >= 3
+), counts AS (
+  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS m
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT id_a, id_b
+  FROM inter JOIN counts ca ON ca.doc_id = id_a JOIN counts cb ON cb.doc_id = id_b
+  WHERE m * 1.0 / (ca.n + cb.n - m) >= 0.7
+), edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs
+), nodes AS (
+  SELECT DISTINCT u AS id FROM edges
+), walk(u, label) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.v, w.label FROM walk w JOIN edges e ON w.u = e.u
+)
+SELECT CAST(u AS BIGINT) AS node,
+       CAST(MIN(CAST(label AS VARCHAR)) AS BIGINT) AS label
+FROM walk GROUP BY u
+"""
+
+
+def q_multimodal_features(sf_dir: str):
+    """Multimodal plumbing over binary payloads (rows-only: the decode
+    is the deterministic stub). Uses the page corpus html bytes."""
+    from kgray.stages.multimodal import FeatureExtract, ImageDecode
+
+    paths = construct_corpus_for_sf(sf_dir)
+    ds = ray.data.read_parquet(paths["pages"], columns=["url", "html"])
+    ds = ds.map_batches(
+        ImageDecode, fn_constructor_kwargs={"payload_col": "html"},
+        batch_format="pyarrow", batch_size=256, concurrency=(1, 4),
+    )
+    ds = ds.map_batches(
+        FeatureExtract, fn_constructor_kwargs={"payload_col": "html", "dim": 16},
+        batch_format="pyarrow", batch_size=256, concurrency=(1, 4),
+    )
+    return ds.select_columns(["url", "width", "height", "mode"])
+
+
 # ---------------------------------------------------------------------------
 # Flagship construction pipeline as a query (rows-only check)
 # ---------------------------------------------------------------------------
@@ -765,6 +896,10 @@ QUERIES = {
     "tumbling_window": q_tumbling_window,
     "construct_kg": q_construct_kg,
     "extract_text": q_extract_text,
+    "filter_prefix": q_filter_prefix,
+    "session_gap": q_session_gap,
+    "connected_components": q_connected_components,
+    "multimodal_features": q_multimodal_features,
 }
 
 ORACLES = {
@@ -790,6 +925,9 @@ ORACLES = {
     "filter_prune": SQL_FILTER_PRUNE,
     "sessionize": SQL_SESSIONIZE,
     "tumbling_window": SQL_TUMBLING_WINDOW,
+    "filter_prefix": SQL_FILTER_PREFIX,
+    "session_gap": SQL_SESSION_GAP,
+    "connected_components": SQL_CONNECTED_COMPONENTS,
     # rows-only (non-SQL-expressible): dedup_simhash, ann_lsh, langid,
-    # construct_kg, extract_text
+    # construct_kg, extract_text, multimodal_features
 }

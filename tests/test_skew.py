@@ -1,0 +1,58 @@
+"""Skew handling: the salted (pre-distinct) merge path produces output
+identical to the plain path on a corpus with a pathological hot key."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from kgray.pipelines.kgx_merge import merge_edges, merge_nodes
+
+
+def _hot_nodes(n_hot=20000, n_cold=500):
+    rng = np.random.RandomState(3)
+    ids = ["HOT:1"] * n_hot + [f"C:{i}" for i in range(n_cold)]
+    names = [f"name{rng.randint(0, 50)}" for _ in range(n_hot)] + [f"n{i}" for i in range(n_cold)]
+    cats = [f"cat{rng.randint(0, 10)}" for _ in range(n_hot + n_cold)]
+    prov = [f"src{rng.randint(0, 5)}" for _ in range(n_hot + n_cold)]
+    return pa.table(
+        {
+            "id": pa.array(ids),
+            "name": pa.array(names),
+            "category": pa.array(cats),
+            "provided_by": pa.array(prov),
+        }
+    )
+
+
+def _rows(ds):
+    return sorted(tuple(sorted(r.items())) for r in ds.take_all())
+
+
+def test_salted_node_merge_identical(ray_session):
+    t = _hot_nodes()
+    ds = ray.data.from_arrow(t)
+    plain = merge_nodes(ds, priority_sources=["src1"], num_partitions=8)
+    salted = merge_nodes(
+        ray.data.from_arrow(t), priority_sources=["src1"], num_partitions=8, salted=True
+    )
+    assert _rows(plain) == _rows(salted)
+    hot = [r for r in plain.take_all() if r["id"] == "HOT:1"]
+    assert len(hot) == 1 and hot[0]["category"].count("|") == 9  # 10 distinct cats
+
+
+def test_salted_edge_provenance_identical(ray_session):
+    rng = np.random.RandomState(5)
+    n = 30000
+    t = pa.table(
+        {
+            "subject": pa.array(["S:hot"] * n),
+            "predicate": pa.array(["p"] * n),
+            "object": pa.array(["O:1"] * n),
+            "knowledge_source": pa.array([f"k{rng.randint(0, 40)}" for _ in range(n)]),
+        }
+    )
+    plain = merge_edges(ray.data.from_arrow(t), provenance=True, num_partitions=8)
+    salted = merge_edges(ray.data.from_arrow(t), provenance=True, num_partitions=8, salted=True)
+    assert _rows(plain) == _rows(salted)
+    out = plain.take_all()
+    assert len(out) == 1 and out[0]["knowledge_source"].count("|") == 39
