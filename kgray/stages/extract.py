@@ -63,6 +63,15 @@ def extract_text(html: Union[bytes, str]) -> str:
     return "\n".join(lines)
 
 
+# NOTE on vectorization: an Arrow-RE2 column implementation of the
+# stripping passes (pc.replace_substring_regex ×5) was measured 3.5×
+# SLOWER than the compiled-Python-re per-row path on this corpus
+# (0.39 s vs 0.11 s / 3k pages) — RE2 alternation + five full-column
+# materializations lose to one fused Python pass. The per-row path
+# below is the fast one; ~50 µs/page keeps extraction a minor share of
+# the fused front-half actor.
+
+
 def extract_text_batch(batch: pa.Table, html_col: str = "html", text_col: str = "text") -> pa.Table:
     """map_batches body: fill ``text`` from ``html`` where text is empty.
 
