@@ -82,6 +82,14 @@ class PriorityCoalesceMax(AggregateFnV2):
     The priority source list is tiny (one entry per ontology source,
     reference merge.py:81-92) and travels in the kernel closure; no
     shuffle or broadcast needed.
+
+    CAVEAT: Ray projects aggregation inputs to the union of the
+    aggregated columns — this kernel reads ``source_col`` from the
+    block, so the same ``groupby().aggregate(...)`` call MUST also
+    carry an aggregate over ``source_col`` (as the full KGX merge
+    always does, e.g. ``SortedUniqueConcat("provided_by")``);
+    otherwise the priority mask silently sees no source column and
+    falls back to the overall MAX.
     """
 
     def __init__(

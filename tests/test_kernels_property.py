@@ -1,0 +1,121 @@
+"""Property-based equivalence: the distributed merge paths vs the pure
+pandas oracle kernels on random KGX-shaped inputs (the reference has no
+property tests — SURVEY §5 — so this is strictly stronger coverage)."""
+
+import duckdb
+import pandas as pd
+import pytest
+import ray.data
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from kgray.kernels.kgx_agg import merge_edges_pandas, merge_nodes_pandas
+from kgray.pipelines.kgx_merge import merge_edges, merge_nodes
+
+_ids = st.sampled_from(["A:1", "A:2", "B:1", "B:2", "C:9"])
+_vals = st.one_of(st.none(), st.sampled_from(["", "x", "y", "a|b", "Z ", "ü"]))
+_srcs = st.one_of(st.none(), st.sampled_from(["onto.json", "other", "third"]))
+
+
+def _node_frames(draw):
+    n = draw(st.integers(min_value=1, max_value=25))
+    return pd.DataFrame(
+        {
+            "id": [draw(_ids) for _ in range(n)],
+            "name": [draw(_vals) for _ in range(n)],
+            "category": [draw(_vals) for _ in range(n)],
+            "provided_by": [draw(_srcs) for _ in range(n)],
+        }
+    )
+
+
+node_frames = st.composite(_node_frames)()
+
+
+def _normalize(df: pd.DataFrame) -> list:
+    df = df.copy()
+    for c in df.columns:
+        df[c] = df[c].where(df[c].notna(), "\x00")
+    return sorted(map(tuple, df.to_numpy().tolist()))
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(df=node_frames, use_priority=st.booleans())
+def test_merge_nodes_matches_pandas_oracle(df, use_priority, ray_session):
+    # Empty-string values are legal VARCHAR content (≠ NULL) — the TSV
+    # boundary maps ''→NULL at read, but parquet-borne data may carry ''.
+    priority = ["onto.json"] if use_priority else []
+    expected = merge_nodes_pandas(df, priority_sources=priority)
+    got = merge_nodes(ray.data.from_pandas(df), priority_sources=priority, num_partitions=3).to_pandas()
+    assert _normalize(got) == _normalize(expected)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(df=node_frames, use_priority=st.booleans())
+def test_merge_nodes_matches_duckdb(df, use_priority, ray_session):
+    """Triangulate against DuckDB's own STRING_AGG/MAX/COALESCE."""
+    priority = ["onto.json"] if use_priority else []
+    con = duckdb.connect()
+    con.register("nodes", df)
+    prio_sql = "'onto.json'" if priority else "''"
+    sql = f"""
+    SELECT id,
+      COALESCE(MAX(CASE WHEN provided_by IN ({prio_sql}) THEN name END), MAX(name)) AS name,
+      STRING_AGG(DISTINCT category, '|' ORDER BY category) AS category,
+      STRING_AGG(DISTINCT provided_by, '|' ORDER BY provided_by) AS provided_by
+    FROM nodes GROUP BY id
+    """
+    expected = con.execute(sql).df()
+    got = merge_nodes(ray.data.from_pandas(df), priority_sources=priority, num_partitions=3).to_pandas()
+    assert _normalize(got[["id", "name", "category", "provided_by"]]) == _normalize(expected)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(_ids, st.sampled_from(["p", "q"]), _ids, st.sampled_from(["k1", "k2", "k3"])),
+        min_size=1,
+        max_size=30,
+    ),
+    provenance=st.booleans(),
+)
+def test_merge_edges_matches_pandas_oracle(rows, provenance, ray_session):
+    df = pd.DataFrame(rows, columns=["subject", "predicate", "object", "knowledge_source"])
+    expected = merge_edges_pandas(df, provenance=provenance)
+    got = merge_edges(ray.data.from_pandas(df), provenance=provenance, num_partitions=3).to_pandas()
+    assert _normalize(got) == _normalize(expected[got.columns.tolist()])
+
+
+def test_aggregatefnv2_kernels_smoke(ray_session):
+    """The AggregateFnV2 forms (small-cardinality path) agree with the
+    frame kernels."""
+    from kgray.kernels.kgx_agg import MinAny, PriorityCoalesceMax, SortedUniqueConcat
+
+    df = pd.DataFrame(
+        {
+            "id": ["a", "a", "b"],
+            "name": ["n2", "n1", "n3"],
+            "provided_by": ["other", "onto.json", "other"],
+            "category": ["c2", "c1", None],
+        }
+    )
+    ds = ray.data.from_pandas(df)
+    # NB: PriorityCoalesceMax needs provided_by present in the
+    # projected aggregation input → aggregate it too (see kernel
+    # docstring; the full KGX merge always does).
+    out = (
+        ds.groupby("id")
+        .aggregate(
+            PriorityCoalesceMax(["onto.json"], alias_name="name"),
+            SortedUniqueConcat("category", alias_name="category"),
+            SortedUniqueConcat("provided_by", alias_name="provided_by"),
+            MinAny("name", alias_name="min_name"),
+        )
+        .to_pandas()
+        .set_index("id")
+    )
+    assert out.loc["a", "name"] == "n1"  # priority beats max
+    assert out.loc["a", "category"] == "c1|c2"
+    assert out.loc["b", "name"] == "n3"
+    assert pd.isna(out.loc["b", "category"]) or out.loc["b", "category"] is None
+    assert out.loc["a", "min_name"] == "n1"
