@@ -239,7 +239,10 @@ def construct_kg(
     canon = apply_canonical_map(triples, cref, ["subject", "object"])
     canon = canon.map_batches(_host_provenance, batch_format="pyarrow")
     edges = merge_edges(
-        canon.select_columns(EDGE_COLUMNS), provenance=True, num_partitions=num_partitions
+        canon.select_columns(EDGE_COLUMNS),
+        provenance=True,
+        num_partitions=num_partitions,
+        spill_dir=os.path.join(out_dir, ".exchange-edges"),
     )
 
     # Node-side prep overlaps with the cluster-side edges exchange: the
@@ -309,6 +312,11 @@ def construct_kg(
             merged.write_parquet(tmp)
 
     timings["nodes_sec"] = round(_time.perf_counter() - t_mark, 3)
+    # The exchange spill served its checkpoint purpose once outputs are
+    # committed; reclaim the space.
+    import shutil as _shutil
+
+    _shutil.rmtree(os.path.join(out_dir, ".exchange-edges"), ignore_errors=True)
     manifest.mark_stage(
         "materialize",
         stage_fp,

@@ -147,8 +147,13 @@ def merge_edges(
     key: Optional[List[str]] = None,
     num_partitions: int = 64,
     salted: bool = False,
+    spill_dir: Optional[str] = None,
 ) -> Dataset:
     """§2.4 edge merge (hash-partitioned vectorized dedup).
+
+    ``spill_dir`` switches the exchange to the spill-based hash
+    exchange (kernels/hashagg.grouped_apply_spill — faster than the
+    Sort op and checkpoint-friendly).
 
     ``provenance=False`` (reference current behavior): exact dedup on
     the triple, all non-key columns dropped (duckdb_utils.py:442-448) —
@@ -170,6 +175,21 @@ def merge_edges(
         # provenance rows eliminated spread by value hash), then the
         # keyed exchange moves only distinct rows.
         edges = distinct(edges, key + other, num_partitions=num_partitions)
+
+    if spill_dir is not None:
+        from kgray.kernels.hashagg import grouped_apply_spill, sorted_unique_join_table
+
+        def _table_reduce(t: pa.Table) -> pa.Table:
+            return sorted_unique_join_table(t, key, other).select(key + other)
+
+        return grouped_apply_spill(
+            edges,
+            key,
+            _table_reduce,
+            spill_dir=spill_dir,
+            num_partitions=num_partitions,
+            map_side=lambda df: df.drop_duplicates(),
+        )
 
     def _reduce(part: pd.DataFrame) -> pd.DataFrame:
         return sorted_unique_join_frame(part, key, other).reset_index()[key + other]
