@@ -34,7 +34,7 @@ import pyarrow as pa
 import ray
 import ray.data
 from ray.data import Dataset
-from ray.data.aggregate import Count
+
 
 from kgray.kernels.kgx_agg import MinAny
 from kgray.stages.canonical import union_find

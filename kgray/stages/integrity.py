@@ -20,7 +20,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 from ray.data import Dataset
-from ray.data.aggregate import Count
+
 
 from kgray.constants import CATEGORY_PREFIX_MAP, UNKNOWN_CATEGORY
 
