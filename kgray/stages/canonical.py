@@ -111,6 +111,16 @@ def connected_components_distributed(
         .materialize()
     )
 
+    def _as_arrow(cols):
+        # Normalize block format: Ray's aggregate can emit pandas
+        # blocks, and the Project op behind rename_columns/select
+        # assumes Arrow — route every rename through an Arrow
+        # map_batches instead.
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table({name: t.column(old) for old, name in cols})
+
+        return fn
+
     for _ in range(max_iters):
         # Neighbor messages: node u's label travels to each neighbor v.
         msgs = both.join(
@@ -124,10 +134,15 @@ def connected_components_distributed(
             batch_format="pyarrow",
         )
         new_labels = (
-            labels.union(msgs).groupby("node").aggregate(MinAny("label", alias_name="label"))
+            labels.union(msgs)
+            .groupby("node")
+            .aggregate(MinAny("label", alias_name="label"))
+            .map_batches(_as_arrow([("node", "node"), ("label", "label")]), batch_format="pyarrow")
         ).materialize()
         changed = (
-            new_labels.rename_columns({"label": "new_label"})
+            new_labels.map_batches(
+                _as_arrow([("node", "node"), ("label", "new_label")]), batch_format="pyarrow"
+            )
             .join(
                 labels,
                 join_type="inner",
