@@ -838,15 +838,22 @@ def construct_corpus_for_sf(sf_dir: str, pages_per_doc: int = 4):
 
 
 def q_construct_kg(sf_dir: str):
-    """Flagship: full construction; returns distinct canonical triples."""
+    """Flagship: full construction; returns distinct canonical triples.
+
+    Self-checking: asserts P/R ≥ 0.95 against the generator oracle
+    before returning, so even the driver's rows-only record implies the
+    north-rule correctness target held."""
     import shutil
 
-    from kgray.pipelines.construct import construct_kg
+    from kgray.pipelines.construct import construct_kg, triple_prf
 
     paths = construct_corpus_for_sf(sf_dir)
     out = _corpus_cache_dir(sf_dir, paths["n_pages"]) + "/kg_out"
     shutil.rmtree(out, ignore_errors=True)
     construct_kg(paths["pages"], paths["aliases"], out, shard_group_size=4, actor_concurrency=(1, 4))
+    prf = triple_prf(out + "/edges", paths["expected_triples"])
+    if prf["precision"] < 0.95 or prf["recall"] < 0.95:
+        raise AssertionError(f"triple P/R below target: {prf}")
     edges = pq.read_table(out + "/edges", columns=["subject", "predicate", "object"])
     pred = pa.array([str(p) for p in edges.column("predicate").to_pylist()], type=pa.string())
     return pa.table(
@@ -855,13 +862,30 @@ def q_construct_kg(sf_dir: str):
 
 
 def q_extract_text(sf_dir: str):
-    """Extraction stage alone over the synthetic corpus (rows-only)."""
+    """Extraction stage alone over the synthetic corpus (rows-only).
+
+    Self-checking: every extracted text is verified byte-identical to
+    the expected_text golden per url (the input_hint per-row invariant)
+    before rows are returned."""
     from kgray.stages.extract import extract_text_batch
 
     paths = construct_corpus_for_sf(sf_dir)
+    expected = pq.read_table(paths["expected_text"])
+    exp_ref = ray.put(
+        dict(zip(expected.column("url").to_pylist(), expected.column("expected_text").to_pylist()))
+    )
+
+    def _check(t: pa.Table) -> pa.Table:
+        exp = ray.get(exp_ref) if isinstance(exp_ref, ray.ObjectRef) else exp_ref
+        for url, text in zip(t.column("url").to_pylist(), t.column("text").to_pylist()):
+            if exp.get(url) != text:
+                raise AssertionError(f"extracted text not byte-identical for {url}")
+        return t
+
     ds = ray.data.read_parquet(paths["pages"])
     out = ds.map_batches(extract_text_batch, batch_format="pyarrow", batch_size=256)
-    return out.select_columns(["url", "text"])
+    out = out.select_columns(["url", "text"]).map_batches(_check, batch_format="pyarrow")
+    return out
 
 
 # ---------------------------------------------------------------------------
