@@ -30,7 +30,7 @@ import ray
 import ray.data
 from ray.data import Dataset
 
-from kgray.pipelines.kgx_merge import merge_edges, merge_nodes_frame
+from kgray.pipelines.kgx_merge import merge_nodes_frame
 from kgray.stages.canonical import (
     apply_canonical_map,
     canonical_map_from_aliases,
@@ -151,6 +151,56 @@ def build_node_table(aliases: pa.Table, canonical_map: Dict[str, str]) -> pa.Tab
     )
 
 
+def _merge_edges_spill_fused(
+    edges_input: Dataset,
+    out_root: str,
+    spill_dir: str,
+    num_partitions: int,
+) -> None:
+    """Edges exchange with fused reduce+write: map batches spill to
+    ``__part``-partitioned parquet (parallel, no Sort op), then ONE Ray
+    task per partition reduces (provenance-preserving (s,p,o) merge —
+    same arrow kernel as merge_edges) AND writes its rows straight into
+    the predicate-partitioned output layout. Removes the extra Dataset
+    execution a collect-then-write would cost.
+    """
+    import shutil
+    from urllib.parse import quote
+
+    import pyarrow.compute as _pc
+
+    from kgray.kernels.hashagg import add_partition_column, sorted_unique_join_table
+
+    key = ["subject", "predicate", "object"]
+    other = [c for c in EDGE_COLUMNS if c not in key]
+
+    def _map(df: pd.DataFrame) -> pd.DataFrame:
+        return add_partition_column(df.drop_duplicates(), key, num_partitions)
+
+    shutil.rmtree(spill_dir, ignore_errors=True)
+    edges_input.map_batches(_map, batch_format="pandas").write_parquet(
+        spill_dir, partition_cols=["__part"]
+    )
+
+    @ray.remote
+    def _reduce_write(part_dir: str, part_id: int) -> int:
+        t = pq.read_table(part_dir)
+        if "__part" in t.column_names:
+            t = t.drop_columns(["__part"])
+        r = sorted_unique_join_table(t, key, other).select(key + other)
+        for pred in _pc.unique(r.column("predicate")).to_pylist():
+            sub = r.filter(_pc.equal(r.column("predicate"), pred)).drop_columns(["predicate"])
+            d = os.path.join(out_root, f"predicate={quote(str(pred), safe='')}")
+            os.makedirs(d, exist_ok=True)
+            pq.write_table(sub, os.path.join(d, f"part-{part_id:05d}.parquet"))
+        return r.num_rows
+
+    part_dirs = sorted(
+        os.path.join(spill_dir, d) for d in os.listdir(spill_dir) if d.startswith("__part=")
+    )
+    ray.get([_reduce_write.remote(d, i) for i, d in enumerate(part_dirs)])
+
+
 def construct_kg(
     pages_dir: str,
     aliases_path: str,
@@ -238,12 +288,7 @@ def construct_kg(
     t_mark = _time.perf_counter()
     canon = apply_canonical_map(triples, cref, ["subject", "object"])
     canon = canon.map_batches(_host_provenance, batch_format="pyarrow")
-    edges = merge_edges(
-        canon.select_columns(EDGE_COLUMNS),
-        provenance=True,
-        num_partitions=num_partitions,
-        spill_dir=os.path.join(out_dir, ".exchange-edges"),
-    )
+    edges_input = canon.select_columns(EDGE_COLUMNS)
 
     # Node-side prep overlaps with the cluster-side edges exchange: the
     # KB (alias table) is the pipeline's small side by construction, so
@@ -260,7 +305,12 @@ def construct_kg(
     nb_thread.start()
 
     with atomic_output_dir(edges_out) as tmp:
-        edges.write_parquet(tmp, partition_cols=["predicate"])
+        _merge_edges_spill_fused(
+            edges_input,
+            tmp,
+            spill_dir=os.path.join(out_dir, ".exchange-edges"),
+            num_partitions=num_partitions,
+        )
     timings["edges_merge_write_sec"] = round(_time.perf_counter() - t_mark, 3)
     t_mark = _time.perf_counter()
 
