@@ -48,7 +48,9 @@ MULTIVALUE_SEP = "|"
 CATEGORY_PREFIX_MAP = [
     ("EC:", "biolink:Enzyme"),
     ("assay:", "biolink:PhenotypicQuality"),
-    ("UniprotKB:", "biolink:Protein"),
+    ("trophic_type:", "biolink:BiologicalProcess"),
+    ("cell_shape:", "biolink:PhenotypicQuality"),
+    ("UniprotKB:", "biolink:Enzyme"),
     ("medium:", "biolink:ChemicalEntity"),
     ("carbon_substrates:", "biolink:ChemicalEntity"),
 ]

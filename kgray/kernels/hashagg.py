@@ -39,6 +39,31 @@ import ray.data
 from ray.data import Dataset
 
 
+def auto_partitions(
+    input_bytes: Optional[int] = None,
+    target_bytes: int = 256 << 20,
+    floor: Optional[int] = None,
+    files: Optional[Sequence[str]] = None,
+) -> int:
+    """Partition count from the module's documented sizing rule:
+    P ≈ input_bytes / 256 MiB, floored at 2 × cluster CPUs — so the
+    exchange width scales with BOTH the data and the cluster instead of
+    a hardcoded constant (a hidden scale parameter at 1000×).
+
+    ``files``: convenience — sum parquet file sizes instead of passing
+    ``input_bytes`` (on-disk compressed bytes understate heap bytes,
+    but the CPU floor dominates for small inputs either way).
+    """
+    import ray
+
+    if input_bytes is None and files:
+        input_bytes = sum(os.path.getsize(f) for f in files if os.path.exists(f))
+    if floor is None:
+        ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        floor = 2 * ncpu
+    return max(floor, -(-int(input_bytes or 0) // target_bytes))
+
+
 def add_partition_column(
     df: pd.DataFrame, keys: Sequence[str], num_partitions: int, col: str = "__part"
 ) -> pd.DataFrame:

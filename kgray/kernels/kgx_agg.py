@@ -87,9 +87,9 @@ class PriorityCoalesceMax(AggregateFnV2):
     aggregated columns — this kernel reads ``source_col`` from the
     block, so the same ``groupby().aggregate(...)`` call MUST also
     carry an aggregate over ``source_col`` (as the full KGX merge
-    always does, e.g. ``SortedUniqueConcat("provided_by")``);
-    otherwise the priority mask silently sees no source column and
-    falls back to the overall MAX.
+    always does, e.g. ``SortedUniqueConcat("provided_by")``).
+    If ``source_col`` is absent from the aggregated block, the kernel
+    raises rather than silently degrading to the overall MAX.
     """
 
     def __init__(
@@ -120,7 +120,14 @@ class PriorityCoalesceMax(AggregateFnV2):
         names = table.column(self._target_col_name)
         overall = self._max_nonnull(names)
         prio: Optional[str] = None
-        if self._priority and self._source_col in table.column_names:
+        if self._priority:
+            if self._source_col not in table.column_names:
+                raise ValueError(
+                    f"PriorityCoalesceMax requires '{self._source_col}' in the "
+                    f"aggregated block (got {table.column_names}); co-aggregate "
+                    f"it (e.g. SortedUniqueConcat('{self._source_col}')) so Ray "
+                    "projects it into the aggregation input."
+                )
             sources = table.column(self._source_col)
             mask = pc.is_in(sources, value_set=pa.array(sorted(self._priority), type=pa.string()))
             mask = pc.fill_null(mask, False)

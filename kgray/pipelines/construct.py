@@ -2,26 +2,44 @@
 
 pages parquet (url, warc_ts, html, text, lang)
   → filter lang                      [pushed to the read where possible]
-  → extract_text  (stateless map_batches — pure spec'd function)
-  → TripleExtractor (actor pool — pinned "model" state)
-  → EntityLinker    (actor pool — broadcast alias KB + MinHash index)
-  → per-shard triples parquet  + manifest entry        (resumable half)
-  ---- global half ----
-  → canonicalize (union-find over sameAs; broadcast map or distributed
-    label propagation)
-  → KGX edge merge with provenance (groupby (s,p,o) — hash shuffle)
-  → KGX node merge (groupby id)   + integrity stub repair
-  → parquet: edges partitioned by predicate, nodes sorted-by-hash
+  → PageToEdges actor pool (ONE fused stage, state pinned per actor):
+      extract_text → triple extract → entity link → canonical rewrite
+      → host provenance → project to KGX edge columns → per-batch
+      dedup (combiner) → hash-partition on (s,p,o)
+  → per-shard __part-partitioned parquet + manifest entry (resumable)
+  ---- reduce half ----
+  → ONE Ray task per hash partition: provenance-preserving (s,p,o)
+    merge (same kernel as merge_edges) + write straight into the
+    predicate-partitioned output layout + report endpoints missing
+    from the node table (integrity check piggybacks on the reduce —
+    no extra pass over the edges)
+  → nodes: alias KB → node rows → KGX node merge, built and merged
+    CONCURRENTLY with the front half / reduce on a driver thread
+    (the KB is the pipeline's small side by construction); stub nodes
+    for missing endpoints appended after the reduce reports them.
+
+Why this shape: the canonical map and the node table depend only on
+the alias KB — not on the extracted triples — so canonicalization and
+partitioning fuse into the front half and the per-shard checkpoint IS
+the exchange spill. One pass over the pages, one pass over the spilled
+edge partials; no intermediate re-read, no separate integrity pass.
 
 Merge semantics are exactly the reference's (SURVEY §2.3/§2.4) via the
 same kernels the conformance tests pin down.
+
+Cluster note (single-node sandbox): the per-shard spill and the reduce
+tasks communicate through the filesystem at ``out_dir``. On a
+multi-node cluster this path MUST be shared storage (object store /
+NFS); construct_kg fails fast if it detects multiple nodes with a
+path that is not declared shared (see ``shared_fs_ok``).
 """
 
 from __future__ import annotations
 
 import os
+import threading
+import time as _time
 from typing import Any, Dict, List, Optional
-from urllib.parse import urlparse
 
 import pandas as pd
 import pyarrow as pa
@@ -32,7 +50,6 @@ from ray.data import Dataset
 
 from kgray.pipelines.kgx_merge import merge_nodes_frame
 from kgray.stages.canonical import (
-    apply_canonical_map,
     canonical_map_from_aliases,
     connected_components_distributed,
     sameas_pairs_from_alias_table,
@@ -50,6 +67,7 @@ from kgray.state.manifest import (
 
 NODE_COLUMNS = ["id", "name", "category", "provided_by", "same_as"]
 EDGE_COLUMNS = ["subject", "predicate", "object", "primary_knowledge_source"]
+_EDGE_KEY = ["subject", "predicate", "object"]
 
 _PREFIX_CATEGORIES = [
     ("TAX:", "biolink:OrganismTaxon"),
@@ -67,52 +85,6 @@ def _dir_rows(path: str) -> int:
     return total
 
 
-class PageToTriples:
-    """Fused front-half actor: extract → mention/triple extract → link.
-
-    One actor pool instead of three stages: no intermediate object-store
-    hops for the (large) page batches, and the pool can be sized to the
-    whole machine. The pieces remain the standalone classes
-    (extract_text_batch / TripleExtractor / EntityLinker) — this class
-    just composes them with state pinned once per actor.
-    """
-
-    def __init__(self, alias_ref):
-        self._triples = TripleExtractor()
-        self._linker = EntityLinker(alias_ref)
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        batch = extract_text_batch(batch)
-        mentions = self._triples(batch)
-        return self._linker(mentions)
-
-
-def extract_and_link_shard(
-    files: List[str],
-    alias_ref,
-    out_dir: str,
-    lang: str = "en",
-    extract_batch_size: int = 512,
-    actor_concurrency=(1, 8),
-) -> int:
-    """Front half over one input shard → triples parquet. Returns rows."""
-    ds = ray.data.read_parquet(files)
-    if lang:
-        ds = ds.filter(expr=f"lang == '{lang}'")
-    ds = ds.map_batches(
-        PageToTriples,
-        fn_constructor_kwargs={"alias_ref": alias_ref},
-        batch_format="pyarrow",
-        batch_size=extract_batch_size,
-        concurrency=actor_concurrency,
-    )
-    with atomic_output_dir(out_dir) as tmp:
-        # Consolidate output files: tiny per-task files multiply block
-        # count (and per-block fixed costs) in every downstream stage.
-        ds.write_parquet(tmp, min_rows_per_file=200_000)
-    return _dir_rows(out_dir)
-
-
 def _host_provenance(t: pa.Table) -> pa.Table:
     import pyarrow.compute as pc
 
@@ -121,6 +93,72 @@ def _host_provenance(t: pa.Table) -> pa.Table:
     m = pc.extract_regex(t.column("url"), r"^[a-z][a-z0-9+.-]*://(?P<host>[^/]+)")
     hosts = pc.struct_field(m, "host")
     return t.append_column("primary_knowledge_source", hosts)
+
+
+class PageToEdges:
+    """Fused front-half actor: pages → partitioned canonical edge partials.
+
+    One actor pool instead of five stages: no intermediate object-store
+    hops for the (large) page batches, and each batch leaves the actor
+    already canonicalized, deduplicated and tagged with its exchange
+    partition — the downstream write is the shuffle's map-side spill.
+    The pieces remain the standalone units (extract_text_batch /
+    TripleExtractor / EntityLinker / canonical map) — this class just
+    composes them with state pinned once per actor in ``__init__``.
+    """
+
+    def __init__(self, alias_ref, cmap_ref, num_partitions: int):
+        from kgray.kernels.hashagg import add_partition_column  # noqa: F401 (bound below)
+
+        self._triples = TripleExtractor()
+        self._linker = EntityLinker(alias_ref)
+        cmap = ray.get(cmap_ref) if isinstance(cmap_ref, ray.ObjectRef) else cmap_ref
+        self._cmap = cmap
+        self._nparts = num_partitions
+        self._add_part = add_partition_column
+
+    def __call__(self, batch: pa.Table) -> pd.DataFrame:
+        batch = extract_text_batch(batch)
+        linked = self._linker(self._triples(batch))
+        linked = _host_provenance(linked)
+        df = linked.select(EDGE_COLUMNS).to_pandas()
+        for c in ("subject", "object"):
+            mapped = df[c].map(self._cmap)  # C hashtable lookup
+            df[c] = mapped.where(mapped.notna(), df[c])
+        df = df.drop_duplicates()
+        return self._add_part(df, _EDGE_KEY, self._nparts)
+
+
+def extract_and_link_shard(
+    files: List[str],
+    alias_ref,
+    cmap_ref,
+    out_dir: str,
+    num_partitions: int,
+    lang: str = "en",
+    extract_batch_size: int = 512,
+    actor_concurrency=(1, 8),
+) -> int:
+    """Front half over one input shard → ``__part``-partitioned canonical
+    edge partials (the exchange spill AND the resume checkpoint).
+    Returns rows written."""
+    ds = ray.data.read_parquet(files)
+    if lang:
+        ds = ds.filter(expr=f"lang == '{lang}'")
+    ds = ds.map_batches(
+        PageToEdges,
+        fn_constructor_kwargs={
+            "alias_ref": alias_ref,
+            "cmap_ref": cmap_ref,
+            "num_partitions": num_partitions,
+        },
+        batch_format="pyarrow",
+        batch_size=extract_batch_size,
+        concurrency=actor_concurrency,
+    )
+    with atomic_output_dir(out_dir) as tmp:
+        ds.write_parquet(tmp, partition_cols=["__part"])
+    return _dir_rows(out_dir)
 
 
 def build_node_table(aliases: pa.Table, canonical_map: Dict[str, str]) -> pa.Table:
@@ -151,54 +189,72 @@ def build_node_table(aliases: pa.Table, canonical_map: Dict[str, str]) -> pa.Tab
     )
 
 
-def _merge_edges_spill_fused(
-    edges_input: Dataset,
-    out_root: str,
-    spill_dir: str,
-    num_partitions: int,
-) -> None:
-    """Edges exchange with fused reduce+write: map batches spill to
-    ``__part``-partitioned parquet (parallel, no Sort op), then ONE Ray
-    task per partition reduces (provenance-preserving (s,p,o) merge —
-    same arrow kernel as merge_edges) AND writes its rows straight into
-    the predicate-partitioned output layout. Removes the extra Dataset
-    execution a collect-then-write would cost.
-    """
-    import shutil
+@ray.remote
+def _reduce_partition_write(
+    files: List[str], part_id: int, out_root: str, known_ids: pa.Array
+) -> Dict[str, Any]:
+    """Reduce ONE hash partition: read its spilled partials from every
+    shard, run the provenance-preserving (s,p,o) merge, write straight
+    into the predicate-partitioned output layout, and return the
+    endpoint ids absent from the node table (the integrity check rides
+    the reduce — the merged partition is already in memory, so the
+    missing-nodes pass costs zero extra I/O)."""
     from urllib.parse import quote
 
-    import pyarrow.compute as _pc
+    import pyarrow.compute as pc
 
-    from kgray.kernels.hashagg import add_partition_column, sorted_unique_join_table
+    from kgray.kernels.hashagg import sorted_unique_join_table
 
-    key = ["subject", "predicate", "object"]
-    other = [c for c in EDGE_COLUMNS if c not in key]
-
-    def _map(df: pd.DataFrame) -> pd.DataFrame:
-        return add_partition_column(df.drop_duplicates(), key, num_partitions)
-
-    shutil.rmtree(spill_dir, ignore_errors=True)
-    edges_input.map_batches(_map, batch_format="pandas").write_parquet(
-        spill_dir, partition_cols=["__part"]
+    t = pq.read_table(files)
+    if "__part" in t.column_names:
+        t = t.drop_columns(["__part"])
+    other = [c for c in EDGE_COLUMNS if c not in _EDGE_KEY]
+    r = sorted_unique_join_table(t, _EDGE_KEY, other).select(EDGE_COLUMNS)
+    for pred in pc.unique(r.column("predicate")).to_pylist():
+        sub = r.filter(pc.equal(r.column("predicate"), pred)).drop_columns(["predicate"])
+        d = os.path.join(out_root, f"predicate={quote(str(pred), safe='')}")
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(sub, os.path.join(d, f"part-{part_id:05d}.parquet"))
+    ends = pc.unique(
+        pa.chunked_array(
+            [r.column("subject").combine_chunks(), r.column("object").combine_chunks()]
+        )
     )
+    missing = ends.filter(pc.invert(pc.is_in(ends, value_set=known_ids)))
+    return {"rows": r.num_rows, "missing": missing.to_pylist()}
 
-    @ray.remote
-    def _reduce_write(part_dir: str, part_id: int) -> int:
-        t = pq.read_table(part_dir)
-        if "__part" in t.column_names:
-            t = t.drop_columns(["__part"])
-        r = sorted_unique_join_table(t, key, other).select(key + other)
-        for pred in _pc.unique(r.column("predicate")).to_pylist():
-            sub = r.filter(_pc.equal(r.column("predicate"), pred)).drop_columns(["predicate"])
-            d = os.path.join(out_root, f"predicate={quote(str(pred), safe='')}")
-            os.makedirs(d, exist_ok=True)
-            pq.write_table(sub, os.path.join(d, f"part-{part_id:05d}.parquet"))
-        return r.num_rows
 
-    part_dirs = sorted(
-        os.path.join(spill_dir, d) for d in os.listdir(spill_dir) if d.startswith("__part=")
+def _partition_files(triples_root: str) -> Dict[int, List[str]]:
+    """{partition id: [spilled parquet files across all shards]}."""
+    out: Dict[int, List[str]] = {}
+    for shard in sorted(os.listdir(triples_root)):
+        sdir = os.path.join(triples_root, shard)
+        if not os.path.isdir(sdir):
+            continue
+        for pdir in os.listdir(sdir):
+            if not pdir.startswith("__part="):
+                continue
+            p = int(pdir.split("=", 1)[1])
+            full = os.path.join(sdir, pdir)
+            out.setdefault(p, []).extend(
+                os.path.join(full, f) for f in sorted(os.listdir(full)) if f.endswith(".parquet")
+            )
+    return out
+
+
+def shared_fs_ok(path: str) -> bool:
+    """True when ``path`` is usable as the exchange spill across the
+    cluster: single-node, or an explicitly shared mount. The spill/
+    reduce protocol reads partitions through the filesystem, so on a
+    multi-node cluster a node-local path would silently reduce over
+    partial data — fail fast instead (ADVICE r1)."""
+    alive = [n for n in ray.nodes() if n.get("Alive", False)]
+    if len(alive) <= 1:
+        return True
+    shared_prefixes = tuple(
+        p for p in os.environ.get("KGRAY_SHARED_FS", "").split(":") if p
     )
-    ray.get([_reduce_write.remote(d, i) for i, d in enumerate(part_dirs)])
+    return path.startswith(shared_prefixes) if shared_prefixes else False
 
 
 def construct_kg(
@@ -216,58 +272,27 @@ def construct_kg(
     """Run the full construction pipeline. Returns the manifest counters.
 
     Outputs under ``out_dir``:
-      triples/shard=NNNN/   per-shard linked triples (resume units)
-      edges/predicate=*/    merged KGX edges, provenance-preserving
-      nodes/                merged KGX nodes
-      manifest.json         per-partition lineage + per-stage counters
+      triples/shard=NNNN/__part=P/  per-shard partitioned edge partials
+                                    (resume units AND exchange spill)
+      edges/predicate=*/            merged KGX edges, provenance-preserving
+      nodes/                        merged KGX nodes
+      manifest.json                 per-partition lineage + stage counters
     """
-    import time as _time
-
     timings: Dict[str, float] = {}
     t_start = _time.perf_counter()
+    if not shared_fs_ok(out_dir):
+        raise RuntimeError(
+            f"construct_kg spills its exchange under {out_dir!r}, but this is a "
+            "multi-node cluster and the path is not declared shared storage; "
+            "point out_dir at a shared mount and list its prefix in "
+            "$KGRAY_SHARED_FS (colon-separated) to proceed."
+        )
     manifest = Manifest(os.path.join(out_dir, "manifest.json"))
     alias_table = pq.read_table(aliases_path)
+    alias_fp = file_fingerprint(aliases_path)
     alias_ref = ray.put(alias_table.select(["alias", "curie"]))
 
-    # ---- front half: per-shard, resumable -------------------------------
-    # Each shard group is one Ray Data execution (one actor-pool spin-up,
-    # ~seconds of fixed cost). Auto-grouping bounds a run to ≤4
-    # executions; pass shard_group_size=1 for per-file resume
-    # granularity when shards are big enough to amortize the startup.
-    if shard_group_size is None:
-        n_files = len(list_page_shards(pages_dir, 1))
-        shard_group_size = max(1, -(-n_files // 4))
-    shards = list_page_shards(pages_dir, shard_group_size)
-    triples_root = os.path.join(out_dir, "triples")
-    for i, files in enumerate(shards):
-        key = f"shard={i:04d}"
-        fp = "|".join(file_fingerprint(f) for f in files)
-        shard_out = os.path.join(triples_root, key)
-        if resume and manifest.shard_done(key, fp) and os.path.exists(shard_out):
-            continue
-        rows = extract_and_link_shard(
-            files,
-            alias_ref,
-            shard_out,
-            lang=lang,
-            extract_batch_size=extract_batch_size,
-            actor_concurrency=actor_concurrency,
-        )
-        manifest.mark_shard(key, fp, triples_rows=rows, input_files=len(files))
-    timings["front_sec"] = round(_time.perf_counter() - t_start, 3)
-
-    # ---- global half ----------------------------------------------------
-    stage_fp = "|".join(
-        f"{k}:{v.get('fingerprint', '')}" for k, v in sorted(manifest.data["shards"].items())
-    )
-    edges_out = os.path.join(out_dir, "edges")
-    nodes_out = os.path.join(out_dir, "nodes")
-    if resume and manifest.stage_done("materialize", stage_fp) and os.path.exists(edges_out):
-        return manifest.counters()
-
-    t_mark = _time.perf_counter()
-    triples = ray.data.read_parquet(triples_root)
-
+    # ---- canonical map (depends only on the alias KB) -------------------
     if distributed_cc:
         pairs = sameas_pairs_from_alias_table(alias_table)
         pairs_ds = ray.data.from_arrow(
@@ -283,94 +308,143 @@ def construct_kg(
     else:
         cmap = canonical_map_from_aliases(alias_table)
     cref = ray.put(cmap)
+    timings["canonical_map_sec"] = round(_time.perf_counter() - t_start, 3)
 
-    timings["canonical_map_sec"] = round(_time.perf_counter() - t_mark, 3)
-    t_mark = _time.perf_counter()
-    canon = apply_canonical_map(triples, cref, ["subject", "object"])
-    canon = canon.map_batches(_host_provenance, batch_format="pyarrow")
-    edges_input = canon.select_columns(EDGE_COLUMNS)
-
-    # Node-side prep overlaps with the cluster-side edges exchange: the
-    # KB (alias table) is the pipeline's small side by construction, so
-    # its node-row build runs on the (otherwise idle) driver thread
-    # while the edges merge executes.
-    import threading
-
-    _node_build: Dict[str, Any] = {}
+    # ---- node-side build overlaps the front half (driver thread): the
+    # KB is the pipeline's small side by construction, and the node
+    # table needs only aliases + cmap.
+    _nb: Dict[str, Any] = {}
 
     def _build_nodes():
-        _node_build["df"] = build_node_table(alias_table, cmap).to_pandas()
+        _nb["df"] = build_node_table(alias_table, cmap).to_pandas()
 
     nb_thread = threading.Thread(target=_build_nodes)
     nb_thread.start()
 
-    with atomic_output_dir(edges_out) as tmp:
-        _merge_edges_spill_fused(
-            edges_input,
-            tmp,
-            spill_dir=os.path.join(out_dir, ".exchange-edges"),
-            num_partitions=num_partitions,
-        )
-    timings["edges_merge_write_sec"] = round(_time.perf_counter() - t_mark, 3)
+    # ---- front half: per-shard, resumable -------------------------------
+    # Each shard group is one Ray Data execution (one actor-pool spin-up,
+    # ~seconds of fixed cost). Auto-grouping bounds a run to ≤4
+    # executions; pass shard_group_size=1 for per-file resume
+    # granularity when shards are big enough to amortize the startup.
     t_mark = _time.perf_counter()
+    if shard_group_size is None:
+        n_files = len(list_page_shards(pages_dir, 1))
+        shard_group_size = max(1, -(-n_files // 4))
+    shards = list_page_shards(pages_dir, shard_group_size)
+    triples_root = os.path.join(out_dir, "triples")
+    for i, files in enumerate(shards):
+        key = f"shard={i:04d}"
+        # The spilled partials depend on the pages AND on the alias KB
+        # (canonical map) AND on the partition count — fingerprint all
+        # three so resume never reuses stale spill.
+        fp = (
+            "|".join(file_fingerprint(f) for f in files)
+            + f"|aliases:{alias_fp}|P{num_partitions}"
+        )
+        shard_out = os.path.join(triples_root, key)
+        if resume and manifest.shard_done(key, fp) and os.path.exists(shard_out):
+            continue
+        rows = extract_and_link_shard(
+            files,
+            alias_ref,
+            cref,
+            shard_out,
+            num_partitions,
+            lang=lang,
+            extract_batch_size=extract_batch_size,
+            actor_concurrency=actor_concurrency,
+        )
+        manifest.mark_shard(key, fp, triples_rows=rows, input_files=len(files))
+    timings["front_sec"] = round(_time.perf_counter() - t_mark, 3)
 
-    nb_thread.join()
-    nodes_df = _node_build["df"]
-    # Integrity anti-join stays distributed end-to-end: broadcast the
-    # node-id set once, filter edge endpoints per batch (C-speed isin),
-    # and only the (normally empty) missing set reaches the driver.
-    known_ref = ray.put(frozenset(nodes_df["id"]))
-
-    def _missing_batch(df: pd.DataFrame) -> pd.DataFrame:
-        known = ray.get(known_ref) if isinstance(known_ref, ray.ObjectRef) else known_ref
-        vals = pd.unique(pd.concat([df["subject"], df["object"]], ignore_index=True))
-        ser = pd.Series(vals)
-        return pd.DataFrame({"id": ser[~ser.isin(known)]})
-
-    missing_rows = (
-        ray.data.read_parquet(edges_out, columns=["subject", "object"])
-        .map_batches(_missing_batch, batch_format="pandas")
-        .take_all()
+    # ---- reduce half ----------------------------------------------------
+    stage_fp = "|".join(
+        f"{k}:{v.get('fingerprint', '')}" for k, v in sorted(manifest.data["shards"].items())
     )
-    missing = sorted({r["id"] for r in missing_rows})
-    n_missing = len(missing)
-    if n_missing:
-        stub_df = pd.DataFrame({c: [None] * n_missing for c in NODE_COLUMNS})
-        stub_df["id"] = missing
-        stub_df["category"] = [infer_category(i) for i in missing]
-        nodes_df = pd.concat([nodes_df, stub_df], ignore_index=True)
-    if len(nodes_df) <= 50_000:
-        merged_nodes = merge_nodes_frame(nodes_df, NODE_COLUMNS, priority_sources=["kb_primary"])
-        with atomic_output_dir(nodes_out) as tmp:
-            pq.write_table(
-                pa.Table.from_pandas(merged_nodes, preserve_index=False),
-                os.path.join(tmp, "nodes.parquet"),
-            )
-    else:
-        # Big KB: run the same merge distributed (same frame kernel as
-        # the per-partition reduce) instead of on the driver. Split the
-        # input frame so the map side parallelizes (from_pandas of one
-        # frame = one block = one map task).
-        import numpy as np
+    edges_out = os.path.join(out_dir, "edges")
+    nodes_out = os.path.join(out_dir, "nodes")
+    if resume and manifest.stage_done("materialize", stage_fp) and os.path.exists(edges_out):
+        return manifest.counters()
 
-        from kgray.pipelines.kgx_merge import merge_nodes
+    t_mark = _time.perf_counter()
+    nb_thread.join()
+    nodes_df = _nb["df"]
+    # Known-node broadcast for the in-reduce integrity check: a pyarrow
+    # array is zero-copy out of the object store per worker.
+    known_ref = ray.put(pa.array(pd.unique(nodes_df["id"]), type=pa.string()))
 
-        chunks = np.array_split(nodes_df, max(8, num_partitions))
-        nodes_ds = ray.data.from_pandas([c for c in chunks if len(c)])
-        merged = merge_nodes(nodes_ds, priority_sources=["kb_primary"], num_partitions=num_partitions)
-        with atomic_output_dir(nodes_out) as tmp:
-            merged.write_parquet(tmp)
+    part_files = _partition_files(triples_root)
+    n_missing = 0
+    with atomic_output_dir(edges_out) as edges_tmp:
+        refs = [
+            _reduce_partition_write.remote(files_p, p, edges_tmp, known_ref)
+            for p, files_p in sorted(part_files.items())
+        ]
 
-    timings["nodes_sec"] = round(_time.perf_counter() - t_mark, 3)
-    # The exchange spill served its checkpoint purpose once outputs are
-    # committed; reclaim the space.
-    import shutil as _shutil
+        # Node merge runs CONCURRENTLY with the reduce tasks (driver-side
+        # for small KBs, a distributed Dataset execution for big ones —
+        # either way the cluster interleaves it with the reduce).
+        with atomic_output_dir(nodes_out) as nodes_tmp:
+            merged_frame: Optional[pd.DataFrame] = None
+            if len(nodes_df) <= 50_000:
+                merged_frame = merge_nodes_frame(
+                    nodes_df, NODE_COLUMNS, priority_sources=["kb_primary"]
+                )
+            else:
+                # Big KB: same merge distributed (same frame kernel as the
+                # per-partition reduce). Split the input frame so the map
+                # side parallelizes (from_pandas of one frame = one block).
+                import numpy as np
 
-    _shutil.rmtree(os.path.join(out_dir, ".exchange-edges"), ignore_errors=True)
+                from kgray.pipelines.kgx_merge import merge_nodes
+
+                chunks = np.array_split(nodes_df, max(8, num_partitions))
+                nodes_ds = ray.data.from_pandas([c for c in chunks if len(c)])
+                merged = merge_nodes(
+                    nodes_ds, priority_sources=["kb_primary"], num_partitions=num_partitions
+                )
+                merged.write_parquet(nodes_tmp)
+
+            results = ray.get(refs)
+            missing = sorted({m for r in results for m in r["missing"]})
+            n_missing = len(missing)
+            # Stub nodes: missing endpoint ids are by definition disjoint
+            # from the KB's ids (and one row per id), so appending them
+            # AFTER the merge is identical to merging them in.
+            stub_table = None
+            if n_missing:
+                stub_table = pa.table(
+                    {
+                        c: (
+                            pa.array(missing, type=pa.string())
+                            if c == "id"
+                            else pa.array([infer_category(i) for i in missing], type=pa.string())
+                            if c == "category"
+                            else pa.array([None] * n_missing, type=pa.string())
+                        )
+                        for c in NODE_COLUMNS
+                    }
+                )
+            if merged_frame is not None:
+                out_table = pa.Table.from_pandas(merged_frame, preserve_index=False)
+                for i, f in enumerate(out_table.schema):
+                    if pa.types.is_null(f.type):
+                        out_table = out_table.set_column(
+                            i, f.name, out_table.column(f.name).cast(pa.string())
+                        )
+                if stub_table is not None:
+                    out_table = pa.concat_tables(
+                        [out_table.select(NODE_COLUMNS), stub_table], promote_options="default"
+                    )
+                pq.write_table(out_table, os.path.join(nodes_tmp, "nodes.parquet"))
+            elif stub_table is not None:
+                pq.write_table(stub_table, os.path.join(nodes_tmp, "stubs.parquet"))
+    timings["reduce_half_sec"] = round(_time.perf_counter() - t_mark, 3)
+
     manifest.mark_stage(
         "materialize",
         stage_fp,
-        edges_rows=_dir_rows(edges_out),
+        edges_rows=sum(r["rows"] for r in results),
         nodes_rows=_dir_rows(nodes_out),
         stub_nodes=n_missing,
         **timings,

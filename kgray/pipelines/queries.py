@@ -298,7 +298,9 @@ SQL_INTEGRITY_STUBS = f"""
 SELECT id,
   CASE WHEN starts_with(id, 'EC:') THEN 'biolink:Enzyme'
        WHEN starts_with(id, 'assay:') THEN 'biolink:PhenotypicQuality'
-       WHEN starts_with(id, 'UniprotKB:') THEN 'biolink:Protein'
+       WHEN starts_with(id, 'trophic_type:') THEN 'biolink:BiologicalProcess'
+       WHEN starts_with(id, 'cell_shape:') THEN 'biolink:PhenotypicQuality'
+       WHEN starts_with(id, 'UniprotKB:') THEN 'biolink:Enzyme'
        WHEN starts_with(id, 'medium:') THEN 'biolink:ChemicalEntity'
        WHEN starts_with(id, 'carbon_substrates:') THEN 'biolink:ChemicalEntity'
        ELSE 'Unknown' END AS category
@@ -407,7 +409,13 @@ WHERE m * 1.0 / (ca.n + cb.n - m) >= 0.7
 
 
 def q_dedup_embedding_pairs(sf_dir: str):
-    from kgray.stages.dedup import embedding_near_dup
+    """Embedding near-dup via the LSH-bucketed SCALE path (no matrix
+    broadcast); the brute-force scan stays the test baseline inside
+    embedding_near_dup's size switch. n_tables is raised until the
+    banding is exact at threshold 0.99 on this fixture (exact-direction
+    duplicates always collide — hyperplane hashes depend only on
+    direction)."""
+    from kgray.stages.similarity import lsh_bucketed_near_dup
 
     def _dup(t: pa.Table) -> pa.Table:
         emb = t.column("embedding")
@@ -422,7 +430,7 @@ def q_dedup_embedding_pairs(sf_dir: str):
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]).map_batches(
         _dup, batch_format="pyarrow"
     )
-    return embedding_near_dup(ds, threshold=0.99)
+    return lsh_bucketed_near_dup(ds, threshold=0.99, n_tables=12)
 
 
 SQL_DEDUP_EMBEDDING_PAIRS = """
@@ -476,6 +484,49 @@ def q_dedup_simhash(sf_dir: str):
     from kgray.stages.dedup import simhash_pairs
 
     return simhash_pairs(_dup_docs(sf_dir, suffix="zz"), max_hamming=10)
+
+
+# Exact SQL reproduction of simhash_pairs (stages/dedup.py): per-word
+# md5-first-8-bytes-little-endian hash, ±1 bit accumulation → 64-bit
+# simhash; 8 bands × 8 bits banding for candidates (buckets larger than
+# max_bucket=200 members are skipped, modeled by the bsize filter —
+# the cap is pinned operator semantics, not an approximation); Hamming
+# ≤ 10 verify.
+SQL_DEDUP_SIMHASH = f"""
+WITH docs AS ({_dup_docs_sql('zz')}),
+words AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS w FROM docs
+), uwh AS (
+  SELECT w,
+    CAST(SUM(CAST(CAST(concat('0x', substr(md5(w), i*2+1, 2)) AS UBIGINT) AS HUGEINT)
+             * (1::HUGEINT << (8*i))) AS HUGEINT) AS h
+  FROM (SELECT DISTINCT w FROM words) CROSS JOIN range(8) t(i) GROUP BY w
+), bitsum AS (
+  SELECT doc_id, b,
+    SUM(CASE WHEN (o.h // (1::HUGEINT << b)) % 2 = 1 THEN 1 ELSE -1 END) AS s
+  FROM (SELECT doc_id, h FROM words JOIN uwh USING (w)) o
+  CROSS JOIN range(64) t(b) GROUP BY doc_id, b
+), sh AS (
+  SELECT doc_id,
+    CAST(SUM(CASE WHEN s > 0 THEN (1::HUGEINT << b) ELSE 0::HUGEINT END) AS HUGEINT) AS uh
+  FROM bitsum GROUP BY doc_id
+), allsh AS (
+  SELECT d.doc_id, COALESCE(sh.uh, 0::HUGEINT) AS uh
+  FROM (SELECT DISTINCT doc_id FROM docs) d LEFT JOIN sh USING (doc_id)
+), bands AS (
+  SELECT doc_id, uh, band, CAST((uh // (1::HUGEINT << (8*band))) % 256 AS INT) AS bucket
+  FROM allsh CROSS JOIN range(8) t(band)
+), bsize AS (
+  SELECT band, bucket, COUNT(*) AS n FROM bands GROUP BY band, bucket
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.uh AS ha, b.uh AS hb
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+  JOIN bsize s ON s.band = a.band AND s.bucket = a.bucket AND s.n <= 200
+)
+SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) <= 10
+"""
 
 
 def q_token_count(sf_dir: str):
@@ -536,6 +587,34 @@ def q_langid(sf_dir: str):
     ).select_columns(["doc_id", "lang_pred"])
 
 
+# Exact SQL reproduction of stages/text.LangId: letter-run word regex,
+# per-language stopword hit counts, winner = first language in sorted
+# order (de,en,es,fr) with STRICTLY more hits than any earlier one —
+# i.e. the first to reach the max; all-zero → 'und'.
+SQL_LANGID = """
+WITH words AS (
+  SELECT doc_id, lower(w) AS w FROM (
+    SELECT doc_id, unnest(regexp_extract_all(text, '[a-zA-ZäöüßéèêàçñÁ-ÿ]+')) AS w
+    FROM documents
+  )
+), hits AS (
+  SELECT doc_id,
+    COUNT(*) FILTER (WHERE w IN ('der','die','das','und','ist','von','mit','für','auf','nicht')) AS de,
+    COUNT(*) FILTER (WHERE w IN ('the','and','of','to','is','in','that','for','with','are','was')) AS en,
+    COUNT(*) FILTER (WHERE w IN ('el','la','los','y','es','de','que','para','con','una')) AS es,
+    COUNT(*) FILTER (WHERE w IN ('le','la','les','et','est','des','que','pour','dans','une')) AS fr
+  FROM words GROUP BY doc_id
+)
+SELECT d.doc_id,
+  CASE WHEN COALESCE(greatest(h.de, h.en, h.es, h.fr), 0) = 0 THEN 'und'
+       WHEN h.de = greatest(h.de, h.en, h.es, h.fr) THEN 'de'
+       WHEN h.en = greatest(h.de, h.en, h.es, h.fr) THEN 'en'
+       WHEN h.es = greatest(h.de, h.en, h.es, h.fr) THEN 'es'
+       ELSE 'fr' END AS lang_pred
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Relational coverage (partial-agg groupby, broadcast join, window)
 # ---------------------------------------------------------------------------
@@ -583,15 +662,25 @@ FROM lineitem GROUP BY l_returnflag, l_linestatus
 
 def q_orders_by_nation(sf_dir: str):
     """Broadcast join: orders ⋈ customer ⋈ nation (small sides ray.put once)."""
+    import pandas as pd
+
     cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
     nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
-    c2n = dict(zip(cust.column("c_custkey").to_pylist(), cust.column("c_nationkey").to_pylist()))
-    n2name = dict(zip(nation.column("n_nationkey").to_pylist(), nation.column("n_name").to_pylist()))
-    ref = ray.put((c2n, n2name))
+    # custkey -> n_name as a single pandas Series (vectorized .map per batch;
+    # the composed lookup is built ONCE on the driver and ray.put ONCE).
+    n2name = pd.Series(
+        nation.column("n_name").to_pandas().values,
+        index=nation.column("n_nationkey").to_pandas().values,
+    )
+    ck2name = pd.Series(
+        cust.column("c_nationkey").to_pandas().map(n2name).values,
+        index=cust.column("c_custkey").to_pandas().values,
+    )
+    ref = ray.put(ck2name)
 
     def _tag(t: pa.Table) -> pa.Table:
-        c2n_, n2name_ = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
-        names = [n2name_.get(c2n_.get(ck)) for ck in t.column("o_custkey").to_pylist()]
+        lut = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        names = pd.Series(t.column("o_custkey").to_pandas().values).map(lut)
         return pa.table({"n_name": pa.array(names, type=pa.string())})
 
     orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
@@ -629,7 +718,12 @@ def q_sessionize(sf_dir: str):
         part["seq"] = part.groupby("user_id", sort=False).cumcount() + 1
         return part[["event_id", "user_id", "seq"]]
 
-    return grouped_apply(ds, ["user_id"], _seq, num_partitions=32)
+    from kgray.kernels.hashagg import auto_partitions
+
+    return grouped_apply(
+        ds, ["user_id"], _seq,
+        num_partitions=auto_partitions(files=[f"{sf_dir}/events.parquet"]),
+    )
 
 
 SQL_SESSIONIZE = """
@@ -701,13 +795,18 @@ def q_session_gap(sf_dir: str):
         part["session_id"] = new_sess.groupby(part["user_id"]).cumsum().astype("int64")
         return part[["event_id", "user_id", "session_id"]]
 
-    return grouped_apply(ds, ["user_id"], _sessions, num_partitions=32)
+    from kgray.kernels.hashagg import auto_partitions
+
+    return grouped_apply(
+        ds, ["user_id"], _sessions,
+        num_partitions=auto_partitions(files=[f"{sf_dir}/events.parquet"]),
+    )
 
 
 SQL_SESSION_GAP = """
 SELECT event_id, user_id,
-  SUM(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END)
-    OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+  CAST(SUM(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END)
+    OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
 FROM (
   SELECT event_id, user_id, ts,
     epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
@@ -940,10 +1039,12 @@ ORACLES = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_minhash_pairs": SQL_DEDUP_MINHASH_PAIRS,
     "dedup_embedding_pairs": SQL_DEDUP_EMBEDDING_PAIRS,
+    "dedup_simhash": SQL_DEDUP_SIMHASH,
     "ann_topk": SQL_ANN_TOPK,
     "token_count": SQL_TOKEN_COUNT,
     "text_stats": SQL_TEXT_STATS,
     "fingerprint": SQL_FINGERPRINT,
+    "langid": SQL_LANGID,
     "lineitem_agg": SQL_LINEITEM_AGG,
     "orders_by_nation": SQL_ORDERS_BY_NATION,
     "filter_prune": SQL_FILTER_PRUNE,
@@ -952,6 +1053,7 @@ ORACLES = {
     "filter_prefix": SQL_FILTER_PREFIX,
     "session_gap": SQL_SESSION_GAP,
     "connected_components": SQL_CONNECTED_COMPONENTS,
-    # rows-only (non-SQL-expressible): dedup_simhash, ann_lsh, langid,
-    # construct_kg, extract_text, multimodal_features
+    # rows-only (non-SQL-expressible): ann_lsh (LSH recall is
+    # probabilistic), construct_kg / extract_text (self-checking
+    # against generator goldens), multimodal_features (decode stub)
 }

@@ -91,9 +91,14 @@ def connected_components_distributed(
     def _swap(t: pa.Table) -> pa.Table:
         return pa.table({src: t.column(dst).cast(pa.string()), dst: t.column(src).cast(pa.string())})
 
-    both = edges.select_columns([src, dst]).union(
-        edges.map_batches(_swap, batch_format="pyarrow")
-    )
+    # Materialize the input ONCE before the union duplicates its
+    # lineage: the edge list may itself be the output of a join-heavy
+    # pipeline (e.g. verified near-dup pairs), and executing that
+    # lineage twice in one DAG doubles its shuffle-aggregator actors —
+    # enough to starve a small cluster into deadlock. The edge list is
+    # re-read every propagation round anyway, so pinning it is free.
+    fwd = edges.select_columns([src, dst]).materialize()
+    both = fwd.union(fwd.map_batches(_swap, batch_format="pyarrow"))
     both = both.materialize()
 
     labels = (
@@ -156,6 +161,16 @@ def connected_components_distributed(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # Loop exhausted max_iters without a zero-change round: labels
+        # are NOT a fixpoint (a chain longer than max_iters would split
+        # one component into several). Fail loudly instead of emitting
+        # silently-wrong canonical ids.
+        raise RuntimeError(
+            f"connected_components_distributed did not converge in "
+            f"{max_iters} rounds (last round changed {changed} labels); "
+            "raise max_iters (component diameter exceeds it)."
+        )
     return labels
 
 

@@ -15,10 +15,12 @@ All operators are Dataset→Dataset and scale-shaped:
   column; batched matmul against a broadcast matrix (small-side) —
   the LSH-bucketed variant for two large sides is in similarity.py.
 
-Candidate verification needs both documents of a pair; here the lookup
-side is broadcast via ``ray.put`` (one copy per node). For corpora
-whose text cannot be broadcast, verify by double hash-join against the
-corpus on (id_a) then (id_b) — same semantics, two shuffles.
+Candidate verification needs both documents of a pair. The corpus text
+is NEVER materialized on the driver: the (small) candidate-id set is
+broadcast to semi-filter the corpus down to pair-relevant rows, then
+the candidate pairs hash-join that filtered slice on (id_a) and (id_b)
+and Jaccard is verified per batch with shingle-hash sets computed once
+per unique text. Only O(pairs) text ever moves.
 """
 
 from __future__ import annotations
@@ -31,6 +33,7 @@ from typing import Dict, List, Optional, Tuple
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 from ray.data import Dataset
@@ -140,6 +143,10 @@ def _true_jaccard(a: str, b: str, k: int) -> float:
     return len(sa & sb) / len(sa | sb)
 
 
+def _shingle_set(text: str, k: int) -> frozenset:
+    return frozenset(_shingles(text, k))
+
+
 def minhash_lsh_pairs(
     ds: Dataset,
     text_col: str = "text",
@@ -152,11 +159,23 @@ def minhash_lsh_pairs(
 ) -> Dataset:
     """Verified near-dup pairs (id_a < id_b, true Jaccard ≥ threshold).
 
-    Buckets larger than ``max_bucket`` are skipped with a count in the
-    emitted ``__skipped`` metric (no silent caps: giant buckets mean a
-    degenerate bucket — e.g. empty docs — and quadratic pair blowup).
+    Buckets larger than ``max_bucket`` are skipped and LOGGED (warning
+    with bucket sizes) from the pair-generation partition — no silent
+    caps: giant buckets mean a degenerate bucket (e.g. empty docs) and
+    quadratic pair blowup; the log makes the recall loss visible.
+
+    Verification is join-based (100-TB-safe): the distinct candidate
+    ids (tiny — that is the point of LSH) are broadcast to semi-filter
+    the corpus, then the pairs hash-join the filtered slice on id_a
+    and id_b; true Jaccard runs per batch with shingle sets computed
+    once per unique text. The full corpus text never reaches the
+    driver and never broadcasts.
     """
+    import logging
+
     from kgray.kernels.hashagg import distinct, grouped_apply
+
+    logger = logging.getLogger(__name__)
 
     bands = ds.map_batches(
         _BandEmitter,
@@ -176,35 +195,91 @@ def minhash_lsh_pairs(
     def _pairs_partition(part: pd.DataFrame) -> pd.DataFrame:
         multi = part[part.duplicated(["band", "bucket"], keep=False)]
         out_a, out_b = [], []
+        skipped: List[int] = []
         for _, g in multi.groupby(["band", "bucket"], sort=False):
             ids = sorted(set(g[id_col]))
-            if len(ids) < 2 or len(ids) > max_bucket:
+            if len(ids) < 2:
+                continue
+            if len(ids) > max_bucket:
+                skipped.append(len(ids))
                 continue
             for i in range(len(ids)):
                 for j in range(i + 1, len(ids)):
                     out_a.append(ids[i])
                     out_b.append(ids[j])
+        if skipped:
+            logger.warning(
+                "minhash_lsh_pairs: skipped %d oversized buckets (> %d members; "
+                "sizes %s) — candidate recall for those buckets is lost",
+                len(skipped), max_bucket, sorted(skipped, reverse=True)[:10],
+            )
         return pd.DataFrame({"id_a": out_a, "id_b": out_b})
 
     cand = grouped_apply(bands, ["band", "bucket"], _pairs_partition, num_partitions=32)
-    # Dedup candidate pairs produced by multiple bands (small exchange).
-    cand = distinct(cand, ["id_a", "id_b"], num_partitions=16)
+    # Dedup candidate pairs produced by multiple bands (small exchange);
+    # materialized because it feeds both the id gather and the joins.
+    cand = distinct(cand, ["id_a", "id_b"], num_partitions=16).materialize()
 
-    # Verify with true Jaccard via broadcast text lookup.
-    texts: Dict = {}
-    for b in ds.select_columns([id_col, text_col]).iter_batches(batch_size=1 << 16, batch_format="pyarrow"):
-        texts.update(zip(b.column(id_col).to_pylist(), b.column(text_col).to_pylist()))
-    tref = ray.put(texts)
+    # ---- Join-based verification (no corpus broadcast) ----
+    # 1) Gather the DISTINCT candidate ids (tiny: ≤ 2·|pairs|).
+    id_arrays: List[pa.Array] = []
+    for b in cand.iter_batches(batch_format="pyarrow", batch_size=1 << 18):
+        id_arrays.extend(b.column("id_a").chunks)
+        id_arrays.extend(b.column("id_b").chunks)
+    if not id_arrays:
+        return cand  # no candidates: empty (id_a, id_b) dataset
+    cand_ids = pc.unique(pa.chunked_array(id_arrays))
+    idref = ray.put(cand_ids)
 
+    # 2) Broadcast semi-filter: corpus → only pair-relevant (id, text).
+    def _semi(t: pa.Table) -> pa.Table:
+        wanted = ray.get(idref) if isinstance(idref, ray.ObjectRef) else idref
+        return t.filter(pc.is_in(t.column(id_col), value_set=wanted))
+
+    relevant = ds.select_columns([id_col, text_col]).map_batches(
+        _semi, batch_format="pyarrow"
+    )
+
+    # 3) Double hash-join of the pair set against the filtered slice.
+    def _as(a_name: str, t_name: str):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table({a_name: t.column(id_col), t_name: t.column(text_col)})
+        return fn
+
+    with_a = cand.join(
+        relevant.map_batches(_as("id_a", "__text_a"), batch_format="pyarrow"),
+        join_type="inner", num_partitions=8, on=("id_a",), right_on=("id_a",),
+    )
+    with_ab = with_a.join(
+        relevant.map_batches(_as("id_b", "__text_b"), batch_format="pyarrow"),
+        join_type="inner", num_partitions=8, on=("id_b",), right_on=("id_b",),
+    )
+
+    # 4) Verify per batch; shingle each unique text once (cached by id).
     def _verify(t: pa.Table) -> pa.Table:
-        lookup = ray.get(tref) if isinstance(tref, ray.ObjectRef) else tref
-        keep = []
-        for i, (a, b) in enumerate(zip(t.column("id_a").to_pylist(), t.column("id_b").to_pylist())):
-            if _true_jaccard(lookup.get(a, ""), lookup.get(b, ""), shingle_k) >= threshold:
-                keep.append(i)
-        return t.take(pa.array(keep, type=pa.int64()))
+        cache: Dict = {}
 
-    return cand.map_batches(_verify, batch_format="pyarrow")
+        def sset(key, text):
+            s = cache.get(key)
+            if s is None:
+                s = cache[key] = _shingle_set(text, shingle_k)
+            return s
+
+        keep = []
+        for i, (ai, bi, ta, tb) in enumerate(
+            zip(
+                t.column("id_a").to_pylist(),
+                t.column("id_b").to_pylist(),
+                t.column("__text_a").to_pylist(),
+                t.column("__text_b").to_pylist(),
+            )
+        ):
+            sa, sb = sset(ai, ta), sset(bi, tb)
+            if sa and sb and len(sa & sb) / len(sa | sb) >= threshold:
+                keep.append(i)
+        return t.take(pa.array(keep, type=pa.int64())).select(["id_a", "id_b"])
+
+    return with_ab.map_batches(_verify, batch_format="pyarrow")
 
 
 def minhash_lsh_dedup(
@@ -224,12 +299,15 @@ def minhash_lsh_dedup(
     pairs = minhash_lsh_pairs(ds, text_col, id_col, threshold, **kw)
     plist = [(r["id_a"], r["id_b"]) for r in pairs.take_all()]
     labels = union_find(plist)
-    drop = {n for n, lab in labels.items() if lab != n}
+    drop_ids = [n for n, lab in labels.items() if lab != n]
+    if not drop_ids:
+        return ds
+    drop = pa.array(drop_ids)
     dref = ray.put(drop)
 
     def _filter(t: pa.Table) -> pa.Table:
         d = ray.get(dref) if isinstance(dref, ray.ObjectRef) else dref
-        mask = pa.array([v not in d for v in t.column(id_col).to_pylist()])
+        mask = pc.invert(pc.is_in(t.column(id_col), value_set=d))
         return t.filter(mask)
 
     return ds.map_batches(_filter, batch_format="pyarrow")
@@ -352,13 +430,25 @@ def embedding_near_dup(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.99,
+    broadcast_limit: int = 200_000,
+    **lsh_kw,
 ) -> Dataset:
     """Pairs (id_a < id_b) with cosine ≥ threshold.
 
-    Broadcast the (normalized) full matrix once; each batch does one
-    numpy matmul against it. O(N·B) per batch — the brute-force
-    baseline; see similarity.lsh_bucketed_near_dup for the scale path.
+    Size-based switch: corpora up to ``broadcast_limit`` rows use the
+    brute-force broadcast-matrix scan below (exact; the test
+    baseline); larger corpora automatically route to the LSH-bucketed
+    path (``similarity.lsh_bucketed_near_dup``) where nothing is
+    broadcast or driver-materialized and each vector shuffles
+    ``n_tables`` times instead of the matrix shipping to every batch.
     """
+    n = ds.count()
+    if n > broadcast_limit:
+        from kgray.stages.similarity import lsh_bucketed_near_dup
+
+        return lsh_bucketed_near_dup(
+            ds, threshold=threshold, vec_col=vec_col, id_col=id_col, **lsh_kw
+        )
     ids_all: List = []
     vecs: List = []
     for b in ds.select_columns([id_col, vec_col]).iter_batches(batch_size=1 << 16, batch_format="pyarrow"):

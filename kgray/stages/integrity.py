@@ -72,16 +72,19 @@ def missing_endpoints(
     endpoints = edge_endpoints(edges)
     n_nodes = nodes.count()
     if n_nodes <= broadcast_limit:
-        id_set = set(
-            pa.concat_arrays(
-                [b.column("id").combine_chunks() for b in nodes.select_columns(["id"]).iter_batches(batch_format="pyarrow", batch_size=1 << 20)]
-            ).to_pylist()
+        known_ids = pa.concat_arrays(
+            [
+                b.column("id").combine_chunks()
+                for b in nodes.select_columns(["id"]).iter_batches(
+                    batch_format="pyarrow", batch_size=1 << 20
+                )
+            ]
         )
-        ref = ray.put(id_set)
+        ref = ray.put(known_ids)
 
         def _anti(t: pa.Table) -> pa.Table:
             known = ray.get(ref)
-            mask = pa.array([v not in known for v in t.column("id").to_pylist()])
+            mask = pc.invert(pc.is_in(t.column("id"), value_set=known))
             return t.filter(mask)
 
         return endpoints.map_batches(_anti, batch_format="pyarrow")
