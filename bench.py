@@ -31,10 +31,26 @@ if _REPO not in sys.path:
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # Corpus size = documents_rows × pages-per-doc. The scaling run uses a
-# 10× corpus so the job is compute-dominated at both parallelism levels
-# (at the default size an 8-CPU run already finishes in ~12 s of mostly
-# fixed execution startup — nothing left to scale).
+# 4× corpus (8M pages at sf0.1) so the job is compute-dominated at both
+# parallelism levels — at 2M pages the 32-CPU run is ~1/3 fixed cost
+# (actor spin-up, execution startup) and the ratio measures overhead,
+# not the pipeline.
 PAGES_PER_DOC = int(os.environ.get("GRAFT_BENCH_PPD", "400"))
+
+
+def construct_config(num_cpus: int) -> dict:
+    """Uniform tuning rule in cluster size N (measured sweep, 2M pages):
+    actor pool = ⌊7N/8⌋ single-CPU actors (reads/writes keep ~N/8),
+    4096-row batches (512-row batches cost ~30% wall in dispatch),
+    exchange partitions = max(16, N). The same formula is applied at
+    every parallelism level — per-level hand-tuning would distort the
+    scaling measurement."""
+    return dict(
+        shard_group_size=16,
+        actor_concurrency=max(2, num_cpus * 7 // 8),
+        extract_batch_size=4096,
+        num_partitions=max(16, num_cpus),
+    )
 
 # Per-query benchmarks (a representative slice of the operator surface).
 BENCH_QUERIES = [
@@ -87,19 +103,7 @@ def run_bench() -> dict:
     out_dir = f"/tmp/kgray_bench/kg_out_{NUM_CPUS}"
     shutil.rmtree(out_dir, ignore_errors=True)
     t0 = time.perf_counter()
-    construct_kg(
-        paths["pages"],
-        paths["aliases"],
-        out_dir,
-        # Fixed-size pool at 3/4 of the CPUs: autoscaling ramps too
-        # slowly (~40% wall lost), and a pool spanning every CPU
-        # starves the read/write tasks (pipeline stalls at num_cpus=8).
-        # measured optimum: ~3/4 of CPUs at 32, ~1/2 at 8 (reads need
-        # proportionally more headroom on small machines)
-        shard_group_size=16,
-        actor_concurrency=max(2, min(NUM_CPUS * 3 // 4, NUM_CPUS - 4)),
-        num_partitions=max(8, NUM_CPUS * 2),
-    )
+    construct_kg(paths["pages"], paths["aliases"], out_dir, **construct_config(NUM_CPUS))
     headline = time.perf_counter() - t0
     import json as _json
 
@@ -137,7 +141,7 @@ def run_scaling() -> dict:
         env = dict(
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
-            GRAFT_BENCH_PPD=os.environ.get("GRAFT_SCALING_PPD", "400"),
+            GRAFT_BENCH_PPD=os.environ.get("GRAFT_SCALING_PPD", "1600"),
         )
         out = subprocess.run(
             [sys.executable, os.path.join(_REPO, "bench.py")],

@@ -50,6 +50,7 @@ from ray.data import Dataset
 
 from kgray.pipelines.kgx_merge import merge_nodes_frame
 from kgray.stages.canonical import (
+    apply_canonical_join,
     canonical_map_from_aliases,
     connected_components_distributed,
     sameas_pairs_from_alias_table,
@@ -110,6 +111,10 @@ class PageToEdges:
     def __init__(self, alias_ref, cmap_ref, num_partitions: int):
         from kgray.kernels.hashagg import add_partition_column  # noqa: F401 (bound below)
 
+        # Arrow's per-process thread pool is deliberately left at its
+        # default: the pool's threads soak up cycles the actor's
+        # GIL-bound phases leave idle (measured: capping it to 1-4
+        # threads costs 10-60% wall at both 8 and 32 CPUs).
         self._triples = TripleExtractor()
         self._linker = EntityLinker(alias_ref)
         cmap = ray.get(cmap_ref) if isinstance(cmap_ref, ray.ObjectRef) else cmap_ref
@@ -138,10 +143,13 @@ def extract_and_link_shard(
     lang: str = "en",
     extract_batch_size: int = 512,
     actor_concurrency=(1, 8),
+    actor_num_cpus: float = 1.0,
 ) -> int:
     """Front half over one input shard → ``__part``-partitioned canonical
     edge partials (the exchange spill AND the resume checkpoint).
-    Returns rows written."""
+    Returns rows written. ``actor_num_cpus < 1`` oversubscribes the
+    actor pool slightly so read/write tasks interleave with the
+    CPU-bound actors instead of starving behind them."""
     ds = ray.data.read_parquet(files)
     if lang:
         ds = ds.filter(expr=f"lang == '{lang}'")
@@ -155,19 +163,24 @@ def extract_and_link_shard(
         batch_format="pyarrow",
         batch_size=extract_batch_size,
         concurrency=actor_concurrency,
+        num_cpus=actor_num_cpus,
     )
     with atomic_output_dir(out_dir) as tmp:
         ds.write_parquet(tmp, partition_cols=["__part"])
     return _dir_rows(out_dir)
 
 
-def build_node_table(aliases: pa.Table, canonical_map: Dict[str, str]) -> pa.Table:
+def build_node_table(aliases: pa.Table, canonical_map: Optional[Dict[str, str]]) -> pa.Table:
     """Alias KB → KGX node rows (id = canonical CURIE). Vectorized:
     pandas hashtable map for the canonical rewrite, prefix cascade for
-    the category."""
+    the category. ``canonical_map=None`` skips the rewrite (the
+    giant-KB path rewrites ids by hash join afterwards instead)."""
     df = aliases.to_pandas()
-    mapped = df["curie"].map(canonical_map)
-    ids = mapped.where(mapped.notna(), df["curie"])
+    if canonical_map is not None:
+        mapped = df["curie"].map(canonical_map)
+        ids = mapped.where(mapped.notna(), df["curie"])
+    else:
+        ids = df["curie"]
     # Category from the CURIE prefix; ALT: rows take their sameAs
     # partner's prefix (first '|' segment).
     probe = df["curie"].where(
@@ -191,7 +204,7 @@ def build_node_table(aliases: pa.Table, canonical_map: Dict[str, str]) -> pa.Tab
 
 @ray.remote
 def _reduce_partition_write(
-    files: List[str], part_id: int, out_root: str, known_ids: pa.Array
+    files: List[str], part_id: int, out_root: str, known_ids: Optional[pa.Array]
 ) -> Dict[str, Any]:
     """Reduce ONE hash partition: read its spilled partials from every
     shard, run the provenance-preserving (s,p,o) merge, write straight
@@ -215,6 +228,8 @@ def _reduce_partition_write(
         d = os.path.join(out_root, f"predicate={quote(str(pred), safe='')}")
         os.makedirs(d, exist_ok=True)
         pq.write_table(sub, os.path.join(d, f"part-{part_id:05d}.parquet"))
+    if known_ids is None:
+        return {"rows": r.num_rows, "missing": []}
     ends = pc.unique(
         pa.chunked_array(
             [r.column("subject").combine_chunks(), r.column("object").combine_chunks()]
@@ -242,6 +257,97 @@ def _partition_files(triples_root: str) -> Dict[int, List[str]]:
     return out
 
 
+def _backhalf_giant(
+    out_dir: str,
+    triples_root: str,
+    labels_ds: Dataset,
+    nodes_df: pd.DataFrame,
+    edges_out: str,
+    nodes_out: str,
+    num_partitions: int,
+) -> tuple:
+    """Back half for label maps too large to broadcast: canonical ids
+    are applied by hash join against the label Dataset (never collected
+    to the driver), followed by a second exchange on the now-canonical
+    triple. Costs one extra shuffle of the edge partials vs the fused
+    path — the price of a KB that outgrows a node's object store.
+    Returns (edges_rows, nodes_rows, n_stubs)."""
+    import numpy as np
+
+    from kgray.kernels.hashagg import add_partition_column
+    from kgray.pipelines.kgx_merge import merge_nodes
+    from kgray.stages.integrity import missing_endpoints
+
+    all_files = [f for files in _partition_files(triples_root).values() for f in files]
+    raw = ray.data.read_parquet(all_files, columns=EDGE_COLUMNS)
+    canon = apply_canonical_join(raw, labels_ds, ["subject", "object"], num_partitions)
+
+    def _map(df: pd.DataFrame) -> pd.DataFrame:
+        return add_partition_column(df.drop_duplicates(), _EDGE_KEY, num_partitions)
+
+    spill = os.path.join(out_dir, ".exchange-edges")
+    import shutil
+
+    shutil.rmtree(spill, ignore_errors=True)
+    canon.map_batches(_map, batch_format="pandas").write_parquet(
+        spill, partition_cols=["__part"]
+    )
+    part_files = {
+        int(d.split("=", 1)[1]): [
+            os.path.join(spill, d, f)
+            for f in sorted(os.listdir(os.path.join(spill, d)))
+            if f.endswith(".parquet")
+        ]
+        for d in os.listdir(spill)
+        if d.startswith("__part=")
+    }
+    edges_rows = 0
+    n_missing = 0
+    with atomic_output_dir(edges_out) as edges_tmp:
+        refs = [
+            _reduce_partition_write.remote(files_p, p, edges_tmp, None)
+            for p, files_p in sorted(part_files.items())
+        ]
+
+        # Nodes: raw rows → join-rewrite id → distributed merge, running
+        # concurrently with the edge reduce.
+        with atomic_output_dir(nodes_out) as nodes_tmp:
+            chunks = np.array_split(nodes_df, max(8, num_partitions))
+            nodes_ds = ray.data.from_pandas([c for c in chunks if len(c)])
+            nodes_ds = apply_canonical_join(nodes_ds, labels_ds, ["id"], num_partitions)
+            merged = merge_nodes(
+                nodes_ds, priority_sources=["kb_primary"], num_partitions=num_partitions
+            )
+            merged.write_parquet(nodes_tmp)
+            edges_rows = sum(r["rows"] for r in ray.get(refs))
+
+            # Stub repair via the distributed anti-join operator (the
+            # node-id set is as large as the KB here — no broadcast).
+            edges_ds = ray.data.read_parquet(edges_tmp, columns=["subject", "object"])
+            nodes_ids = ray.data.read_parquet(nodes_tmp, columns=["id"])
+            missing = sorted(
+                r["id"]
+                for r in missing_endpoints(edges_ds, nodes_ids, broadcast_limit=0).take_all()
+            )
+            n_missing = len(missing)
+            if n_missing:
+                stub_table = pa.table(
+                    {
+                        c: (
+                            pa.array(missing, type=pa.string())
+                            if c == "id"
+                            else pa.array([infer_category(i) for i in missing], type=pa.string())
+                            if c == "category"
+                            else pa.array([None] * n_missing, type=pa.string())
+                        )
+                        for c in NODE_COLUMNS
+                    }
+                )
+                pq.write_table(stub_table, os.path.join(nodes_tmp, "stubs.parquet"))
+    shutil.rmtree(spill, ignore_errors=True)
+    return edges_rows, _dir_rows(nodes_out), n_missing
+
+
 def shared_fs_ok(path: str) -> bool:
     """True when ``path`` is usable as the exchange spill across the
     cluster: single-node, or an explicitly shared mount. The spill/
@@ -266,8 +372,10 @@ def construct_kg(
     shard_group_size: Optional[int] = None,
     extract_batch_size: int = 512,
     actor_concurrency=(1, 8),
+    actor_num_cpus: float = 1.0,
     distributed_cc: bool = False,
     num_partitions: int = 8,
+    cc_broadcast_limit: int = 5_000_000,
 ) -> Dict:
     """Run the full construction pipeline. Returns the manifest counters.
 
@@ -293,6 +401,13 @@ def construct_kg(
     alias_ref = ray.put(alias_table.select(["alias", "curie"]))
 
     # ---- canonical map (depends only on the alias KB) -------------------
+    # Giant-KB escape hatch: when the distributed label map exceeds
+    # ``cc_broadcast_limit`` entries it is NEVER collected to the driver
+    # or broadcast — the front half then skips the fused rewrite and the
+    # back half rewrites ids by hash join against the label Dataset
+    # (one extra exchange; see _backhalf_giant).
+    labels_ds: Optional[Dataset] = None
+    giant_kb = False
     if distributed_cc:
         pairs = sameas_pairs_from_alias_table(alias_table)
         pairs_ds = ray.data.from_arrow(
@@ -303,11 +418,15 @@ def construct_kg(
                 }
             )
         )
-        labels = connected_components_distributed(pairs_ds, num_partitions=num_partitions)
-        cmap = {r["node"]: r["label"] for r in labels.take_all()}
+        labels_ds = connected_components_distributed(pairs_ds, num_partitions=num_partitions)
+        if labels_ds.count() > cc_broadcast_limit:
+            giant_kb = True
+            cmap = None
+        else:
+            cmap = {r["node"]: r["label"] for r in labels_ds.take_all()}
     else:
         cmap = canonical_map_from_aliases(alias_table)
-    cref = ray.put(cmap)
+    cref = ray.put(cmap if cmap is not None else {})
     timings["canonical_map_sec"] = round(_time.perf_counter() - t_start, 3)
 
     # ---- node-side build overlaps the front half (driver thread): the
@@ -353,6 +472,7 @@ def construct_kg(
             lang=lang,
             extract_batch_size=extract_batch_size,
             actor_concurrency=actor_concurrency,
+            actor_num_cpus=actor_num_cpus,
         )
         manifest.mark_shard(key, fp, triples_rows=rows, input_files=len(files))
     timings["front_sec"] = round(_time.perf_counter() - t_mark, 3)
@@ -369,6 +489,23 @@ def construct_kg(
     t_mark = _time.perf_counter()
     nb_thread.join()
     nodes_df = _nb["df"]
+
+    if giant_kb:
+        assert labels_ds is not None
+        edges_rows, nodes_rows, n_missing = _backhalf_giant(
+            out_dir, triples_root, labels_ds, nodes_df, edges_out, nodes_out, num_partitions
+        )
+        timings["reduce_half_sec"] = round(_time.perf_counter() - t_mark, 3)
+        manifest.mark_stage(
+            "materialize",
+            stage_fp,
+            edges_rows=edges_rows,
+            nodes_rows=nodes_rows,
+            stub_nodes=n_missing,
+            **timings,
+        )
+        return manifest.counters()
+
     # Known-node broadcast for the in-reduce integrity check: a pyarrow
     # array is zero-copy out of the object store per worker.
     known_ref = ray.put(pa.array(pd.unique(nodes_df["id"]), type=pa.string()))

@@ -178,6 +178,43 @@ def canonical_map_from_aliases(aliases: pa.Table) -> Dict[str, str]:
     return union_find(sameas_pairs_from_alias_table(aliases))
 
 
+def apply_canonical_join(
+    ds: Dataset,
+    labels: Dataset,
+    columns: Iterable[str],
+    num_partitions: int = 16,
+) -> Dataset:
+    """Rewrite id columns through a ``(node, label)`` label Dataset via
+    LEFT OUTER hash joins — the scale path of :func:`apply_canonical_map`
+    for label maps too large to ``ray.put`` (north-rule giant-KB case).
+    Ids absent from the map keep their value. One shuffle of ``ds`` per
+    rewritten column; use the broadcast path whenever the map fits a
+    node's object store — it is strictly cheaper.
+    """
+    cols = list(columns)
+
+    for c in cols:
+        lab_c = f"__label_{c}"
+
+        def _ren(t: pa.Table, _c=c, _lc=lab_c) -> pa.Table:
+            return pa.table({_c: t.column("node"), _lc: t.column("label")})
+
+        joined = ds.join(
+            labels.map_batches(_ren, batch_format="pyarrow"),
+            join_type="left_outer",
+            num_partitions=num_partitions,
+            on=(c,),
+        )
+
+        def _coalesce(t: pa.Table, _c=c, _lc=lab_c) -> pa.Table:
+            val = pc.if_else(pc.is_valid(t.column(_lc)), t.column(_lc), t.column(_c))
+            t = t.drop_columns([_lc])
+            return t.set_column(t.column_names.index(_c), _c, val)
+
+        ds = joined.map_batches(_coalesce, batch_format="pyarrow")
+    return ds
+
+
 def apply_canonical_map(
     ds: Dataset,
     mapping_ref,

@@ -88,14 +88,25 @@ def missing_endpoints(
             return t.filter(mask)
 
         return endpoints.map_batches(_anti, batch_format="pyarrow")
+    def _mark(t: pa.Table) -> pa.Table:
+        # Sentinel column: the hash join merges the key columns, so a
+        # match is only observable via a non-key right-side column.
+        return pa.table(
+            {"id": t.column("id"), "__hit": pa.array([1] * t.num_rows, type=pa.int8())}
+        )
+
     joined = endpoints.join(
-        nodes.select_columns(["id"]).rename_columns({"id": "__node_id"}),
+        nodes.select_columns(["id"]).map_batches(_mark, batch_format="pyarrow"),
         join_type="left_outer",
         num_partitions=max(8, n_nodes // 5_000_000),
         on=("id",),
-        right_on=("__node_id",),
     )
-    return joined.filter(expr="__node_id is null").select_columns(["id"])
+
+    def _null_only(t: pa.Table) -> pa.Table:
+        # Ray's string-expr parser has no `is null`; Arrow kernel instead.
+        return t.filter(pc.is_null(t.column("__hit"))).select(["id"])
+
+    return joined.map_batches(_null_only, batch_format="pyarrow")
 
 
 def stub_nodes(

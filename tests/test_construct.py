@@ -121,6 +121,32 @@ def test_resume_skips_done_shards(corpus, tmp_path, ray_session, monkeypatch):
     assert rows(edges_before) == rows(edges_after)
 
 
+def test_construct_giant_kb_join_path(corpus, tmp_path, ray_session):
+    """cc_broadcast_limit=0 forces the giant-KB back half: the label map
+    is never collected to the driver — canonical ids are applied by hash
+    join (apply_canonical_join) for both edges and nodes. Output must
+    match the broadcast path's invariants exactly."""
+    out = str(tmp_path / "kg_giant")
+    counters = construct_kg(
+        corpus["pages"],
+        corpus["aliases"],
+        out,
+        shard_group_size=2,
+        actor_concurrency=(1, 2),
+        distributed_cc=True,
+        cc_broadcast_limit=0,
+        num_partitions=4,
+    )
+    prf = triple_prf(os.path.join(out, "edges"), corpus["expected_triples"])
+    assert prf["precision"] >= 0.95, prf
+    assert prf["recall"] >= 0.95, prf
+    nodes = pq.read_table(os.path.join(out, "nodes"))
+    ids = nodes.column("id").to_pylist()
+    assert len(ids) == len(set(ids))
+    assert "ALT:0" in ids and "TAX:0" not in ids
+    assert counters["materialize.edges_rows"] > 0
+
+
 def test_distributed_cc_matches_driver_uf(tmp_path, ray_session):
     """Label propagation and driver union-find agree on the alias KB."""
     import pyarrow as pa
