@@ -109,6 +109,22 @@ def grouped_apply(
     )
 
 
+def shared_fs_ok(path: str) -> bool:
+    """True when ``path`` is usable as an exchange spill across the
+    cluster: single-node, or an explicitly shared mount (a prefix listed
+    in ``$KGRAY_SHARED_FS``, colon-separated). The spill/reduce protocol
+    reads partitions through the filesystem, so on a multi-node cluster
+    a node-local path would silently reduce over partial data — callers
+    fail fast instead (ADVICE r1)."""
+    import ray
+
+    alive = [n for n in ray.nodes() if n.get("Alive", False)]
+    if len(alive) <= 1:
+        return True
+    shared_prefixes = tuple(p for p in os.environ.get("KGRAY_SHARED_FS", "").split(":") if p)
+    return path.startswith(shared_prefixes) if shared_prefixes else False
+
+
 def grouped_apply_spill(
     ds: Dataset,
     keys: Sequence[str],
@@ -132,6 +148,13 @@ def grouped_apply_spill(
     import pyarrow.parquet as pq
     import ray
 
+    if not shared_fs_ok(spill_dir):
+        raise RuntimeError(
+            f"grouped_apply_spill spills its exchange under {spill_dir!r}, but this "
+            "is a multi-node cluster and the path is not declared shared storage; "
+            "point spill_dir at a shared mount and list its prefix in "
+            "$KGRAY_SHARED_FS (colon-separated) to proceed."
+        )
     keys = list(keys)
 
     def _map(df: pd.DataFrame) -> pd.DataFrame:

@@ -69,18 +69,29 @@ def load_config(path: str) -> MergeConfig:
         out = []
         for e in entries or []:
             inp = e.get("input", e)
-            out.append(SourceConfig(name=e.get("name", ""), nodes=inp.get("nodes"), edges=inp.get("edges")))
+            nodes, edges = inp.get("nodes"), inp.get("edges")
+            # Reference form (tests/data/test_merge_schema.yaml): the
+            # input is a `filename:` list classified by suffix, exactly
+            # as the reference globs *_nodes.tsv / *_edges.tsv
+            # (merge.py:70-80).
+            for f in inp.get("filename") or []:
+                if str(f).endswith("_nodes.tsv") or "nodes" in os.path.basename(str(f)):
+                    nodes = nodes or f
+                elif str(f).endswith("_edges.tsv") or "edges" in os.path.basename(str(f)):
+                    edges = edges or f
+            out.append(SourceConfig(name=e.get("name", ""), nodes=nodes, edges=edges))
         return out
 
+    # `source`/`destination` (singular) are the reference schema's key
+    # names (merge_schema.yaml); the plural forms are this engine's.
+    destinations = mg.get("destinations", mg.get("destination")) or ["tsv"]
     return MergeConfig(
         name=mg.get("name", "merged-kg"),
         output_directory=conf.get("output_directory", "data/merged"),
-        sources=_sources(mg.get("sources")),
+        sources=_sources(mg.get("sources", mg.get("source"))),
         ontologies=_sources(mg.get("ontologies")),
         operations=[o if isinstance(o, str) else o.get("name", "") for o in mg.get("operations", [])],
-        destinations=[
-            d if isinstance(d, str) else d.get("format", "tsv") for d in mg.get("destinations", ["tsv"])
-        ],
+        destinations=[d if isinstance(d, str) else d.get("format", "tsv") for d in destinations],
         checkpoint=bool(conf.get("checkpoint", False)),
         edge_provenance=bool(mg.get("edge_provenance", False)),
     )

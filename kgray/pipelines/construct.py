@@ -48,6 +48,9 @@ import ray
 import ray.data
 from ray.data import Dataset
 
+# shared_fs_ok: the spill/reduce-through-filesystem constraint is owned
+# by the exchange kernel; construct_kg enforces it for its own spill too.
+from kgray.kernels.hashagg import shared_fs_ok
 from kgray.pipelines.kgx_merge import merge_nodes_frame
 from kgray.stages.canonical import (
     apply_canonical_join,
@@ -57,7 +60,7 @@ from kgray.stages.canonical import (
 )
 from kgray.stages.extract import extract_text_batch
 from kgray.stages.integrity import infer_category
-from kgray.stages.linking import EntityLinker
+from kgray.stages.linking import EntityLinker, build_linker_state
 from kgray.stages.triples import TripleExtractor
 from kgray.state.manifest import (
     Manifest,
@@ -108,7 +111,7 @@ class PageToEdges:
     composes them with state pinned once per actor in ``__init__``.
     """
 
-    def __init__(self, alias_ref, cmap_ref, num_partitions: int):
+    def __init__(self, alias_ref, cmap_ref, num_partitions: int, lang: str = ""):
         from kgray.kernels.hashagg import add_partition_column  # noqa: F401 (bound below)
 
         # Arrow's per-process thread pool is deliberately left at its
@@ -121,8 +124,15 @@ class PageToEdges:
         self._cmap = cmap
         self._nparts = num_partitions
         self._add_part = add_partition_column
+        self._lang = lang
 
     def __call__(self, batch: pa.Table) -> pd.DataFrame:
+        if self._lang:
+            # Fused lang filter: a standalone Filter operator costs one
+            # extra full block materialization through the object store.
+            import pyarrow.compute as pc
+
+            batch = batch.filter(pc.equal(batch.column("lang"), self._lang))
         batch = extract_text_batch(batch)
         linked = self._linker(self._triples(batch))
         linked = _host_provenance(linked)
@@ -131,7 +141,10 @@ class PageToEdges:
             mapped = df[c].map(self._cmap)  # C hashtable lookup
             df[c] = mapped.where(mapped.notna(), df[c])
         df = df.drop_duplicates()
-        return self._add_part(df, _EDGE_KEY, self._nparts)
+        out = self._add_part(df, _EDGE_KEY, self._nparts)
+        # Hand Ray an Arrow block directly — its own pandas→Arrow block
+        # conversion (with index handling) costs more per batch.
+        return pa.Table.from_pandas(out, preserve_index=False)
 
 
 def extract_and_link_shard(
@@ -151,14 +164,13 @@ def extract_and_link_shard(
     actor pool slightly so read/write tasks interleave with the
     CPU-bound actors instead of starving behind them."""
     ds = ray.data.read_parquet(files)
-    if lang:
-        ds = ds.filter(expr=f"lang == '{lang}'")
     ds = ds.map_batches(
         PageToEdges,
         fn_constructor_kwargs={
             "alias_ref": alias_ref,
             "cmap_ref": cmap_ref,
             "num_partitions": num_partitions,
+            "lang": lang,
         },
         batch_format="pyarrow",
         batch_size=extract_batch_size,
@@ -171,33 +183,54 @@ def extract_and_link_shard(
 
 
 def build_node_table(aliases: pa.Table, canonical_map: Optional[Dict[str, str]]) -> pa.Table:
-    """Alias KB → KGX node rows (id = canonical CURIE). Vectorized:
-    pandas hashtable map for the canonical rewrite, prefix cascade for
-    the category. ``canonical_map=None`` skips the rewrite (the
-    giant-KB path rewrites ids by hash join afterwards instead)."""
-    df = aliases.to_pandas()
-    if canonical_map is not None:
-        mapped = df["curie"].map(canonical_map)
-        ids = mapped.where(mapped.notna(), df["curie"])
+    """Alias KB → KGX node rows (id = canonical CURIE). Fully Arrow/
+    numpy vectorized (a pandas version cost ~4.4 s of serial driver CPU
+    at a 1.6M-alias KB — racing the front half for cores).
+    ``canonical_map=None`` skips the rewrite (the giant-KB path rewrites
+    ids by hash join afterwards instead)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from kgray.stages.linking import _string_array_to_S
+
+    curie = aliases.column("curie").combine_chunks()
+    same = aliases.column("same_as").combine_chunks()
+    if canonical_map:
+        # Sorted-probe rewrite (same trick as the linker's exact path).
+        keys = sorted(canonical_map)
+        key_S = _string_array_to_S(pa.chunked_array([pa.array(keys, type=pa.string())]))
+        val_S = _string_array_to_S(
+            pa.chunked_array([pa.array([canonical_map[k] for k in keys], type=pa.string())])
+        )
+        cur_S = _string_array_to_S(curie)
+        w = max(cur_S.dtype.itemsize, key_S.dtype.itemsize, val_S.dtype.itemsize)
+        cur_S = cur_S.astype(f"S{w}")
+        idx = np.searchsorted(key_S.astype(f"S{w}"), cur_S)
+        idx_c = np.minimum(idx, len(key_S) - 1)
+        hit = key_S.astype(f"S{w}")[idx_c] == cur_S
+        ids_S = np.where(hit, val_S.astype(f"S{w}")[idx_c], cur_S)
+        ids = pa.array(ids_S).cast(pa.string())
     else:
-        ids = df["curie"]
+        ids = curie
     # Category from the CURIE prefix; ALT: rows take their sameAs
     # partner's prefix (first '|' segment).
-    probe = df["curie"].where(
-        ~df["curie"].str.startswith("ALT:"),
-        df["same_as"].str.split("|").str[0].where(df["same_as"].astype(bool), df["curie"]),
+    same = pc.fill_null(same, "")
+    has_same = pc.greater(pc.utf8_length(same), 0)
+    first_seg = pc.if_else(
+        has_same, pc.list_element(pc.split_pattern(same, "|"), 0), curie
     )
-    cat = pd.Series("biolink:NamedThing", index=df.index)
+    probe = pc.if_else(pc.starts_with(curie, "ALT:"), first_seg, curie)
+    cat = pa.array(["biolink:NamedThing"] * len(curie), type=pa.string())
     for prefix, category in reversed(_PREFIX_CATEGORIES):
-        cat = cat.mask(probe.str.startswith(prefix), category)
-    same = df["same_as"].where(df["same_as"].astype(bool), None)
+        cat = pc.if_else(pc.starts_with(probe, prefix), pa.scalar(category), cat)
+    same_out = pc.if_else(has_same, same, pa.scalar(None, type=pa.string()))
     return pa.table(
         {
-            "id": pa.array(ids, type=pa.string()),
-            "name": pa.array(df["alias"], type=pa.string()),
-            "category": pa.array(cat, type=pa.string()),
-            "provided_by": pa.array(df["provided_by"], type=pa.string()),
-            "same_as": pa.array(same, type=pa.string()),
+            "id": ids,
+            "name": aliases.column("alias").combine_chunks().cast(pa.string()),
+            "category": cat,
+            "provided_by": aliases.column("provided_by").combine_chunks().cast(pa.string()),
+            "same_as": same_out,
         }
     )
 
@@ -261,7 +294,7 @@ def _backhalf_giant(
     out_dir: str,
     triples_root: str,
     labels_ds: Dataset,
-    nodes_df: pd.DataFrame,
+    nodes_t: pa.Table,
     edges_out: str,
     nodes_out: str,
     num_partitions: int,
@@ -312,8 +345,9 @@ def _backhalf_giant(
         # Nodes: raw rows → join-rewrite id → distributed merge, running
         # concurrently with the edge reduce.
         with atomic_output_dir(nodes_out) as nodes_tmp:
-            chunks = np.array_split(nodes_df, max(8, num_partitions))
-            nodes_ds = ray.data.from_pandas([c for c in chunks if len(c)])
+            step = -(-len(nodes_t) // max(8, num_partitions))
+            chunks = [nodes_t.slice(o, step) for o in range(0, len(nodes_t), step)]
+            nodes_ds = ray.data.from_arrow([c for c in chunks if len(c)])
             nodes_ds = apply_canonical_join(nodes_ds, labels_ds, ["id"], num_partitions)
             merged = merge_nodes(
                 nodes_ds, priority_sources=["kb_primary"], num_partitions=num_partitions
@@ -348,19 +382,6 @@ def _backhalf_giant(
     return edges_rows, _dir_rows(nodes_out), n_missing
 
 
-def shared_fs_ok(path: str) -> bool:
-    """True when ``path`` is usable as the exchange spill across the
-    cluster: single-node, or an explicitly shared mount. The spill/
-    reduce protocol reads partitions through the filesystem, so on a
-    multi-node cluster a node-local path would silently reduce over
-    partial data — fail fast instead (ADVICE r1)."""
-    alive = [n for n in ray.nodes() if n.get("Alive", False)]
-    if len(alive) <= 1:
-        return True
-    shared_prefixes = tuple(
-        p for p in os.environ.get("KGRAY_SHARED_FS", "").split(":") if p
-    )
-    return path.startswith(shared_prefixes) if shared_prefixes else False
 
 
 def construct_kg(
@@ -398,7 +419,18 @@ def construct_kg(
     manifest = Manifest(os.path.join(out_dir, "manifest.json"))
     alias_table = pq.read_table(aliases_path)
     alias_fp = file_fingerprint(aliases_path)
-    alias_ref = ray.put(alias_table.select(["alias", "curie"]))
+    # Linker lookup state: built ONCE here, ray.put once; every linker
+    # actor maps the sorted numpy arrays zero-copy from the object
+    # store (one physical copy per node — NOT one heap copy per actor).
+    # Built on a thread so it overlaps the canonical map (independent
+    # driver-side preps — together they are the pipeline's serial head).
+    _ls: Dict[str, Any] = {}
+
+    def _build_state():
+        _ls["ref"] = ray.put(build_linker_state(alias_table))
+
+    ls_thread = threading.Thread(target=_build_state)
+    ls_thread.start()
 
     # ---- canonical map (depends only on the alias KB) -------------------
     # Giant-KB escape hatch: when the distributed label map exceeds
@@ -435,7 +467,7 @@ def construct_kg(
     _nb: Dict[str, Any] = {}
 
     def _build_nodes():
-        _nb["df"] = build_node_table(alias_table, cmap).to_pandas()
+        _nb["t"] = build_node_table(alias_table, cmap)
 
     nb_thread = threading.Thread(target=_build_nodes)
     nb_thread.start()
@@ -451,6 +483,8 @@ def construct_kg(
         shard_group_size = max(1, -(-n_files // 4))
     shards = list_page_shards(pages_dir, shard_group_size)
     triples_root = os.path.join(out_dir, "triples")
+    ls_thread.join()
+    alias_ref = _ls["ref"]
     for i, files in enumerate(shards):
         key = f"shard={i:04d}"
         # The spilled partials depend on the pages AND on the alias KB
@@ -488,12 +522,12 @@ def construct_kg(
 
     t_mark = _time.perf_counter()
     nb_thread.join()
-    nodes_df = _nb["df"]
+    nodes_t: pa.Table = _nb["t"]
 
     if giant_kb:
         assert labels_ds is not None
         edges_rows, nodes_rows, n_missing = _backhalf_giant(
-            out_dir, triples_root, labels_ds, nodes_df, edges_out, nodes_out, num_partitions
+            out_dir, triples_root, labels_ds, nodes_t, edges_out, nodes_out, num_partitions
         )
         timings["reduce_half_sec"] = round(_time.perf_counter() - t_mark, 3)
         manifest.mark_stage(
@@ -508,7 +542,9 @@ def construct_kg(
 
     # Known-node broadcast for the in-reduce integrity check: a pyarrow
     # array is zero-copy out of the object store per worker.
-    known_ref = ray.put(pa.array(pd.unique(nodes_df["id"]), type=pa.string()))
+    import pyarrow.compute as pc
+
+    known_ref = ray.put(pc.unique(nodes_t.column("id")).cast(pa.string()))
 
     part_files = _partition_files(triples_root)
     n_missing = 0
@@ -523,20 +559,19 @@ def construct_kg(
         # either way the cluster interleaves it with the reduce).
         with atomic_output_dir(nodes_out) as nodes_tmp:
             merged_frame: Optional[pd.DataFrame] = None
-            if len(nodes_df) <= 50_000:
+            if len(nodes_t) <= 50_000:
                 merged_frame = merge_nodes_frame(
-                    nodes_df, NODE_COLUMNS, priority_sources=["kb_primary"]
+                    nodes_t.to_pandas(), NODE_COLUMNS, priority_sources=["kb_primary"]
                 )
             else:
                 # Big KB: same merge distributed (same frame kernel as the
-                # per-partition reduce). Split the input frame so the map
-                # side parallelizes (from_pandas of one frame = one block).
-                import numpy as np
-
+                # per-partition reduce). Split the table so the map side
+                # parallelizes (from_arrow of one table = one block).
                 from kgray.pipelines.kgx_merge import merge_nodes
 
-                chunks = np.array_split(nodes_df, max(8, num_partitions))
-                nodes_ds = ray.data.from_pandas([c for c in chunks if len(c)])
+                step = -(-len(nodes_t) // max(8, num_partitions))
+                chunks = [nodes_t.slice(o, step) for o in range(0, len(nodes_t), step)]
+                nodes_ds = ray.data.from_arrow([c for c in chunks if len(c)])
                 merged = merge_nodes(
                     nodes_ds, priority_sources=["kb_primary"], num_partitions=num_partitions
                 )

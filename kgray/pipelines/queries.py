@@ -408,6 +408,20 @@ WHERE m * 1.0 / (ca.n + cb.n - m) >= 0.7
 """
 
 
+def q_dedup_jaccard_pairs(sf_dir: str):
+    """Exact inverted-index n-gram Jaccard (no sketch): must equal the
+    same brute-force SQL the MinHash+LSH path is only *probably* equal
+    to — the deterministic member of the dedup family."""
+    from kgray.stages.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(sf_dir, ["doc_id", "text"]), threshold=0.7)
+
+
+# Same ground truth as SQL_DEDUP_MINHASH_PAIRS: the exact operator and
+# the sketch-based one answer the same question.
+SQL_DEDUP_JACCARD_PAIRS = SQL_DEDUP_MINHASH_PAIRS
+
+
 def q_dedup_embedding_pairs(sf_dir: str):
     """Embedding near-dup via the LSH-bucketed SCALE path (no matrix
     broadcast); the brute-force scan stays the test baseline inside
@@ -1004,6 +1018,7 @@ QUERIES = {
     "union_by_name": q_union_by_name,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
+    "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
     "dedup_embedding_pairs": q_dedup_embedding_pairs,
     "dedup_simhash": q_dedup_simhash,
     "ann_topk": q_ann_topk,
@@ -1038,6 +1053,7 @@ ORACLES = {
     "union_by_name": SQL_UNION_BY_NAME,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_minhash_pairs": SQL_DEDUP_MINHASH_PAIRS,
+    "dedup_jaccard_pairs": SQL_DEDUP_JACCARD_PAIRS,
     "dedup_embedding_pairs": SQL_DEDUP_EMBEDDING_PAIRS,
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "ann_topk": SQL_ANN_TOPK,

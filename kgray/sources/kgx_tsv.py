@@ -161,6 +161,17 @@ def dataset_to_sorted_tsv(
             f.write("\t".join(cols) + "\n")
             for batch in ds.iter_batches(batch_size=65536, batch_format="pandas"):
                 batch = batch.fillna("")
+                # QUOTE_NONE would make to_csv raise on embedded
+                # tabs/newlines (free-text description columns in real
+                # KGX dumps); collapse them to spaces so the writer
+                # degrades predictably — KGX TSV has no quoting
+                # convention to round-trip them anyway.
+                for c in batch.columns:
+                    if batch[c].dtype == object:
+                        s = batch[c]
+                        mask = s.str.contains(r"[\t\n\r]", regex=True, na=False)
+                        if mask.any():
+                            batch[c] = s.str.replace(r"[\t\n\r]+", " ", regex=True)
                 batch.to_csv(
                     f,
                     sep="\t",

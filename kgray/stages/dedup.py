@@ -314,6 +314,113 @@ def minhash_lsh_dedup(
 
 
 # ---------------------------------------------------------------------------
+# Exact n-gram Jaccard (inverted-index join — no sketching)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    ds: Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    shingle_k: int = 3,
+    max_postings: int = 1000,
+    num_partitions: int = 32,
+) -> Dataset:
+    """EXACT near-dup pairs (id_a < id_b, word-``shingle_k``-gram Jaccard
+    ≥ threshold) — the deterministic sibling of ``minhash_lsh_pairs``.
+
+    Distributed inverted-index shape (nothing broadcast, no driver
+    materialization):
+
+    1. map: each doc → one row per DISTINCT shingle
+       ``(sh = 64-bit shingle hash, id, sz = |shingle set|)``; only
+       hashes + ids shuffle, never text.
+    2. exchange on ``sh``: per-partition C-speed self-merge of the
+       postings lists → co-occurrence rows ``(id_a, id_b, sz_a, sz_b)``
+       (one per shared shingle). Postings longer than ``max_postings``
+       are skipped AND logged — a shingle shared by >1000 docs is
+       boilerplate, and its pair blowup is quadratic.
+    3. exchange on ``(id_a, id_b)``: sum co-occurrences → intersection
+       ``m``; keep pairs with ``m / (sz_a + sz_b − m) ≥ threshold``.
+
+    Exactness caveat: shingles are compared by 64-bit md5 prefix; a
+    hash collision (P ≈ n²/2⁶⁴) could overcount one intersection.
+    """
+    import logging
+
+    from kgray.kernels.hashagg import grouped_apply
+
+    logger = logging.getLogger(__name__)
+
+    def _emit(t: pa.Table) -> pa.Table:
+        ids, shs, szs = [], [], []
+        for doc_id, text in zip(t.column(id_col).to_pylist(), t.column(text_col).to_pylist()):
+            ss = _shingle_set(text, shingle_k)
+            if not ss:
+                continue
+            n = len(ss)
+            for s in ss:
+                h = int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "little")
+                ids.append(doc_id)
+                shs.append(h - (1 << 64) if h >= (1 << 63) else h)
+                szs.append(n)
+        return pa.table(
+            {
+                "sh": pa.array(shs, type=pa.int64()),
+                id_col: pa.array(ids),
+                "sz": pa.array(szs, type=pa.int32()),
+            }
+        )
+
+    posted = ds.select_columns([id_col, text_col]).map_batches(_emit, batch_format="pyarrow")
+
+    def _cooccur(part: pd.DataFrame) -> pd.DataFrame:
+        cnt = part.groupby("sh")["sh"].transform("size")
+        over = cnt > max_postings
+        if over.any():
+            sizes = part.loc[over].groupby("sh")["sh"].size()
+            logger.warning(
+                "ngram_jaccard_pairs: skipped %d oversized postings lists "
+                "(> %d docs; sizes %s) — pairs joined only by those "
+                "shingles are lost",
+                len(sizes), max_postings, sorted(sizes.tolist(), reverse=True)[:10],
+            )
+        part = part[(cnt >= 2) & ~over]
+        m = part.merge(part, on="sh", suffixes=("_a", "_b"))
+        m = m[m[f"{id_col}_a"] < m[f"{id_col}_b"]]
+        return pd.DataFrame(
+            {
+                "id_a": m[f"{id_col}_a"].to_numpy(),
+                "id_b": m[f"{id_col}_b"].to_numpy(),
+                "sz_a": m["sz_a"].to_numpy(),
+                "sz_b": m["sz_b"].to_numpy(),
+            }
+        )
+
+    co = grouped_apply(posted, ["sh"], _cooccur, num_partitions=num_partitions)
+
+    # Combiner: collapse per-batch duplicates of a pair into partial
+    # counts so the second exchange moves one row per (pair, batch).
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        if "m" not in df.columns:
+            df = df.assign(m=1)
+        return (
+            df.groupby(["id_a", "id_b", "sz_a", "sz_b"], sort=False)["m"]
+            .sum()
+            .reset_index()
+        )
+
+    def _jaccard(part: pd.DataFrame) -> pd.DataFrame:
+        g = _partial(part)
+        jac = g["m"] / (g["sz_a"] + g["sz_b"] - g["m"])
+        return g.loc[jac >= threshold, ["id_a", "id_b"]]
+
+    return grouped_apply(
+        co, ["id_a", "id_b"], _jaccard, num_partitions=num_partitions, map_side=_partial
+    )
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

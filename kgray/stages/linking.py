@@ -1,15 +1,29 @@
 """Entity linking: mention string → canonical-KB CURIE.
 
-North-rule stage 3: candidate generation via alias hash tables +
+North-rule stage 3: candidate generation via alias lookup tables +
 character n-gram MinHash blocking, then scoring. The "cross-encoder"
 scorer is a deterministic stand-in (true n-gram Jaccard between mention
-and candidate alias) with the same plumbing a learned scorer would
-have: all heavy state — alias hash map, MinHash band index, per-alias
-gram sets — is built ONCE per actor in ``__init__`` from a
-``ray.put``-broadcast alias table (read once per actor, never
-re-shipped per batch), and ``__call__`` resolves batches with a
-per-actor memo cache (resolution is a pure function of the mention, so
-caching is safe under retries).
+and candidate alias) with the same plumbing a learned scorer would have.
+
+Scale design (this is the hot stage of the construction pipeline):
+
+* The heavy state — the exact alias→CURIE map and the digit-tuple
+  candidate index — is built ONCE on the driver by
+  :func:`build_linker_state` as SORTED FIXED-WIDTH numpy byte arrays
+  and ``ray.put`` once. Every linker actor maps them zero-copy from
+  the object store: one physical copy per NODE, not one ~GB heap copy
+  per actor. (28 private dict copies of a 1.6M-alias KB measurably
+  halved per-actor throughput via cache/bandwidth contention — see
+  BASELINE.md round-2 notes.)
+* Exact resolution is a vectorized ``np.searchsorted`` probe over the
+  shared sorted alias array — C-speed for the whole distinct-mention
+  set of a batch, no per-row Python and no per-actor hash table.
+* Fuzzy resolution (the rare path) stays per-mention Python over a
+  handful of candidates: digit-bearing mentions probe the shared
+  digit-key array (binary search slice); digit-less mentions go
+  through a per-actor MinHash band index built over only the
+  digit-less aliases (small by construction in web KBs where surface
+  forms carry identifiers). Results are memoized per actor.
 
 Unlinkable mentions (below ``fuzzy_threshold`` against every candidate)
 are DROPPED — precision over recall, per the north rule's P/R target.
@@ -101,45 +115,167 @@ class MinHashIndex:
         return inter / (len(qg) + len(kg) - inter)
 
 
+def _string_array_to_S(arr: pa.ChunkedArray) -> np.ndarray:
+    """Arrow string array → numpy fixed-width ``S`` array, fully
+    vectorized from the raw offsets/data buffers (no per-element Python
+    objects — ~50× faster than ``np.array(to_pylist())`` at 10⁶ rows).
+    Nulls become b''. Width = max value length (min 1)."""
+    ca = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    if isinstance(ca, pa.ChunkedArray):  # zero chunks → empty
+        return np.array([], dtype="S1")
+    n = len(ca)
+    if n == 0:
+        return np.array([], dtype="S1")
+    ca = ca.cast(pa.string())
+    bufs = ca.buffers()
+    offsets = np.frombuffer(bufs[1], dtype=np.int32, count=n + 1 + ca.offset)[ca.offset :]
+    data = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None else np.array([], np.uint8)
+    lens = (offsets[1:] - offsets[:-1]).astype(np.int64)
+    w = max(int(lens.max()), 1)
+    out = np.zeros((n, w), dtype=np.uint8)
+    tot = int(lens.sum())
+    if tot:
+        # Row-major boolean scatter: mask selects each row's first
+        # len(i) cells in order, and `data` holds exactly those bytes
+        # concatenated in row order (values buffer sliced to the
+        # array's window) — a single C-level assignment pads the lot.
+        start = int(offsets[0])
+        mask = np.arange(w, dtype=np.int64)[None, :] < lens[:, None]
+        out[mask] = data[start : start + tot]
+    return out.reshape(-1).view(f"S{w}")
+
+
+def build_linker_state(alias_table: pa.Table) -> Dict[str, np.ndarray]:
+    """Driver-side (once per job): alias KB → the linker's shared lookup
+    state as plain numpy arrays, suitable for ``ray.put`` + zero-copy
+    ``ray.get`` in every actor.
+
+    Layout (all fixed-width ``S`` byte arrays, UTF-8):
+      alias_sorted / alias_curie    exact map, sorted by alias bytes;
+                                    duplicate aliases keep the MIN curie
+                                    (deterministic, as before)
+      dkey_sorted / dkey_alias /    candidate index for digit-bearing
+      dkey_curie                    mentions, sorted by the mention's
+                                    digit-run tuple key ("12|7" style);
+                                    a binary-search slice IS the
+                                    candidate list
+      nodigit_alias                 digit-less aliases (MinHash band
+                                    index is built per actor over these
+                                    — small by construction)
+    """
+    import pyarrow.compute as pc
+
+    t = alias_table.select(["alias", "curie"]).combine_chunks()
+    # Duplicate aliases keep the MIN curie (deterministic, as before).
+    t = t.sort_by([("alias", "ascending"), ("curie", "ascending")])
+    alias_col = t.column("alias").combine_chunks()
+    if t.num_rows > 1:
+        n = t.num_rows
+        eq = pc.equal(alias_col.slice(1), alias_col.slice(0, n - 1))
+        if isinstance(eq, pa.ChunkedArray):
+            eq = eq.combine_chunks()
+        keep = np.ones(n, dtype=bool)
+        keep[1:] = ~eq.to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(keep))
+        alias_col = t.column("alias").combine_chunks()
+
+    alias_arr = _string_array_to_S(alias_col)
+    curie_arr = _string_array_to_S(t.column("curie").combine_chunks())
+    # utf-8 bytewise order == codepoint order, so the Arrow sort above
+    # already ordered alias_arr; assert-free because S-compare agrees.
+    order = np.argsort(alias_arr, kind="stable")
+    alias_sorted = alias_arr[order]
+    alias_curie = curie_arr[order]
+
+    # Digit-run key per alias, vectorized: every maximal non-digit run →
+    # '|', then trim boundary '|' — exactly "|".join(re.findall(r"\d+")).
+    dkey_col = pc.utf8_trim(
+        pc.replace_substring_regex(alias_col, r"\D+", "|"), characters="|"
+    )
+    dkey_full = _string_array_to_S(dkey_col)
+    has_d = dkey_full != b""
+    dkey_arr = dkey_full[has_d]
+    d_alias = alias_arr[has_d]
+    d_curie = curie_arr[has_d]
+    dorder = np.argsort(dkey_arr, kind="stable") if len(dkey_arr) else np.array([], dtype=np.int64)
+
+    return {
+        "alias_sorted": alias_sorted,
+        "alias_curie": alias_curie,
+        "dkey_sorted": dkey_arr[dorder],
+        "dkey_alias": d_alias[dorder],
+        "dkey_curie": d_curie[dorder],
+        "nodigit_alias": alias_arr[~has_d],
+    }
+
+
 class EntityLinker:
     """Actor-pool map_batches stage: mention triples → linked CURIE triples.
 
-    ``alias_ref``: ``ray.ObjectRef`` of the alias table (pa.Table with
-    columns alias/curie) put in the object store once by the driver.
+    ``state_ref``: ``ray.ObjectRef`` of :func:`build_linker_state` output
+    (preferred — zero-copy shared across every actor on a node), or an
+    alias ``pa.Table`` / its ObjectRef (compat path: the state is then
+    built locally, costing one private copy per actor).
     """
 
-    def __init__(self, alias_ref, fuzzy_threshold: float = 0.4):
-        table = ray.get(alias_ref) if isinstance(alias_ref, ray.ObjectRef) else alias_ref
-        aliases = table.column("alias").to_pylist()
-        curies = table.column("curie").to_pylist()
-        self._exact: Dict[str, str] = {}
-        for a, c in zip(aliases, curies):
-            # Deterministic on duplicate aliases: keep the min CURIE.
-            if a not in self._exact or c < self._exact[a]:
-                self._exact[a] = c
-        # Digit-token blocking: the scorer REQUIRES digit runs to agree
-        # exactly (entity identity), so for mentions that carry digits
-        # the candidate set is exactly the aliases with the same digit
-        # tuple — a dict hit, usually a handful of aliases. The MinHash
-        # index covers only digit-less aliases (general surface forms);
-        # at web-scale KBs this keeps fuzzy resolution O(1) per mention
-        # instead of O(bucket) where popular-name buckets hold 10^3+.
-        self._digits_index: Dict[Tuple[str, ...], List[str]] = {}
+    def __init__(self, state_ref, fuzzy_threshold: float = 0.4):
+        obj = ray.get(state_ref) if isinstance(state_ref, ray.ObjectRef) else state_ref
+        if isinstance(obj, pa.Table):
+            obj = build_linker_state(obj)
+        self._alias = obj["alias_sorted"]
+        self._curie = obj["alias_curie"]
+        self._dkey = obj["dkey_sorted"]
+        self._dalias = obj["dkey_alias"]
+        self._dcurie = obj["dkey_curie"]
+        self._awidth = self._alias.dtype.itemsize
+        self._kwidth = self._dkey.dtype.itemsize if len(self._dkey) else 0
+        # Per-actor: only the (small) digit-less MinHash index + the
+        # fuzzy-miss memo. The big arrays above are plasma-shared.
         self._index = MinHashIndex()
-        for a in self._exact:
-            d = tuple(_DIGIT_RUNS.findall(a))
-            if d:
-                self._digits_index.setdefault(d, []).append(a)
-            else:
-                self._index.add(a)
+        self._nodigit: Dict[str, str] = {}
+        probe = np.searchsorted(self._alias, obj["nodigit_alias"])
+        for a, i in zip(obj["nodigit_alias"], probe):
+            s = a.decode("utf-8")
+            self._nodigit[s] = self._curie[i].decode("utf-8")
+            self._index.add(s)
         self._threshold = fuzzy_threshold
         self._memo: Dict[str, Optional[str]] = {}
 
-    def _candidates(self, mention: str) -> List[str]:
-        d = tuple(_DIGIT_RUNS.findall(mention))
+    # ---- exact path (vectorized) ----------------------------------------
+    def _exact_many(self, mentions: List[str]) -> List[Optional[str]]:
+        if not len(self._alias) or not mentions:
+            return [None] * len(mentions)
+        enc = [m.encode("utf-8") for m in mentions]
+        ok = np.fromiter((len(e) <= self._awidth for e in enc), dtype=bool, count=len(enc))
+        arr = np.array(enc, dtype=f"S{self._awidth}")
+        idx = np.searchsorted(self._alias, arr)
+        idx_c = np.minimum(idx, len(self._alias) - 1)
+        hit = (self._alias[idx_c] == arr) & ok
+        out: List[Optional[str]] = [None] * len(mentions)
+        where = np.flatnonzero(hit)
+        # Vectorized bytes→str for the hit curies (no per-row .decode).
+        decoded = self._curie[idx_c[where]].astype(str)
+        for j, s in zip(where.tolist(), decoded.tolist()):
+            out[j] = s
+        return out
+
+    # ---- fuzzy path (per miss, memoized) --------------------------------
+    def _candidates(self, mention: str) -> List[Tuple[str, str]]:
+        d = _DIGIT_RUNS.findall(mention)
         if d:
-            return self._digits_index.get(d, [])
-        return self._index.candidates(mention)
+            if not len(self._dkey):
+                return []
+            key = "|".join(d).encode("utf-8")
+            if len(key) > self._kwidth:
+                return []
+            k = np.array([key], dtype=f"S{self._kwidth}")
+            lo = np.searchsorted(self._dkey, k, side="left")[0]
+            hi = np.searchsorted(self._dkey, k, side="right")[0]
+            return [
+                (self._dalias[i].decode("utf-8"), self._dcurie[i].decode("utf-8"))
+                for i in range(lo, hi)
+            ]
+        return [(a, self._nodigit[a]) for a in self._index.candidates(mention)]
 
     @staticmethod
     def _jaccard2(a: str, b: str) -> float:
@@ -149,29 +285,35 @@ class EntityLinker:
             return 0.0
         return inter / (len(ga) + len(gb) - inter)
 
-    def resolve(self, mention: str) -> Optional[str]:
+    def _fuzzy(self, mention: str) -> Optional[str]:
         if mention in self._memo:
             return self._memo[mention]
-        out = self._exact.get(mention)
-        if out is None:
-            best: Tuple[float, str, str] = (0.0, "", "")
-            for cand in self._candidates(mention):
-                j = self._jaccard2(mention, cand)
-                if j < self._threshold:
-                    continue
-                curie = self._exact[cand]
-                # Higher jaccard wins; ties break on lexicographic min CURIE.
-                if j > best[0] or (j == best[0] and best[1] and curie < best[2]):
-                    best = (j, cand, curie)
-            out = best[2] or None
+        best: Tuple[float, str, str] = (0.0, "", "")
+        for cand, curie in self._candidates(mention):
+            j = self._jaccard2(mention, cand)
+            if j < self._threshold:
+                continue
+            # Higher jaccard wins; ties break on lexicographic min CURIE.
+            if j > best[0] or (j == best[0] and best[1] and curie < best[2]):
+                best = (j, cand, curie)
+        out = best[2] or None
         self._memo[mention] = out
+        return out
+
+    def resolve(self, mention: str) -> Optional[str]:
+        out = self._exact_many([mention])[0]
+        if out is None:
+            out = self._fuzzy(mention)
         return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         subs = batch.column("subject_mention").to_pylist()
         objs = batch.column("object_mention").to_pylist()
-        distinct = set(subs) | set(objs)
-        res = {m: self.resolve(m) for m in distinct}
+        distinct = list(set(subs) | set(objs))
+        exact = self._exact_many(distinct)
+        res = {
+            m: (e if e is not None else self._fuzzy(m)) for m, e in zip(distinct, exact)
+        }
         s_lnk = [res[m] for m in subs]
         o_lnk = [res[m] for m in objs]
         keep = [i for i, (s, o) in enumerate(zip(s_lnk, o_lnk)) if s is not None and o is not None]

@@ -61,3 +61,26 @@ def test_edges_provenance_merged_byte_identical(tmp_path, data_dir, ray_session)
     )
     expected = os.path.join(data_dir, "expected_edges_merged_full.tsv")
     assert filecmp.cmp(edges_out, expected, shallow=False)
+
+
+def test_sorted_tsv_sanitizes_embedded_separators(tmp_path, ray_session):
+    """Values with embedded tabs/newlines (free-text description columns
+    in real KGX dumps) must not crash the QUOTE_NONE writer — they are
+    collapsed to single spaces (KGX TSV has no quoting convention)."""
+    import pyarrow as pa
+    import ray.data
+
+    from kgray.sources.kgx_tsv import dataset_to_sorted_tsv
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "id": ["B:2", "A:1"],
+                "name": ["has\ttab", "has\nnewline and\r\ncrlf"],
+            }
+        )
+    )
+    out = str(tmp_path / "out.tsv")
+    dataset_to_sorted_tsv(ds, out, ["id", "name"], ["id"])
+    lines = open(out, encoding="utf-8").read().splitlines()
+    assert lines == ["id\tname", "A:1\thas newline and crlf", "B:2\thas tab"]

@@ -135,3 +135,23 @@ def test_cli_query_and_download(tmp_path):
         cwd="/root/repo",
     )
     assert r.returncode == 0 and out.read_text() == "x\n1\n"
+
+
+def test_load_config_reference_schema_yaml(data_dir):
+    """The reference's own tests/data/test_merge_schema.yaml (copied
+    verbatim into tests/data, as sanctioned for fixtures) round-trips
+    through load_config: singular source:/destination: keys, input
+    filename lists classified into nodes/edges by suffix, and dotted
+    KGX operation names (reference tests/test_merge_schema.py:21-25)."""
+    from kgray.pipelines.config import load_config
+
+    cfg = load_config(os.path.join(data_dir, "test_merge_schema.yaml"))
+    assert cfg.name == "kg-microbe graph"
+    assert cfg.output_directory == "data/merged"
+    assert cfg.checkpoint is False
+    assert [s.name for s in cfg.sources] == ["NCBITaxon", "CHEBI", "ENVO", "GO"]
+    for s in cfg.sources:
+        assert s.nodes.endswith("_nodes.tsv") and s.edges.endswith("_edges.tsv")
+    assert cfg.sources[0].nodes == "data/transformed/ontologies/ncbitaxon_nodes.tsv"
+    assert cfg.destinations == ["tsv"]
+    assert cfg.operations == ["kgx.graph_operations.summarize_graph.generate_graph_stats"]
