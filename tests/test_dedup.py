@@ -83,3 +83,47 @@ def test_embedding_near_dup(ray_session):
     pairs = embedding_near_dup(ray.data.from_arrow(t), threshold=0.999).take_all()
     got = sorted((r["id_a"], r["id_b"]) for r in pairs)
     assert got == [(i, i + 100000) for i in range(40)]
+
+
+def test_ngram_jaccard_pairs_exact_vs_bruteforce(ray_session):
+    """The inverted-index operator equals brute-force all-pairs Jaccard
+    exactly (it is the deterministic member of the dedup family)."""
+    from kgray.stages.dedup import _shingles, ngram_jaccard_pairs
+
+    t = _docs_with_near_dups(40)
+    ds = ray.data.from_arrow(t)
+    got = sorted(
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(ds, threshold=0.7, num_partitions=4).take_all()
+    )
+    ids = t.column("doc_id").to_pylist()
+    texts = t.column("text").to_pylist()
+    sets = {i: set(_shingles(x, 3)) for i, x in zip(ids, texts)}
+    want = sorted(
+        (a, b)
+        for ai, a in enumerate(ids)
+        for b in ids[ai + 1 :]
+        if sets[a] and sets[b]
+        and len(sets[a] & sets[b]) / len(sets[a] | sets[b]) >= 0.7
+        and a < b
+    )
+    assert got == want and len(want) >= 40  # every (i, i+100000) clone pair
+
+
+def test_ngram_jaccard_postings_cap(ray_session):
+    """Oversized postings lists are skipped (warning logged in-worker —
+    see _cooccur): a shingle shared by more docs than max_postings
+    contributes no pairs."""
+    from kgray.stages.dedup import ngram_jaccard_pairs
+
+    # 30 docs sharing one identical text → every 3-gram's postings list
+    # has 30 members; cap at 10 → all pairs lost.
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(range(30)), type=pa.int64()),
+            "text": pa.array(["alpha beta gamma delta epsilon"] * 30),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    out = ngram_jaccard_pairs(ds, threshold=0.5, max_postings=10, num_partitions=2).take_all()
+    assert out == []
