@@ -156,6 +156,7 @@ def minhash_lsh_pairs(
     band_rows: int = 2,
     shingle_k: int = 3,
     max_bucket: int = 200,
+    verify_broadcast_limit: int = 100_000,
 ) -> Dataset:
     """Verified near-dup pairs (id_a < id_b, true Jaccard ≥ threshold).
 
@@ -169,7 +170,10 @@ def minhash_lsh_pairs(
     the corpus, then the pairs hash-join the filtered slice on id_a
     and id_b; true Jaccard runs per batch with shingle sets computed
     once per unique text. The full corpus text never reaches the
-    driver and never broadcasts.
+    driver and never broadcasts. When the candidate set fits
+    ``verify_broadcast_limit`` the semi-filtered slice (still
+    O(candidates), never the corpus) is broadcast instead of joined —
+    same results, none of the joins' fixed aggregator cost.
     """
     import logging
 
@@ -216,16 +220,21 @@ def minhash_lsh_pairs(
         return pd.DataFrame({"id_a": out_a, "id_b": out_b})
 
     cand = grouped_apply(bands, ["band", "bucket"], _pairs_partition, num_partitions=32)
-    # Dedup candidate pairs produced by multiple bands (small exchange);
-    # materialized because it feeds both the id gather and the joins.
-    cand = distinct(cand, ["id_a", "id_b"], num_partitions=16).materialize()
+    # Per-batch dedup is shuffle-free; cross-partition duplicates are
+    # handled per path below. Materialized: feeds the id gather AND the
+    # verify/join stage.
+    cand = cand.map_batches(
+        lambda df: df.drop_duplicates(), batch_format="pandas"
+    ).materialize()
 
-    # ---- Join-based verification (no corpus broadcast) ----
-    # 1) Gather the DISTINCT candidate ids (tiny: ≤ 2·|pairs|).
+    # 1) Gather the DISTINCT candidate ids (tiny: ≤ 2·|pairs| — the
+    # point of LSH) and the pair chunks in the same single pass.
     id_arrays: List[pa.Array] = []
+    pair_tables: List[pa.Table] = []
     for b in cand.iter_batches(batch_format="pyarrow", batch_size=1 << 18):
         id_arrays.extend(b.column("id_a").chunks)
         id_arrays.extend(b.column("id_b").chunks)
+        pair_tables.append(b)
     if not id_arrays:
         return cand  # no candidates: empty (id_a, id_b) dataset
     cand_ids = pc.unique(pa.chunked_array(id_arrays))
@@ -240,7 +249,51 @@ def minhash_lsh_pairs(
         _semi, batch_format="pyarrow"
     )
 
+    # 2b) Small-candidate fast path: when the DISTINCT candidate ids fit
+    # the broadcast budget (the normal LSH regime — candidates are tiny
+    # by design), broadcast the SEMI-FILTERED slice (O(candidates), NOT
+    # the corpus) and verify directly over the pair set; two hash joins
+    # cost seconds of fixed aggregator spin-up that dwarf the work at
+    # this size. The join path below remains the large-candidate route.
+    if len(cand_ids) <= verify_broadcast_limit:
+        # The pair set is the same small side already on the driver —
+        # dedup it here (C-speed) instead of a distributed distinct.
+        pairs_df = (
+            pa.concat_tables(pair_tables).to_pandas().drop_duplicates(["id_a", "id_b"])
+        )
+        n_blocks = max(1, min(8, len(pairs_df) // 4096))
+        cand = ray.data.from_pandas(list(np.array_split(pairs_df, n_blocks)))
+        texts: Dict = {}
+        for b in relevant.iter_batches(batch_format="pyarrow", batch_size=1 << 16):
+            texts.update(zip(b.column(id_col).to_pylist(), b.column(text_col).to_pylist()))
+        tref = ray.put(texts)
+
+        def _verify_small(t: pa.Table) -> pa.Table:
+            tx = ray.get(tref) if isinstance(tref, ray.ObjectRef) else tref
+            cache: Dict = {}
+
+            def sset(key):
+                s = cache.get(key)
+                if s is None:
+                    s = cache[key] = _shingle_set(tx.get(key, ""), shingle_k)
+                return s
+
+            keep = []
+            for i, (ai, bi) in enumerate(
+                zip(t.column("id_a").to_pylist(), t.column("id_b").to_pylist())
+            ):
+                sa, sb = sset(ai), sset(bi)
+                if sa and sb and len(sa & sb) / len(sa | sb) >= threshold:
+                    keep.append(i)
+            return t.take(pa.array(keep, type=pa.int64())).select(["id_a", "id_b"])
+
+        return cand.map_batches(_verify_small, batch_format="pyarrow")
+
     # 3) Double hash-join of the pair set against the filtered slice.
+    # Cross-partition duplicate pairs are removed by a distributed
+    # distinct first — at this size the joins would amplify them.
+    cand = distinct(cand, ["id_a", "id_b"], num_partitions=16)
+
     def _as(a_name: str, t_name: str):
         def fn(t: pa.Table) -> pa.Table:
             return pa.table({a_name: t.column(id_col), t_name: t.column(text_col)})

@@ -47,6 +47,11 @@ def test_minhash_lsh_pairs_and_dedup(ray_session):
     got = sorted((r["id_a"], r["id_b"]) for r in pairs)
     assert got == [(i, i + 100000) for i in range(60)]
 
+    # Join-based verify (the large-candidate scale path) must agree
+    # with the broadcast fast path exactly.
+    pairs_join = minhash_lsh_pairs(ds, threshold=0.7, verify_broadcast_limit=0).take_all()
+    assert sorted((r["id_a"], r["id_b"]) for r in pairs_join) == got
+
     survivors = minhash_lsh_dedup(ds, threshold=0.7)
     ids = sorted(r["doc_id"] for r in survivors.select_columns(["doc_id"]).take_all())
     assert ids == list(range(60))
