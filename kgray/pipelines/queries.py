@@ -494,6 +494,15 @@ def q_ann_lsh(sf_dir: str):
     return ann_topk_lsh(ds, _query_matrix(sf_dir), k=10).select_columns(["q_id", "vec_id", "rank"])
 
 
+def q_ann_ivf(sf_dir: str):
+    """IVF coarse-quantizer ANN (approximate — rows-only like ann_lsh;
+    recall vs brute force is pinned in tests/test_similarity.py)."""
+    from kgray.stages.similarity import ann_topk_ivf
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return ann_topk_ivf(ds, _query_matrix(sf_dir), k=10).select_columns(["q_id", "vec_id", "rank"])
+
+
 def q_dedup_simhash(sf_dir: str):
     from kgray.stages.dedup import simhash_pairs
 
@@ -1023,6 +1032,7 @@ QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "ann_topk": q_ann_topk,
     "ann_lsh": q_ann_lsh,
+    "ann_ivf": q_ann_ivf,
     "token_count": q_token_count,
     "text_stats": q_text_stats,
     "fingerprint": q_fingerprint,

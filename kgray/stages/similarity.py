@@ -156,6 +156,96 @@ def ann_topk_lsh(
     return local.groupby("q_id").map_groups(_reduce, batch_format="pandas")
 
 
+def ann_topk_ivf(
+    ds: Dataset,
+    query_matrix: np.ndarray,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_cells: int = 64,
+    n_probe: int = 8,
+    sample_size: int = 10_000,
+    train_iters: int = 5,
+    seed: int = 41,
+) -> Dataset:
+    """IVF (inverted-file) approximate top-k — the coarse-quantizer
+    sibling of :func:`ann_topk_lsh`. Output schema matches brute force.
+
+    Shape: centroids are trained with a few Lloyd iterations on a
+    driver-side SAMPLE (documented small side — ``n_cells × dim``
+    floats of state, ``sample_size`` rows pulled once); each query
+    probes its ``n_probe`` nearest cells; every corpus batch assigns
+    its rows to cells with one vectorized matmul+argmax and scores ONLY
+    rows whose cell is probed by some query. The corpus never shuffles
+    and is never broadcast — per batch, work is
+    O(B·n_cells + probed·Q_cell) instead of O(B·Q).
+    """
+    q = _normalize(np.asarray(query_matrix, dtype=np.float64))
+    dim = q.shape[1]
+
+    # ---- train coarse quantizer on a sample (driver; tiny state) ----
+    rng = np.random.RandomState(seed)
+    sample_rows = ds.limit(sample_size).take_all()
+    samp = _normalize(np.asarray([r[vec_col] for r in sample_rows], dtype=np.float64))
+    n_c = min(n_cells, len(samp))
+    cent = samp[rng.choice(len(samp), size=n_c, replace=False)]
+    for _ in range(train_iters):
+        assign = np.argmax(samp @ cent.T, axis=1)
+        for c in range(n_c):
+            members = samp[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+        cent = _normalize(cent)
+
+    # query → its n_probe nearest cells; cell → [q ids]
+    probe_cells = np.argsort(-(q @ cent.T), axis=1)[:, : min(n_probe, n_c)]
+    cell_qs: dict = {}
+    for qi in range(q.shape[0]):
+        for c in probe_cells[qi]:
+            cell_qs.setdefault(int(c), []).append(qi)
+    ref = ray.put((q, cent, cell_qs))
+
+    def _scan(tbl: pa.Table) -> pa.Table:
+        qm, cm, cq = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        vecs = _normalize(np.asarray(tbl.column(vec_col).to_pylist(), dtype=np.float64))
+        ids = np.asarray(tbl.column(id_col).to_pylist())
+        cells = np.argmax(vecs @ cm.T, axis=1)
+        out_q, out_id, out_s = [], [], []
+        for c in np.unique(cells):
+            qs = cq.get(int(c))
+            if not qs:
+                continue
+            rows = np.flatnonzero(cells == c)
+            sims = qm[qs] @ vecs[rows].T  # (|qs|, |rows|)
+            for xi, qi in enumerate(qs):
+                row = sims[xi]
+                kk = min(k, len(rows))
+                idx = np.argpartition(-row, kk - 1)[:kk] if len(rows) > kk else np.arange(len(rows))
+                order = sorted(idx, key=lambda j: (-row[j], ids[rows[j]]))[:kk]
+                for j in order:
+                    out_q.append(qi)
+                    out_id.append(ids[rows[j]])
+                    out_s.append(row[j])
+        return pa.table(
+            {
+                "q_id": pa.array(out_q, type=pa.int32()),
+                id_col: pa.array(out_id),
+                "score": pa.array(out_s, type=pa.float64()),
+            }
+        )
+
+    local = ds.map_batches(_scan, batch_format="pyarrow", batch_size=4096)
+
+    def _reduce(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score", id_col], ascending=[False, True], kind="mergesort").head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = range(1, len(g) + 1)
+        g["score"] = g["score"].round(6)
+        return g
+
+    return local.groupby("q_id").map_groups(_reduce, batch_format="pandas")
+
+
 def lsh_bucketed_near_dup(
     ds: Dataset,
     threshold: float = 0.99,

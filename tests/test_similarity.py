@@ -72,3 +72,29 @@ def test_lsh_bucketed_near_dup(ray_session):
     got = sorted((r["id_a"], r["id_b"]) for r in pairs)
     # identical directions always share every bucket → full recall here
     assert got == [(i, i + 100000) for i in range(50)]
+
+
+def test_ann_ivf_recall(ray_session):
+    """IVF probe covers the true neighbors: with n_probe = n_cells the
+    scan is exhaustive (recall 1.0); with a partial probe recall stays
+    usable on a random corpus."""
+    from kgray.stages.similarity import ann_topk_ivf
+
+    t, vecs = _corpus()
+    vecs64 = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+    q = vecs[:5]
+    ds = ray.data.from_arrow(t)
+    expected = _exact_topk(vecs64, np.asarray(q, dtype=np.float64), 10)
+
+    # Exhaustive probe == exact (ordering ties broken identically).
+    got_full = ann_topk_ivf(ds, q, k=10, n_cells=16, n_probe=16).take_all()
+    for qi in range(5):
+        rows = sorted((r for r in got_full if r["q_id"] == qi), key=lambda r: r["rank"])
+        assert [r["vec_id"] for r in rows] == expected[qi]
+
+    got = ann_topk_ivf(ds, q, k=10, n_cells=16, n_probe=6).take_all()
+    recalls = []
+    for qi in range(5):
+        rows = {r["vec_id"] for r in got if r["q_id"] == qi}
+        recalls.append(len(rows & set(expected[qi])) / 10)
+    assert sum(recalls) / len(recalls) >= 0.5
