@@ -109,6 +109,21 @@ def grouped_apply(
     )
 
 
+def stable_round(col, ndigits: int):
+    """Round a float64 Arrow array the way SQL engines do.
+
+    ``pc.round`` can return its input unchanged when the input is a
+    near-miss of a representable decimal (e.g. 62.699999999999996 with
+    ndigits=4 — a float-summation-order artifact), while DuckDB's ROUND
+    returns the double nearest 62.7 — a one-ulp difference that breaks
+    value-hash comparison. multiply→round→divide lands on the same
+    double as SQL ROUND."""
+    import pyarrow.compute as pc
+
+    scale = float(10**ndigits)
+    return pc.divide(pc.round(pc.multiply(col, scale)), scale)
+
+
 def shared_fs_ok(path: str) -> bool:
     """True when ``path`` is usable as an exchange spill across the
     cluster: single-node, or an explicitly shared mount (a prefix listed

@@ -23,6 +23,8 @@ import ray.data
 from ray.data import Dataset
 from ray.data.aggregate import Count, Mean, Sum
 
+from kgray.kernels.hashagg import stable_round
+
 # ---------------------------------------------------------------------------
 # shared derivations (Ray side). Each has a matching SQL fragment below.
 # ---------------------------------------------------------------------------
@@ -664,11 +666,11 @@ def q_lineitem_agg(sf_dir: str):
     )
 
     def _round(t: pa.Table) -> pa.Table:
-        t = t.set_column(t.column_names.index("sum_qty"), "sum_qty", pc.round(t.column("sum_qty"), 2))
+        t = t.set_column(t.column_names.index("sum_qty"), "sum_qty", stable_round(t.column("sum_qty"), 2))
         t = t.set_column(
-            t.column_names.index("sum_disc_price"), "sum_disc_price", pc.round(t.column("sum_disc_price"), 2)
+            t.column_names.index("sum_disc_price"), "sum_disc_price", stable_round(t.column("sum_disc_price"), 2)
         )
-        return t.set_column(t.column_names.index("avg_qty"), "avg_qty", pc.round(t.column("avg_qty"), 4))
+        return t.set_column(t.column_names.index("avg_qty"), "avg_qty", stable_round(t.column("avg_qty"), 4))
 
     return out.map_batches(_round, batch_format="pyarrow")
 
@@ -774,7 +776,7 @@ def q_tumbling_window(sf_dir: str):
 
     def _round(t: pa.Table) -> pa.Table:
         return t.set_column(
-            t.column_names.index("sum_value"), "sum_value", pc.round(t.column("sum_value"), 4)
+            t.column_names.index("sum_value"), "sum_value", stable_round(t.column("sum_value"), 4)
         )
 
     return out.map_batches(_round, batch_format="pyarrow")

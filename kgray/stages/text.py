@@ -25,6 +25,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 from ray.data import Dataset
 
+from kgray.kernels.hashagg import stable_round
+
 _PUNCT_RE = r"[.,;:!?]"
 _DIGIT_RE = r"[0-9]"
 _TOKEN_RE = r"\S+"
@@ -50,9 +52,9 @@ def quality_batch(t: pa.Table, text_col: str = "text") -> pa.Table:
         punct_ratio,
     )
     t = t.append_column("n_tokens", tokens.cast(pa.int64()))
-    t = t.append_column("punct_ratio", pc.round(punct_ratio, 6))
-    t = t.append_column("digit_ratio", pc.round(digit_ratio, 6))
-    return t.append_column("quality_score", pc.round(q, 6))
+    t = t.append_column("punct_ratio", stable_round(punct_ratio, 6))
+    t = t.append_column("digit_ratio", stable_round(digit_ratio, 6))
+    return t.append_column("quality_score", stable_round(q, 6))
 
 
 def fingerprint_batch(t: pa.Table, text_col: str = "text", out_col: str = "fingerprint") -> pa.Table:
