@@ -58,8 +58,10 @@ BENCH_QUERIES = [
     "kgx_node_merge",
     "kgx_edge_provenance",
     "dedup_minhash_pairs",
+    "dedup_jaccard_pairs",
     "dedup_exact",
     "ann_topk",
+    "ann_ivf",
     "lineitem_agg",
     "sessionize",
     "token_count",
