@@ -54,7 +54,8 @@ def extract_text(html: Union[bytes, str]) -> str:
     s = _COMMENT.sub("", s)
     s = _BLOCK.sub("\n", s)
     s = _TAG.sub("", s)
-    s = _html.unescape(s)
+    if "&" in s:  # unescape is the identity without an ampersand
+        s = _html.unescape(s)
     lines = []
     for line in s.split("\n"):
         line = _WS.sub(" ", line).strip()

@@ -175,3 +175,47 @@ def test_distributed_cc_matches_driver_uf(tmp_path, ray_session):
     nodes = set(got) | set(expected)
     for n in nodes:
         assert got.get(n, n) == expected.get(n, n), n
+
+
+def test_construct_empty_language_slice(corpus, tmp_path, ray_session):
+    """A lang filter that matches nothing must produce a valid empty
+    edges output and a KB-only node table — not crash in the reduce."""
+    out = str(tmp_path / "kg_empty")
+    counters = construct_kg(
+        corpus["pages"],
+        corpus["aliases"],
+        out,
+        lang="zz",  # no such pages
+        shard_group_size=2,
+        actor_concurrency=(1, 2),
+    )
+    assert counters["materialize.edges_rows"] == 0
+    nodes = pq.read_table(os.path.join(out, "nodes"))
+    assert nodes.num_rows > 0  # KB nodes still materialize
+    ids = nodes.column("id").to_pylist()
+    assert len(ids) == len(set(ids))
+
+
+def test_distributed_cc_raises_on_nonconvergence(ray_session):
+    """A chain whose diameter exceeds max_iters must raise loudly, not
+    silently return split components (ADVICE r1)."""
+    import pyarrow as pa
+    import pytest as _pytest
+    import ray.data
+    from kgray.stages.canonical import connected_components_distributed
+
+    n = 12
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([f"N:{i}" for i in range(n - 1)]),
+                "dst": pa.array([f"N:{i+1}" for i in range(n - 1)]),
+            }
+        )
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components_distributed(ds, num_partitions=2, max_iters=2).take_all()
+    # and with enough rounds the same chain converges to one label
+    labels = connected_components_distributed(ds, num_partitions=2, max_iters=16)
+    got = {r["node"]: r["label"] for r in labels.take_all()}
+    assert set(got.values()) == {"N:0"}
