@@ -565,6 +565,24 @@ def q_token_count(sf_dir: str):
 SQL_TOKEN_COUNT = "SELECT doc_id, CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens FROM documents"
 
 
+def q_bpe_token_count(sf_dir: str):
+    """LLM-budget proxy: GPT-2-style pre-tokenizer segment count (the
+    regex is RE2-restricted so DuckDB reproduces it exactly)."""
+    from kgray.stages.text import bpe_token_count_batch
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        lambda t: bpe_token_count_batch(t).select(["doc_id", "n_bpe_tokens"]),
+        batch_format="pyarrow",
+    )
+
+
+SQL_BPE_TOKEN_COUNT = (
+    "SELECT doc_id, CAST(len(regexp_extract_all(text, "
+    "'''s|''t|''re|''ve|''m|''ll|''d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+'"
+    ")) AS BIGINT) AS n_bpe_tokens FROM documents"
+)
+
+
 def q_text_stats(sf_dir: str):
     def _stats(t: pa.Table) -> pa.Table:
         text = t.column("text")
@@ -1036,6 +1054,7 @@ QUERIES = {
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
     "token_count": q_token_count,
+    "bpe_token_count": q_bpe_token_count,
     "text_stats": q_text_stats,
     "fingerprint": q_fingerprint,
     "langid": q_langid,
@@ -1070,6 +1089,7 @@ ORACLES = {
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "ann_topk": SQL_ANN_TOPK,
     "token_count": SQL_TOKEN_COUNT,
+    "bpe_token_count": SQL_BPE_TOKEN_COUNT,
     "text_stats": SQL_TEXT_STATS,
     "fingerprint": SQL_FINGERPRINT,
     "langid": SQL_LANGID,

@@ -38,6 +38,23 @@ def token_count_batch(t: pa.Table, text_col: str = "text", out_col: str = "n_tok
     return t.append_column(out_col, n.cast(pa.int64()))
 
 
+# GPT-2-style pre-tokenizer, restricted to RE2 (no lookahead) so the
+# Arrow kernel and a SQL oracle count identically: contractions, then
+# optionally-space-prefixed letter runs / digit runs / other-symbol
+# runs, then residual whitespace.
+_BPE_RE = r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_token_count_batch(
+    t: pa.Table, text_col: str = "text", out_col: str = "n_bpe_tokens"
+) -> pa.Table:
+    """BPE-ish token count: the number of pre-tokenizer segments — the
+    standard fast proxy for LLM token budgeting when the merge table
+    itself isn't needed. One vectorized RE2 count per batch."""
+    n = pc.count_substring_regex(t.column(text_col), _BPE_RE)
+    return t.append_column(out_col, n.cast(pa.int64()))
+
+
 def quality_batch(t: pa.Table, text_col: str = "text") -> pa.Table:
     text = t.column(text_col)
     n_chars = pc.utf8_length(text).cast(pa.float64())
