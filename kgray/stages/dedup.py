@@ -106,7 +106,14 @@ class _MinHasher:
 
 
 class _BandEmitter:
-    """map_batches actor: docs → (band, bucket, id) rows."""
+    """map_batches actor: docs → (band, bucket, id) rows.
+
+    Fully batch-vectorized: shingle hashing is ONE pandas C hash over
+    the batch's flattened shingle list, signatures are one
+    (perm × shingles) matmul-shaped op with per-doc ``minimum.reduceat``
+    segment-mins, and band buckets are a vectorized polynomial mix of
+    each band's signature rows (the per-doc Python loop + per-shingle
+    crc32 version cost ~3× the wall at 10⁶ shingles/batch)."""
 
     def __init__(self, text_col: str, id_col: str, num_perm: int, band_rows: int, shingle_k: int):
         self.mh = _MinHasher(num_perm)
@@ -116,22 +123,53 @@ class _BandEmitter:
         self.shingle_k = shingle_k
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        ids_out, band_out, bucket_out = [], [], []
-        for doc_id, text in zip(t.column(self.id_col).to_pylist(), t.column(self.text_col).to_pylist()):
-            sig = self.mh.signature(_shingles(text, self.shingle_k))
-            if sig is None:
+        texts = t.column(self.text_col).to_pylist()
+        ids = t.column(self.id_col).to_pylist()
+        flat: List[str] = []
+        counts: List[int] = []
+        kept_rows: List[int] = []
+        for r, text in enumerate(texts):
+            sh = _shingles(text, self.shingle_k)
+            if not sh:
                 continue
-            for band in range(self.num_bands):
-                chunk = sig[band * self.band_rows : (band + 1) * self.band_rows]
-                bucket = zlib.crc32(chunk.tobytes())
-                ids_out.append(doc_id)
-                band_out.append(band)
-                bucket_out.append(bucket)
+            flat.extend(sh)
+            counts.append(len(sh))
+            kept_rows.append(r)
+        if not flat:
+            return pa.table(
+                {
+                    "band": pa.array([], type=pa.int32()),
+                    "bucket": pa.array([], type=pa.int64()),
+                    self.id_col: pa.array([], type=pa.int64()),
+                }
+            )
+        import pandas as _pd
+
+        h = _pd.util.hash_array(np.array(flat, dtype=object)).astype(np.uint64)
+        # (perm, shingle) permutation values; uint64 wraparound is fine —
+        # it is a deterministic mix and candidates are exactly verified.
+        mat = (self.mh.a[:, None] * h[None, :] + self.mh.b[:, None]) % np.uint64(_MERSENNE)
+        offsets = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
+        sig = np.minimum.reduceat(mat, offsets, axis=1)  # (perm, docs)
+        n_docs = sig.shape[1]
+        # Band bucket: polynomial mix of the band's signature rows.
+        buckets = np.empty((self.num_bands, n_docs), dtype=np.uint64)
+        mult = np.uint64(0x9E3779B97F4A7C15)
+        for band in range(self.num_bands):
+            acc = np.zeros(n_docs, dtype=np.uint64)
+            for rr in range(band * self.band_rows, (band + 1) * self.band_rows):
+                acc = acc * mult + sig[rr]
+            buckets[band] = acc
+        kept_ids = np.asarray([ids[r] for r in kept_rows])
         return pa.table(
             {
-                "band": pa.array(band_out, type=pa.int32()),
-                "bucket": pa.array(bucket_out, type=pa.int64()),
-                self.id_col: pa.array(ids_out),
+                "band": pa.array(
+                    np.repeat(np.arange(self.num_bands, dtype=np.int32), n_docs)
+                ),
+                "bucket": pa.array(
+                    (buckets >> np.uint64(1)).astype(np.int64).reshape(-1)
+                ),
+                self.id_col: pa.array(np.tile(kept_ids, self.num_bands)),
             }
         )
 
