@@ -175,8 +175,14 @@ def run_scaling() -> dict:
     # the least-contended sample of the same job. Both legs get the
     # same treatment, so the ratio stays fair.
     reps = int(os.environ.get("GRAFT_SCALING_REPS", "2"))
-    r_lo = min((run_at(lo) for _ in range(reps)), key=lambda r: r["value"])
-    r_hi = min((run_at(hi) for _ in range(reps)), key=lambda r: r["value"])
+    # Interleave the legs ([lo, hi, lo, hi, ...]) so a drifting host
+    # window cannot systematically favor whichever leg ran last.
+    r_los, r_his = [], []
+    for _ in range(reps):
+        r_los.append(run_at(lo))
+        r_his.append(run_at(hi))
+    r_lo = min(r_los, key=lambda r: r["value"])
+    r_hi = min(r_his, key=lambda r: r["value"])
     eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
     return {
         "metric": "scaling_efficiency",
