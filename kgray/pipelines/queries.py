@@ -410,6 +410,47 @@ WHERE m * 1.0 / (ca.n + cb.n - m) >= 0.7
 """
 
 
+def q_dedup_minhash(sf_dir: str):
+    """Near-dup SURVIVORS: min doc_id per verified near-dup component
+    (the full dedup, not just the pair list). Oracled end-to-end by a
+    recursive CTE: brute-force Jaccard pairs → transitive closure →
+    drop every node whose component min is smaller."""
+    from kgray.stages.dedup import minhash_lsh_dedup
+
+    return minhash_lsh_dedup(_docs(sf_dir, ["doc_id", "text"]), threshold=0.7)
+
+
+SQL_DEDUP_MINHASH_SURVIVORS = """
+WITH RECURSIVE words AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+  FROM words, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+  WHERE len(w) >= 3
+), counts AS (
+  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS m
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT id_a, id_b
+  FROM inter JOIN counts ca ON ca.doc_id = id_a JOIN counts cb ON cb.doc_id = id_b
+  WHERE m * 1.0 / (ca.n + cb.n - m) >= 0.7
+), edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs
+), walk(u, label) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.v, w.label FROM walk w JOIN edges e ON w.u = e.u
+), labels AS (
+  SELECT u, MIN(label) AS label FROM walk GROUP BY u
+)
+SELECT d.doc_id, d.text FROM documents d
+WHERE d.doc_id NOT IN (SELECT u FROM labels WHERE label < u)
+"""
+
+
 def q_dedup_jaccard_pairs(sf_dir: str):
     """Exact inverted-index n-gram Jaccard (no sketch): must equal the
     same brute-force SQL the MinHash+LSH path is only *probably* equal
@@ -1047,6 +1088,7 @@ QUERIES = {
     "union_by_name": q_union_by_name,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
+    "dedup_minhash": q_dedup_minhash,
     "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
     "dedup_embedding_pairs": q_dedup_embedding_pairs,
     "dedup_simhash": q_dedup_simhash,
@@ -1084,6 +1126,7 @@ ORACLES = {
     "union_by_name": SQL_UNION_BY_NAME,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_minhash_pairs": SQL_DEDUP_MINHASH_PAIRS,
+    "dedup_minhash": SQL_DEDUP_MINHASH_SURVIVORS,
     "dedup_jaccard_pairs": SQL_DEDUP_JACCARD_PAIRS,
     "dedup_embedding_pairs": SQL_DEDUP_EMBEDDING_PAIRS,
     "dedup_simhash": SQL_DEDUP_SIMHASH,
