@@ -850,6 +850,91 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_asof_join(sf_dir: str):
+    """As-of join (an operator Ray Data lacks natively): every click
+    enriched with the latest view at-or-before it per user — composed
+    as one tagged-union hash exchange on user + per-partition C-speed
+    merge_asof. Oracle: DuckDB's native ASOF LEFT JOIN."""
+    from kgray.kernels.hashagg import grouped_apply
+    from kgray.stages.joins import asof_join
+
+    ev = _events(sf_dir, ["event_id", "user_id", "ts", "event_type"])
+    clicks = ev.filter(expr="event_type == 'click'").select_columns(
+        ["user_id", "ts", "event_id"]
+    )
+    views = ev.filter(expr="event_type == 'view'").select_columns(
+        ["user_id", "ts", "event_id"]
+    )
+
+    # Right side unique per (user, ts) — MAX event_id — so the as-of
+    # match is deterministic on both engines.
+    def _vmax_partial(part):
+        return part.groupby(["user_id", "ts"], sort=False)["event_id"].max().reset_index()
+
+    def _vmax(part):
+        return _vmax_partial(part).rename(columns={"event_id": "view_id"})
+
+    views_u = grouped_apply(
+        views, ["user_id", "ts"], _vmax, num_partitions=8, map_side=_vmax_partial
+    )
+    return asof_join(clicks, views_u, by="user_id", on="ts", right_cols=["view_id"], num_partitions=8)
+
+
+SQL_ASOF_JOIN = """
+WITH clicks AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+), views AS (
+  SELECT user_id, ts, MAX(event_id) AS view_id
+  FROM events WHERE event_type = 'view' GROUP BY 1, 2
+)
+SELECT c.user_id, c.ts, c.event_id, v.view_id
+FROM clicks c ASOF LEFT JOIN views v
+  ON c.user_id = v.user_id AND v.ts <= c.ts
+"""
+
+
+def q_range_join(sf_dir: str):
+    """Range (interval-containment) join: orders priced into overlapping
+    nation-derived bands — bucket co-partitioning + vectorized
+    containment, no all-pairs blow-up."""
+    from kgray.stages.joins import range_join
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    )
+
+    def _bands(t: pa.Table) -> pa.Table:
+        k = t.column("n_nationkey").cast(pa.float64())
+        lo = pc.multiply(k, 10_000.0)
+        return pa.table(
+            {
+                "band": t.column("n_nationkey").cast(pa.int64()),
+                "lo": lo,
+                "hi": pc.add(lo, 15_000.0),
+            }
+        )
+
+    bands = ray.data.read_parquet(f"{sf_dir}/nation.parquet", columns=["n_nationkey"]).map_batches(
+        _bands, batch_format="pyarrow"
+    )
+    return range_join(
+        orders, bands, value_col="o_totalprice", lo_col="lo", hi_col="hi",
+        right_cols=["band"], bucket_width=10_000.0, num_partitions=8,
+    )
+
+
+SQL_RANGE_JOIN = """
+SELECT o.o_orderkey, o.o_totalprice, b.lo, b.hi, b.band
+FROM orders o
+JOIN (
+  SELECT n_nationkey AS band,
+         n_nationkey * 10000.0 AS lo,
+         n_nationkey * 10000.0 + 15000.0 AS hi
+  FROM nation
+) b ON o.o_totalprice BETWEEN b.lo AND b.hi
+"""
+
+
 def q_filter_prefix(sf_dir: str):
     """M4 grep-style prefix row filter (reference Makefile:16-34)."""
     ds = _docs(sf_dir, ["doc_id", "text"])
@@ -1107,6 +1192,8 @@ QUERIES = {
     "tumbling_window": q_tumbling_window,
     "construct_kg": q_construct_kg,
     "extract_text": q_extract_text,
+    "asof_join": q_asof_join,
+    "range_join": q_range_join,
     "filter_prefix": q_filter_prefix,
     "session_gap": q_session_gap,
     "connected_components": q_connected_components,
@@ -1141,6 +1228,8 @@ ORACLES = {
     "filter_prune": SQL_FILTER_PRUNE,
     "sessionize": SQL_SESSIONIZE,
     "tumbling_window": SQL_TUMBLING_WINDOW,
+    "asof_join": SQL_ASOF_JOIN,
+    "range_join": SQL_RANGE_JOIN,
     "filter_prefix": SQL_FILTER_PREFIX,
     "session_gap": SQL_SESSION_GAP,
     "connected_components": SQL_CONNECTED_COMPONENTS,

@@ -1,0 +1,105 @@
+"""asof_join / range_join vs brute-force references."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from kgray.stages.joins import asof_join, range_join
+
+
+def _asof_corpus(seed=3, n_left=400, n_right=300, n_keys=20):
+    rng = np.random.RandomState(seed)
+    left = pa.table(
+        {
+            "u": pa.array(rng.randint(0, n_keys, n_left), type=pa.int64()),
+            "ts": pa.array(rng.randint(0, 10_000, n_left), type=pa.int64()),
+            "cid": pa.array(np.arange(n_left), type=pa.int64()),
+        }
+    )
+    # unique (u, ts) on the right → deterministic as-of match
+    seen = set()
+    u, ts, vid = [], [], []
+    while len(u) < n_right:
+        k = (int(rng.randint(0, n_keys)), int(rng.randint(0, 10_000)))
+        if k in seen:
+            continue
+        seen.add(k)
+        u.append(k[0])
+        ts.append(k[1])
+        vid.append(1000 + len(vid))
+    right = pa.table(
+        {
+            "u": pa.array(u, type=pa.int64()),
+            "ts": pa.array(ts, type=pa.int64()),
+            "vid": pa.array(vid, type=pa.int64()),
+        }
+    )
+    return left, right
+
+
+def test_asof_join_matches_bruteforce(ray_session):
+    left, right = _asof_corpus()
+    got = (
+        asof_join(
+            ray.data.from_arrow(left),
+            ray.data.from_arrow(right),
+            by="u",
+            on="ts",
+            num_partitions=4,
+        )
+        .to_pandas()
+        .sort_values("cid")
+        .reset_index(drop=True)
+    )
+    ld, rd = left.to_pandas(), right.to_pandas()
+    want_vid = []
+    for _, row in ld.iterrows():
+        cand = rd[(rd["u"] == row["u"]) & (rd["ts"] <= row["ts"])]
+        want_vid.append(None if len(cand) == 0 else int(cand.loc[cand["ts"].idxmax(), "vid"]))
+    want = ld.assign(vid=pd.array(want_vid, dtype="Int64")).sort_values("cid").reset_index(drop=True)
+    assert list(got.columns) == ["u", "ts", "cid", "vid"]
+    assert got["cid"].tolist() == want["cid"].tolist()
+    got_v = [None if pd.isna(v) else int(v) for v in got["vid"]]
+    want_v = [None if pd.isna(v) else int(v) for v in want["vid"]]
+    assert got_v == want_v
+
+
+def test_range_join_matches_bruteforce(ray_session):
+    rng = np.random.RandomState(11)
+    left = pa.table(
+        {
+            "lid": pa.array(np.arange(200), type=pa.int64()),
+            "value": pa.array(rng.uniform(0, 100, 200), type=pa.float64()),
+        }
+    )
+    lo = rng.uniform(0, 90, 30)
+    right = pa.table(
+        {
+            "band": pa.array(np.arange(30), type=pa.int64()),
+            "lo": pa.array(lo, type=pa.float64()),
+            "hi": pa.array(lo + rng.uniform(1, 15, 30), type=pa.float64()),
+        }
+    )
+    got = (
+        range_join(
+            ray.data.from_arrow(left),
+            ray.data.from_arrow(right),
+            value_col="value",
+            lo_col="lo",
+            hi_col="hi",
+            bucket_width=8.0,
+            num_partitions=4,
+        )
+        .to_pandas()
+    )
+    pairs = sorted(zip(got["lid"], got["band"]))
+    assert len(pairs) == len(set(pairs))  # no duplicate matches across buckets? see below
+    ld, rd = left.to_pandas(), right.to_pandas()
+    want = sorted(
+        (int(l.lid), int(r.band))
+        for _, l in ld.iterrows()
+        for _, r in rd.iterrows()
+        if r.lo <= l.value <= r.hi
+    )
+    assert pairs == want
