@@ -817,6 +817,73 @@ FROM events
 """
 
 
+def q_sliding_window(sf_dir: str):
+    """2-hour windows sliding hourly: each event contributes to TWO
+    windows (emitted vectorized, one extra row per event), then the
+    usual partial-aggregated groupby — the sliding member of the
+    window family (tumbling / session / gap are registered separately)."""
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
+
+    def _explode(t: pa.Table) -> pa.Table:
+        epoch = t.column("ts").cast(pa.int64())  # µs since epoch
+        hour = pc.multiply(pc.divide(epoch, 3_600_000_000), 3600)
+        t1 = pa.table(
+            {"user_id": t.column("user_id"), "win_start": hour, "value": t.column("value")}
+        )
+        t2 = pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "win_start": pc.subtract(hour, 3600),
+                "value": t.column("value"),
+            }
+        )
+        return pa.concat_tables([t1, t2])
+
+    out = (
+        ds.map_batches(_explode, batch_format="pyarrow")
+        .groupby(["user_id", "win_start"])
+        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+    )
+
+    def _round(t: pa.Table) -> pa.Table:
+        return t.set_column(
+            t.column_names.index("sum_value"), "sum_value", stable_round(t.column("sum_value"), 4)
+        )
+
+    return out.map_batches(_round, batch_format="pyarrow")
+
+
+SQL_SLIDING_WINDOW = """
+WITH h AS (
+  SELECT user_id, CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour, value FROM events
+), x AS (
+  SELECT user_id, hour AS win_start, value FROM h
+  UNION ALL
+  SELECT user_id, hour - 3600 AS win_start, value FROM h
+)
+SELECT user_id, win_start, COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
+FROM x GROUP BY 1, 2
+"""
+
+
+def q_holdout_split(sf_dir: str):
+    """Deterministic md5-hash train/holdout assignment — the operator
+    the reference's unimplemented holdout_split hook promises
+    (reference run.py:273 raises NotImplementedError)."""
+    from kgray.stages.split import hash_split
+
+    return hash_split(_docs(sf_dir, ["doc_id"]), id_col="doc_id", holdout_pct=10)
+
+
+SQL_HOLDOUT_SPLIT = """
+SELECT doc_id,
+  CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 100 < 10
+       THEN 'holdout' ELSE 'train' END AS split
+FROM documents
+"""
+
+
 def q_tumbling_window(sf_dir: str):
     """Hour-bucket counts per user (epoch-second buckets, exact ints)."""
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
@@ -1190,6 +1257,8 @@ QUERIES = {
     "filter_prune": q_filter_prune,
     "sessionize": q_sessionize,
     "tumbling_window": q_tumbling_window,
+    "sliding_window": q_sliding_window,
+    "holdout_split": q_holdout_split,
     "construct_kg": q_construct_kg,
     "extract_text": q_extract_text,
     "asof_join": q_asof_join,
@@ -1228,6 +1297,8 @@ ORACLES = {
     "filter_prune": SQL_FILTER_PRUNE,
     "sessionize": SQL_SESSIONIZE,
     "tumbling_window": SQL_TUMBLING_WINDOW,
+    "sliding_window": SQL_SLIDING_WINDOW,
+    "holdout_split": SQL_HOLDOUT_SPLIT,
     "asof_join": SQL_ASOF_JOIN,
     "range_join": SQL_RANGE_JOIN,
     "filter_prefix": SQL_FILTER_PREFIX,
