@@ -45,7 +45,11 @@ def download(yaml_path: str, output_dir: str, snippet_only: bool = False) -> Non
 def holdout_split(*args, **kwargs):
     """O8 parity: the reference declares a spanning-tree-preserving
     positive/negative edge holdout split and raises NotImplementedError
-    (run.py:210-273). Kept unimplemented here too, faithfully."""
+    (run.py:210-273). Kept unimplemented here too, faithfully — a real
+    deterministic hash-based split operator exists separately as
+    ``kgray.stages.split.hash_split``."""
     raise NotImplementedError(
-        "edge holdout splitting is declared but unimplemented in the reference (run.py:273)"
+        "edge holdout splitting is declared but unimplemented in the reference "
+        "(run.py:273); for a working deterministic split use "
+        "kgray.stages.split.hash_split"
     )
