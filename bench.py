@@ -65,6 +65,8 @@ BENCH_QUERIES = [
     "lineitem_agg",
     "sessionize",
     "token_count",
+    "asof_join",
+    "range_join",
 ]
 
 

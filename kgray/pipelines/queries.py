@@ -922,29 +922,34 @@ def q_asof_join(sf_dir: str):
     enriched with the latest view at-or-before it per user — composed
     as one tagged-union hash exchange on user + per-partition C-speed
     merge_asof. Oracle: DuckDB's native ASOF LEFT JOIN."""
-    from kgray.kernels.hashagg import grouped_apply
     from kgray.stages.joins import asof_join
 
     ev = _events(sf_dir, ["event_id", "user_id", "ts", "event_type"])
     clicks = ev.filter(expr="event_type == 'click'").select_columns(
         ["user_id", "ts", "event_id"]
     )
-    views = ev.filter(expr="event_type == 'view'").select_columns(
-        ["user_id", "ts", "event_id"]
+
+    # Right side must be unique per (user, ts) — MAX event_id — so the
+    # as-of match is deterministic on both engines. The dedup rides the
+    # as-of exchange itself (per-batch combiner + right_prepare inside
+    # the co-located partition) instead of costing its own exchange.
+    def _vmax(df):
+        return (
+            df.groupby(["user_id", "ts"], sort=False)["view_id"].max().reset_index()
+        )
+
+    views = (
+        ev.filter(expr="event_type == 'view'")
+        .select_columns(["user_id", "ts", "event_id"])
+        .map_batches(
+            lambda df: df.rename(columns={"event_id": "view_id"}).pipe(_vmax),
+            batch_format="pandas",
+        )
     )
-
-    # Right side unique per (user, ts) — MAX event_id — so the as-of
-    # match is deterministic on both engines.
-    def _vmax_partial(part):
-        return part.groupby(["user_id", "ts"], sort=False)["event_id"].max().reset_index()
-
-    def _vmax(part):
-        return _vmax_partial(part).rename(columns={"event_id": "view_id"})
-
-    views_u = grouped_apply(
-        views, ["user_id", "ts"], _vmax, num_partitions=8, map_side=_vmax_partial
+    return asof_join(
+        clicks, views, by="user_id", on="ts", right_cols=["view_id"],
+        right_prepare=_vmax, num_partitions=8,
     )
-    return asof_join(clicks, views_u, by="user_id", on="ts", right_cols=["view_id"], num_partitions=8)
 
 
 SQL_ASOF_JOIN = """

@@ -40,6 +40,7 @@ def asof_join(
     right_cols: Optional[Sequence[str]] = None,
     suffix: str = "_right",
     num_partitions: int = 32,
+    right_prepare=None,
 ) -> Dataset:
     """Left as-of join: latest right row with ``right.on <= left.on``
     per ``by`` group. Left rows with no prior right row keep NULLs.
@@ -48,6 +49,12 @@ def asof_join(
     splits by tag, sorts by ``on`` and runs pandas ``merge_asof``
     (C-speed, backward direction) — the composition-of-primitives form
     of an operator Ray Data has no native node for.
+
+    ``right_prepare``: optional per-partition frame transform applied to
+    the right slice before the merge (columns ``[by, on] + right_cols``)
+    — e.g. a (by, on)-dedup. Because the exchange already co-locates by
+    ``by``, any by-local preparation rides this exchange for free
+    instead of costing its own.
     """
     rcols = list(right_cols) if right_cols is not None else [
         c for c in right.schema().names if c not in (by, on)
@@ -98,7 +105,10 @@ def asof_join(
         lp = part[part[_TAG] == "l"]
         rp = part[part[_TAG] == "r"]
         lp = lp[lcols].sort_values(on, kind="mergesort")
-        rp = rp[[by, on] + rcols].sort_values(on, kind="mergesort")
+        rp = rp[[by, on] + rcols]
+        if right_prepare is not None:
+            rp = right_prepare(rp)[[by, on] + rcols]
+        rp = rp.sort_values(on, kind="mergesort")
         rp = rp.rename(columns=dict(zip(rcols, out_rcols)))
         if len(lp) == 0:
             merged = pd.DataFrame(columns=lcols + out_rcols)
