@@ -121,7 +121,11 @@ def stable_round(col, ndigits: int):
     import pyarrow.compute as pc
 
     scale = float(10**ndigits)
-    return pc.divide(pc.round(pc.multiply(col, scale)), scale)
+    # half_towards_infinity = SQL's half-away-from-zero tie rule
+    # (Arrow's default half_to_even differs at exact .5 ties).
+    return pc.divide(
+        pc.round(pc.multiply(col, scale), round_mode="half_towards_infinity"), scale
+    )
 
 
 def shared_fs_ok(path: str) -> bool:

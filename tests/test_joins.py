@@ -103,3 +103,51 @@ def test_range_join_matches_bruteforce(ray_session):
         if r.lo <= l.value <= r.hi
     )
     assert pairs == want
+
+
+def test_asof_join_empty_right(ray_session):
+    """No right rows at all → every left row keeps NULL enrichment."""
+    left = pa.table(
+        {
+            "u": pa.array([1, 2], type=pa.int64()),
+            "ts": pa.array([10, 20], type=pa.int64()),
+            "cid": pa.array([0, 1], type=pa.int64()),
+        }
+    )
+    right = pa.table(
+        {
+            "u": pa.array([], type=pa.int64()),
+            "ts": pa.array([], type=pa.int64()),
+            "vid": pa.array([], type=pa.int64()),
+        }
+    )
+    got = (
+        asof_join(ray.data.from_arrow(left), ray.data.from_arrow(right), by="u", on="ts", num_partitions=2)
+        .to_pandas()
+        .sort_values("cid")
+    )
+    assert len(got) == 2 and got["vid"].isna().all()
+
+
+def test_range_join_negative_values(ray_session):
+    """Bucketing uses floor (not truncation): negative values/intervals
+    land in the right buckets."""
+    left = pa.table(
+        {
+            "lid": pa.array([0, 1, 2], type=pa.int64()),
+            "value": pa.array([-5.5, -0.1, 3.0], type=pa.float64()),
+        }
+    )
+    right = pa.table(
+        {
+            "band": pa.array([0, 1], type=pa.int64()),
+            "lo": pa.array([-6.0, -1.0], type=pa.float64()),
+            "hi": pa.array([-5.0, 4.0], type=pa.float64()),
+        }
+    )
+    got = range_join(
+        ray.data.from_arrow(left), ray.data.from_arrow(right),
+        value_col="value", lo_col="lo", hi_col="hi", bucket_width=2.0, num_partitions=2,
+    ).to_pandas()
+    pairs = sorted(zip(got["lid"], got["band"]))
+    assert pairs == [(0, 0), (1, 1), (2, 1)]

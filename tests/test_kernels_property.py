@@ -119,3 +119,27 @@ def test_aggregatefnv2_kernels_smoke(ray_session):
     assert out.loc["b", "name"] == "n3"
     assert pd.isna(out.loc["b", "category"]) or out.loc["b", "category"] is None
     assert out.loc["a", "min_name"] == "n1"
+
+
+@given(
+    st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False),
+        min_size=1,
+        max_size=50,
+    ),
+    st.integers(min_value=0, max_value=6),
+)
+@settings(max_examples=60, deadline=None)
+def test_stable_round_matches_duckdb(xs, nd):
+    """stable_round lands on the same double as SQL ROUND for arbitrary
+    float64 inputs (pc.round does not — see the helper's docstring)."""
+    import duckdb
+    import pyarrow as pa
+
+    from kgray.kernels.hashagg import stable_round
+
+    got = stable_round(pa.array(xs, type=pa.float64()), nd).to_pylist()
+    want = [
+        duckdb.sql(f"SELECT ROUND(CAST({x!r} AS DOUBLE), {nd})").fetchone()[0] for x in xs
+    ]
+    assert got == want

@@ -56,3 +56,24 @@ def test_langid(ray_session):
     out = ds.map_batches(LangId, batch_format="pyarrow", concurrency=1).take_all()
     preds = [r["lang_pred"] for r in sorted(out, key=lambda r: r["doc_id"])]
     assert preds == ["en", "de", "fr", "und"]
+
+
+def test_hash_split_stable_and_proportional(ray_session):
+    """hash_split is a pure function of the id (stable across runs and
+    partitionings) and lands near the requested holdout fraction."""
+    import pyarrow as pa
+    import ray.data
+
+    from kgray.stages.split import hash_split
+
+    ids = pa.table({"doc_id": pa.array(list(range(5000)), type=pa.int64())})
+    a = {r["doc_id"]: r["split"] for r in hash_split(ray.data.from_arrow(ids), "doc_id", 10).take_all()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(
+            ray.data.from_arrow(ids).repartition(7), "doc_id", 10
+        ).take_all()
+    }
+    assert a == b
+    frac = sum(1 for v in a.values() if v == "holdout") / len(a)
+    assert 0.07 <= frac <= 0.13
