@@ -55,6 +55,7 @@ from kgray.pipelines.kgx_merge import merge_nodes_frame
 from kgray.stages.canonical import (
     apply_canonical_join,
     canonical_map_from_aliases,
+    canonical_state,
     connected_components_distributed,
     sameas_pairs_from_alias_table,
 )
@@ -120,8 +121,16 @@ class PageToEdges:
         # threads costs 10-60% wall at both 8 and 32 CPUs).
         self._triples = TripleExtractor()
         self._linker = EntityLinker(alias_ref)
-        cmap = ray.get(cmap_ref) if isinstance(cmap_ref, ray.ObjectRef) else cmap_ref
-        self._cmap = cmap
+        # Canonical map arrives as canonical_state() sorted numpy byte
+        # arrays — zero-copy from plasma, one physical copy per NODE
+        # (ray.get of a dict would deserialize a private heap copy per
+        # actor; ADVICE r2). None → no rewrite.
+        cstate = ray.get(cmap_ref) if isinstance(cmap_ref, ray.ObjectRef) else cmap_ref
+        self._ckey = cstate["key"] if cstate else None
+        self._cval = cstate["val"] if cstate else None
+        from kgray.stages.canonical import probe_rewrite_column
+
+        self._probe = probe_rewrite_column
         self._nparts = num_partitions
         self._add_part = add_partition_column
         self._lang = lang
@@ -136,11 +145,15 @@ class PageToEdges:
         batch = extract_text_batch(batch)
         linked = self._linker(self._triples(batch))
         linked = _host_provenance(linked)
-        df = linked.select(EDGE_COLUMNS).to_pandas()
-        for c in ("subject", "object"):
-            mapped = df[c].map(self._cmap)  # C hashtable lookup
-            df[c] = mapped.where(mapped.notna(), df[c])
-        df = df.drop_duplicates()
+        edges = linked.select(EDGE_COLUMNS)
+        if self._ckey is not None:
+            for c in ("subject", "object"):
+                edges = edges.set_column(
+                    edges.column_names.index(c),
+                    c,
+                    self._probe(edges.column(c).combine_chunks(), self._ckey, self._cval),
+                )
+        df = edges.to_pandas().drop_duplicates()
         out = self._add_part(df, _EDGE_KEY, self._nparts)
         # Hand Ray an Arrow block directly — its own pandas→Arrow block
         # conversion (with index handling) costs more per batch.
@@ -458,7 +471,7 @@ def construct_kg(
             cmap = {r["node"]: r["label"] for r in labels_ds.take_all()}
     else:
         cmap = canonical_map_from_aliases(alias_table)
-    cref = ray.put(cmap if cmap is not None else {})
+    cref = ray.put(canonical_state(cmap) if cmap else None)
     timings["canonical_map_sec"] = round(_time.perf_counter() - t_start, 3)
 
     # ---- node-side build overlaps the front half (driver thread): the

@@ -95,6 +95,9 @@ def connected_components_distributed(
     """
     from kgray.kernels.kgx_agg import MinAny
 
+    if max_iters < 1:
+        raise ValueError(f"max_iters must be >= 1, got {max_iters}")
+
     def _swap(t: pa.Table) -> pa.Table:
         return pa.table({src: t.column(dst).cast(pa.string()), dst: t.column(src).cast(pa.string())})
 
@@ -183,6 +186,50 @@ def connected_components_distributed(
 
 def canonical_map_from_aliases(aliases: pa.Table) -> Dict[str, str]:
     return union_find(sameas_pairs_from_alias_table(aliases))
+
+
+def canonical_state(cmap: Dict[str, str]) -> Optional[Dict[str, "np.ndarray"]]:
+    """{id: canonical} dict → sorted fixed-width numpy byte arrays for
+    ``ray.put`` + ZERO-COPY ``ray.get`` in every actor (a dict would
+    deserialize one private heap copy per actor — the same per-actor
+    contention the linker state rewrite eliminated; ADVICE r2).
+    Returns None for an empty map (callers skip the rewrite)."""
+    import numpy as np
+
+    from kgray.stages.linking import _string_array_to_S
+
+    if not cmap:
+        return None
+    keys = sorted(cmap)
+    key_S = _string_array_to_S(pa.array(keys, type=pa.string()))
+    val_S = _string_array_to_S(pa.array([cmap[k] for k in keys], type=pa.string()))
+    return {"key": key_S, "val": val_S}
+
+
+def probe_rewrite_column(col: pa.ChunkedArray, key_S, val_S) -> pa.Array:
+    """Vectorized canonical rewrite of ONE Arrow string column via a
+    sorted binary-search probe against the shared ``canonical_state``
+    arrays — the per-batch form of ``build_node_table``'s rewrite.
+    Values absent from the map keep themselves. All work is O(batch):
+    the (large, shared) key/val arrays are only read, never copied."""
+    import numpy as np
+
+    from kgray.stages.linking import _string_array_to_S
+
+    cur_S = _string_array_to_S(col)
+    if not len(cur_S) or not len(key_S):
+        return pa.array(cur_S).cast(pa.string()) if len(cur_S) else pa.array([], type=pa.string())
+    w = key_S.dtype.itemsize
+    # Values longer than the key width cannot match; mask them so the
+    # truncating astype below cannot produce false hits.
+    ok = np.char.str_len(cur_S) <= w
+    arr = cur_S.astype(f"S{w}")
+    idx = np.searchsorted(key_S, arr)
+    idx_c = np.minimum(idx, len(key_S) - 1)
+    hit = (key_S[idx_c] == arr) & ok
+    wo = max(val_S.dtype.itemsize, cur_S.dtype.itemsize)
+    out = np.where(hit, val_S[idx_c].astype(f"S{wo}"), cur_S.astype(f"S{wo}"))
+    return pa.array(out).cast(pa.string())
 
 
 def apply_canonical_join(

@@ -136,11 +136,14 @@ class _BandEmitter:
             counts.append(len(sh))
             kept_rows.append(r)
         if not flat:
+            # Empty output keeps the id column's NATIVE type — a
+            # fully-filtered batch must not emit a schema (int64) that
+            # conflicts with non-empty batches for string-id corpora.
             return pa.table(
                 {
                     "band": pa.array([], type=pa.int32()),
                     "bucket": pa.array([], type=pa.int64()),
-                    self.id_col: pa.array([], type=pa.int64()),
+                    self.id_col: pa.array([], type=t.column(self.id_col).type),
                 }
             )
         import pandas as _pd

@@ -130,6 +130,7 @@ def range_join(
     right_cols: Optional[Sequence[str]] = None,
     bucket_width: float = 1.0,
     num_partitions: int = 32,
+    suffix: str = "_right",
 ) -> Dataset:
     """Inner range join: every (left, right) pair with
     ``right.lo <= left.value <= right.hi``.
@@ -140,11 +141,22 @@ def range_join(
     containment mask finishes the match. Worst case degrades with
     interval length / bucket_width — pick ``bucket_width`` near the
     median interval length so explosion stays O(1) per interval.
+
+    Right value columns whose names collide with left columns come back
+    suffixed (as in :func:`asof_join`); ``lo_col``/``hi_col`` colliding
+    with a left column is an error (they cannot be renamed — the
+    containment filter needs them by name).
     """
     rcols = list(right_cols) if right_cols is not None else [
         c for c in right.schema().names if c not in (lo_col, hi_col)
     ]
     lcols = left.schema().names
+    if lo_col in lcols or hi_col in lcols:
+        raise ValueError(
+            f"range_join: bound columns {lo_col!r}/{hi_col!r} collide with a left "
+            "column — rename one side before joining"
+        )
+    out_rcols = [f"{c}{suffix}" if c in lcols else c for c in rcols]
 
     def _lbucket(t: pa.Table) -> pd.DataFrame:
         df = t.to_pandas()
@@ -154,6 +166,7 @@ def range_join(
 
     def _rbucket(t: pa.Table) -> pd.DataFrame:
         df = t.select([lo_col, hi_col] + rcols).to_pandas()
+        df = df.rename(columns=dict(zip(rcols, out_rcols)))
         lo_b = np.floor(df[lo_col].to_numpy() / bucket_width).astype(np.int64)
         hi_b = np.floor(df[hi_col].to_numpy() / bucket_width).astype(np.int64)
         reps = (hi_b - lo_b + 1).clip(min=1)
@@ -169,11 +182,14 @@ def range_join(
     rt = right.map_batches(_rbucket, batch_format="pyarrow")
 
     lschema, rschema = left.schema(), right.schema()
-    types = {n: t for n, t in zip(rschema.names, rschema.types)}
-    types.update({n: t for n, t in zip(lschema.names, lschema.types)})
+    rtypes = {n: t for n, t in zip(rschema.names, rschema.types)}
+    types = {n: t for n, t in zip(lschema.names, lschema.types)}
+    types[lo_col] = rtypes[lo_col]
+    types[hi_col] = rtypes[hi_col]
+    types.update({oc: rtypes[c] for oc, c in zip(out_rcols, rcols)})
     types["__bucket"] = pa.int64()
     types[_TAG] = pa.string()
-    ordered = [*lcols, lo_col, hi_col, *rcols, "__bucket", _TAG]
+    ordered = [*lcols, lo_col, hi_col, *out_rcols, "__bucket", _TAG]
 
     def _align(df: pd.DataFrame) -> pa.Table:
         # Explicitly typed Arrow output so both sides union cleanly
@@ -190,7 +206,7 @@ def range_join(
         rt.map_batches(_align, batch_format="pandas")
     )
 
-    out_schema = pa.schema([(c, types[c]) for c in lcols + [lo_col, hi_col] + rcols])
+    out_schema = pa.schema([(c, types[c]) for c in lcols + [lo_col, hi_col] + out_rcols])
 
     def _match(part: pd.DataFrame) -> pa.Table:
         out = []
@@ -199,12 +215,12 @@ def range_join(
             rp = g[g[_TAG] == "r"]
             if len(lp) == 0 or len(rp) == 0:
                 continue
-            m = lp[lcols].merge(rp[[lo_col, hi_col] + rcols], how="cross")
+            m = lp[lcols].merge(rp[[lo_col, hi_col] + out_rcols], how="cross")
             v = m[value_col].to_numpy()
             mask = (m[lo_col].to_numpy() <= v) & (v <= m[hi_col].to_numpy())
             out.append(m[mask])
         if not out:
-            df = pd.DataFrame(columns=lcols + [lo_col, hi_col] + rcols)
+            df = pd.DataFrame(columns=lcols + [lo_col, hi_col] + out_rcols)
         else:
             df = pd.concat(out, ignore_index=True)
         # Cast back to the input types (the union's NULL fill upcasts).

@@ -254,7 +254,9 @@ class EntityLinker:
         out: List[Optional[str]] = [None] * len(mentions)
         where = np.flatnonzero(hit)
         # Vectorized bytes→str for the hit curies (no per-row .decode).
-        decoded = self._curie[idx_c[where]].astype(str)
+        # np.char.decode, NOT .astype(str): astype decodes as ASCII and
+        # raises UnicodeDecodeError on any non-ASCII UTF-8 curie.
+        decoded = np.char.decode(self._curie[idx_c[where]], "utf-8")
         for j, s in zip(where.tolist(), decoded.tolist()):
             out[j] = s
         return out

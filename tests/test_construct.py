@@ -219,3 +219,51 @@ def test_distributed_cc_raises_on_nonconvergence(ray_session):
     labels = connected_components_distributed(ds, num_partitions=2, max_iters=16)
     got = {r["node"]: r["label"] for r in labels.take_all()}
     assert set(got.values()) == {"N:0"}
+
+
+def test_linker_non_ascii_curie():
+    """UTF-8 curies/aliases survive the vectorized exact path (ADVICE
+    r2: numpy .astype(str) decoded as ASCII and crashed)."""
+    import pyarrow as pa
+
+    aliases = pa.table(
+        {
+            "alias": pa.array(["café bacterium", "Taxon 1"], type=pa.string()),
+            "curie": pa.array(["TAXé:1", "TAX:1"], type=pa.string()),
+            "same_as": pa.array([None, None], type=pa.string()),
+            "provided_by": pa.array(["kb", "kb"], type=pa.string()),
+        }
+    )
+    linker = EntityLinker(aliases)
+    assert linker.resolve("café bacterium") == "TAXé:1"
+    assert linker.resolve("Taxon 1") == "TAX:1"
+
+
+def test_probe_rewrite_column_matches_dict():
+    """canonical_state + probe_rewrite_column == dict .get(x, x), incl.
+    values longer than any key (no truncation false-hits) and UTF-8."""
+    import pyarrow as pa
+
+    from kgray.stages.canonical import canonical_state, probe_rewrite_column
+
+    cmap = {"TAX:10": "ALT:0", "CHEM:2": "ALT:1", "Gé:5": "ALT:2"}
+    st = canonical_state(cmap)
+    vals = ["TAX:10", "TAX:100", "CHEM:2", "Gé:5", "UNMAPPED:999999999", "x"]
+    col = pa.chunked_array([pa.array(vals, type=pa.string())])
+    got = probe_rewrite_column(col, st["key"], st["val"]).to_pylist()
+    assert got == [cmap.get(v, v) for v in vals]
+    assert canonical_state({}) is None
+
+
+def test_cc_max_iters_validated(ray_session):
+    import pytest
+    import pyarrow as pa
+    import ray.data
+
+    from kgray.stages.canonical import connected_components_distributed
+
+    edges = ray.data.from_arrow(
+        pa.table({"src": pa.array(["a"]), "dst": pa.array(["b"])})
+    )
+    with pytest.raises(ValueError, match="max_iters"):
+        connected_components_distributed(edges, max_iters=0)

@@ -132,3 +132,18 @@ def test_ngram_jaccard_postings_cap(ray_session):
     ds = ray.data.from_arrow(t)
     out = ngram_jaccard_pairs(ds, threshold=0.5, max_postings=10, num_partitions=2).take_all()
     assert out == []
+
+
+def test_band_emitter_empty_batch_keeps_id_type(ray_session):
+    """A fully-filtered batch must emit the id column with its native
+    type (ADVICE r2: hardcoded int64 broke string-id corpora)."""
+    import pyarrow as pa
+
+    from kgray.stages.dedup import _BandEmitter
+
+    em = _BandEmitter(text_col="text", id_col="doc_id", num_perm=8, band_rows=2, shingle_k=3)
+    empty = em(pa.table({"doc_id": pa.array(["a"], type=pa.string()), "text": pa.array([""], type=pa.string())}))
+    assert empty.schema.field("doc_id").type == pa.string()
+    full = em(pa.table({"doc_id": pa.array(["a"], type=pa.string()), "text": pa.array(["one two three four"], type=pa.string())}))
+    assert full.schema.field("doc_id").type == pa.string()
+    assert empty.schema == full.schema

@@ -151,3 +151,48 @@ def test_range_join_negative_values(ray_session):
     ).to_pandas()
     pairs = sorted(zip(got["lid"], got["band"]))
     assert pairs == [(0, 0), (1, 1), (2, 1)]
+
+
+def test_range_join_colliding_right_cols(ray_session):
+    """Right value columns sharing a left column's name come back
+    suffixed (ADVICE r2: a silent overwrite produced wrong values)."""
+    left = pa.table(
+        {
+            "v": pa.array([5.0, 15.0], type=pa.float64()),
+            "tag": pa.array(["L0", "L1"], type=pa.string()),
+        }
+    )
+    right = pa.table(
+        {
+            "lo": pa.array([0.0, 10.0], type=pa.float64()),
+            "hi": pa.array([9.0, 19.0], type=pa.float64()),
+            "tag": pa.array(["R0", "R1"], type=pa.string()),
+        }
+    )
+    out = range_join(
+        ray.data.from_arrow(left),
+        ray.data.from_arrow(right),
+        value_col="v",
+        lo_col="lo",
+        hi_col="hi",
+        bucket_width=10.0,
+        num_partitions=2,
+    ).to_pandas().sort_values("v").reset_index(drop=True)
+    assert list(out.columns) == ["v", "tag", "lo", "hi", "tag_right"]
+    assert out["tag"].tolist() == ["L0", "L1"]
+    assert out["tag_right"].tolist() == ["R0", "R1"]
+
+
+def test_range_join_bound_collision_raises(ray_session):
+    left = pa.table({"lo": pa.array([1.0]), "x": pa.array([2.0])})
+    right = pa.table({"lo": pa.array([0.0]), "hi": pa.array([5.0])})
+    import pytest
+
+    with pytest.raises(ValueError, match="collide"):
+        range_join(
+            ray.data.from_arrow(left),
+            ray.data.from_arrow(right),
+            value_col="x",
+            lo_col="lo",
+            hi_col="hi",
+        )
