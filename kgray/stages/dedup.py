@@ -519,6 +519,14 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 class _SimHasher:
+    """Batch-vectorized 64-bit SimHash (mirrors the ``_BandEmitter``
+    rewrite): words are flattened across the batch, each UNIQUE word is
+    md5-hashed once (hashlib only over the distinct set — the oracle
+    pins md5 exactly), bit expansion is one ``np.unpackbits`` and the
+    per-document ±1 accumulation is one ``np.add.reduceat`` segment sum.
+    The per-row/per-word reference implementation stays as
+    :meth:`simhash64` (tests assert batch == reference)."""
+
     def __init__(self, text_col: str, id_col: str):
         self.text_col, self.id_col = text_col, id_col
 
@@ -536,11 +544,35 @@ class _SimHasher:
         return out
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        hs = [self.simhash64(x) for x in t.column(self.text_col).to_pylist()]
+        texts = t.column(self.text_col).to_pylist()
+        flat: List[str] = []
+        counts = np.zeros(len(texts), dtype=np.int64)
+        for r, text in enumerate(texts):
+            ws = _WORD.findall(text or "")
+            flat.extend(ws)
+            counts[r] = len(ws)
+        sims = np.zeros(len(texts), dtype=np.int64)  # wordless rows → 0
+        if flat:
+            # md5 once per DISTINCT word; factorize is a C hash pass.
+            codes, uniques = pd.factorize(np.asarray(flat, dtype=object))
+            uh = np.empty(len(uniques), dtype=np.uint64)
+            for i, w in enumerate(uniques.tolist()):
+                uh[i] = np.frombuffer(hashlib.md5(w.encode("utf-8")).digest()[:8], dtype="<u8")[0]
+            h = uh[codes]
+            # Little-endian byte view + big-bitorder unpack == the
+            # reference's to_bytes('little')/unpackbits layout exactly.
+            bits = np.unpackbits(h.view(np.uint8).reshape(-1, 8), axis=1).astype(np.int64)
+            pm = 2 * bits - 1
+            kept = np.flatnonzero(counts)
+            offsets = np.concatenate([[0], np.cumsum(counts[kept])[:-1]]).astype(np.int64)
+            sums = np.add.reduceat(pm, offsets, axis=0)  # (kept, 64)
+            powers = np.uint64(1) << np.arange(64, dtype=np.uint64)
+            vals = ((sums > 0).astype(np.uint64) * powers[None, :]).sum(axis=1)
+            sims[kept] = vals.view(np.int64)
         return pa.table(
             {
                 self.id_col: t.column(self.id_col),
-                "simhash": pa.array([h - (1 << 64) if h >= (1 << 63) else h for h in hs], type=pa.int64()),
+                "simhash": pa.array(sims),
             }
         )
 
@@ -569,20 +601,19 @@ def simhash_pairs(
     )
 
     def _bands(t: pa.Table) -> pa.Table:
-        ids, band_out, bucket_out, sim_out = [], [], [], []
-        for i, h in zip(t.column(id_col).to_pylist(), t.column("simhash").to_pylist()):
-            uh = h & ((1 << 64) - 1)
-            for band in range(n_bands):
-                ids.append(i)
-                band_out.append(band)
-                bucket_out.append((uh >> (band_bits * band)) & band_mask)
-                sim_out.append(h)
+        # Band-major explode, fully vectorized: (n_bands, n) bucket
+        # matrix from one shift+mask, ids/simhash tiled — no Python loop.
+        h = t.column("simhash").combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        uh = h.view(np.uint64)
+        shifts = (np.arange(n_bands, dtype=np.uint64) * np.uint64(band_bits))[:, None]
+        buckets = ((uh[None, :] >> shifts) & np.uint64(band_mask)).astype(np.int32)
+        n = len(h)
         return pa.table(
             {
-                "band": pa.array(band_out, type=pa.int32()),
-                "bucket": pa.array(bucket_out, type=pa.int32()),
-                id_col: pa.array(ids),
-                "simhash": pa.array(sim_out, type=pa.int64()),
+                "band": pa.array(np.repeat(np.arange(n_bands, dtype=np.int32), n)),
+                "bucket": pa.array(buckets.reshape(-1)),
+                id_col: pa.array(np.tile(t.column(id_col).combine_chunks().to_numpy(zero_copy_only=False), n_bands)),
+                "simhash": pa.array(np.tile(h, n_bands)),
             }
         )
 

@@ -147,3 +147,31 @@ def test_band_emitter_empty_batch_keeps_id_type(ray_session):
     full = em(pa.table({"doc_id": pa.array(["a"], type=pa.string()), "text": pa.array(["one two three four"], type=pa.string())}))
     assert full.schema.field("doc_id").type == pa.string()
     assert empty.schema == full.schema
+
+
+def test_simhash_batch_matches_reference():
+    """The vectorized batch SimHash must equal the per-row reference
+    implementation bit-for-bit (the SQL oracle pins the reference)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from kgray.stages.dedup import _SimHasher
+
+    rng = np.random.RandomState(5)
+    words = ["alpha", "beta", "gamma", "δέλτα", "x1", "longer-token_9"]
+    texts = [
+        " ".join(rng.choice(words, size=rng.randint(0, 12)).tolist()) for _ in range(50)
+    ] + ["", "   ", None]
+    sh = _SimHasher(text_col="text", id_col="doc_id")
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+            "text": pa.array(texts, type=pa.string()),
+        }
+    )
+    got = sh(t).column("simhash").to_pylist()
+    exp = [
+        (lambda u: u - (1 << 64) if u >= (1 << 63) else u)(sh.simhash64(x or ""))
+        for x in texts
+    ]
+    assert got == exp
