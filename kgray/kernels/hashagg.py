@@ -81,32 +81,68 @@ def add_partition_column(
     return df
 
 
+def add_partition_column_arrow(
+    t: "pa.Table", keys: Sequence[str], num_partitions: int, col: str = "__part"
+) -> "pa.Table":
+    """Arrow-block variant of :func:`add_partition_column`: the key
+    columns are hashed through the same pandas C kernel, but the block
+    stays a (zero-copy) Arrow table — no pandas conversion of the value
+    columns, and no NaN-driven int→float upcast that makes union
+    branches disagree on block schema."""
+    import pyarrow as pa
+
+    keys = list(keys)
+    kdf = t.select(keys).to_pandas()
+    h = pd.util.hash_pandas_object(kdf[keys[0]], index=False).to_numpy()
+    for i, k in enumerate(keys[1:], start=1):
+        hk = pd.util.hash_pandas_object(kdf[k], index=False).to_numpy()
+        h = h * np.uint64(0x9E3779B97F4A7C15) + hk + np.uint64(i)
+    part = (h % np.uint64(num_partitions)).astype("int32")
+    if col in t.column_names:
+        t = t.drop_columns([col])
+    return t.append_column(col, pa.array(part))
+
+
 def grouped_apply(
     ds: Dataset,
     keys: Sequence[str],
     reduce_fn: Callable[[pd.DataFrame], pd.DataFrame],
     num_partitions: int = 64,
     map_side: Optional[Callable[[pd.DataFrame], pd.DataFrame]] = None,
+    map_format: str = "pandas",
 ) -> Dataset:
     """Vectorized grouped execution: see module docstring.
 
     ``reduce_fn`` receives one full hash-partition (all rows whose key
     hashes there, every key complete) WITHOUT the ``__part`` column and
     must do its own per-key grouping vectorized.
+
+    ``map_format="pyarrow"`` keeps the map side zero-copy Arrow (the
+    optional ``map_side`` then takes/returns ``pa.Table``): use it when
+    the input is a tagged union whose NULL-filled columns would upcast
+    under pandas and emit block-schema-mismatch warnings.
     """
     keys = list(keys)
 
-    def _map(df: pd.DataFrame) -> pd.DataFrame:
-        if map_side is not None:
-            df = map_side(df)
-        return add_partition_column(df, keys, num_partitions)
+    if map_format == "pyarrow":
+        def _map_arrow(t):
+            if map_side is not None:
+                t = map_side(t)
+            return add_partition_column_arrow(t, keys, num_partitions)
+
+        mapped = ds.map_batches(_map_arrow, batch_format="pyarrow")
+    else:
+        def _map(df: pd.DataFrame) -> pd.DataFrame:
+            if map_side is not None:
+                df = map_side(df)
+            return add_partition_column(df, keys, num_partitions)
+
+        mapped = ds.map_batches(_map, batch_format="pandas")
 
     def _reduce(g: pd.DataFrame) -> pd.DataFrame:
         return reduce_fn(g.drop(columns="__part"))
 
-    return ds.map_batches(_map, batch_format="pandas").groupby("__part").map_groups(
-        _reduce, batch_format="pandas"
-    )
+    return mapped.groupby("__part").map_groups(_reduce, batch_format="pandas")
 
 
 def stable_round(col, ndigits: int):

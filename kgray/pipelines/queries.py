@@ -948,7 +948,7 @@ def q_asof_join(sf_dir: str):
     )
     return asof_join(
         clicks, views, by="user_id", on="ts", right_cols=["view_id"],
-        right_prepare=_vmax, num_partitions=8,
+        right_prepare=_vmax,
     )
 
 
@@ -991,7 +991,7 @@ def q_range_join(sf_dir: str):
     )
     return range_join(
         orders, bands, value_col="o_totalprice", lo_col="lo", hi_col="hi",
-        right_cols=["band"], bucket_width=10_000.0, num_partitions=8,
+        right_cols=["band"], bucket_width=10_000.0,
     )
 
 
@@ -1073,7 +1073,13 @@ def q_connected_components(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
-    labels = connected_components_distributed(edges, num_partitions=4)
+    # The verified pair graph is orders of magnitude smaller than the
+    # corpus — size the propagation exchange down from the corpus width.
+    from kgray.kernels.hashagg import auto_partitions
+
+    labels = connected_components_distributed(
+        edges, num_partitions=max(4, auto_partitions() // 8)
+    )
 
     def _to_int(t: pa.Table) -> pa.Table:
         return pa.table(

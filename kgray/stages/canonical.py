@@ -82,7 +82,7 @@ def connected_components_distributed(
     src: str = "src",
     dst: str = "dst",
     max_iters: int = 25,
-    num_partitions: int = 8,
+    num_partitions: Optional[int] = None,
 ) -> Dataset:
     """Min-label propagation over an edge Dataset → Dataset(node, label).
 
@@ -97,6 +97,10 @@ def connected_components_distributed(
 
     if max_iters < 1:
         raise ValueError(f"max_iters must be >= 1, got {max_iters}")
+    if num_partitions is None:
+        from kgray.kernels.hashagg import auto_partitions
+
+        num_partitions = auto_partitions()
 
     def _swap(t: pa.Table) -> pa.Table:
         return pa.table({src: t.column(dst).cast(pa.string()), dst: t.column(src).cast(pa.string())})

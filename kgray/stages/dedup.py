@@ -51,7 +51,8 @@ _MERSENNE = (1 << 61) - 1
 # ---------------------------------------------------------------------------
 
 def exact_dedup(
-    ds: Dataset, text_col: str = "text", id_col: str = "doc_id", num_partitions: int = 64
+    ds: Dataset, text_col: str = "text", id_col: str = "doc_id",
+    num_partitions: Optional[int] = None,
 ) -> Dataset:
     """Keep the min-id row per distinct text. Output: (id_col, text_col).
 
@@ -69,8 +70,10 @@ def exact_dedup(
     def _keep_min(df: pd.DataFrame) -> pd.DataFrame:
         return df.sort_values(["__h", id_col], kind="mergesort").drop_duplicates("__h")
 
-    from kgray.kernels.hashagg import grouped_apply
+    from kgray.kernels.hashagg import auto_partitions, grouped_apply
 
+    if num_partitions is None:
+        num_partitions = auto_partitions()
     hashed = ds.map_batches(_hash, batch_format="pyarrow")
     out = grouped_apply(hashed, ["__h"], _keep_min, num_partitions=num_partitions, map_side=_keep_min)
     return out.drop_columns(["__h"])
@@ -198,6 +201,7 @@ def minhash_lsh_pairs(
     shingle_k: int = 3,
     max_bucket: int = 200,
     verify_broadcast_limit: int = 100_000,
+    num_partitions: Optional[int] = None,
 ) -> Dataset:
     """Verified near-dup pairs (id_a < id_b, true Jaccard ≥ threshold).
 
@@ -218,10 +222,12 @@ def minhash_lsh_pairs(
     """
     import logging
 
-    from kgray.kernels.hashagg import distinct, grouped_apply
+    from kgray.kernels.hashagg import auto_partitions, distinct, grouped_apply
 
     logger = logging.getLogger(__name__)
 
+    if num_partitions is None:
+        num_partitions = auto_partitions()
     bands = ds.map_batches(
         _BandEmitter,
         fn_constructor_kwargs=dict(
@@ -260,7 +266,7 @@ def minhash_lsh_pairs(
             )
         return pd.DataFrame({"id_a": out_a, "id_b": out_b})
 
-    cand = grouped_apply(bands, ["band", "bucket"], _pairs_partition, num_partitions=32)
+    cand = grouped_apply(bands, ["band", "bucket"], _pairs_partition, num_partitions=num_partitions)
     # Per-batch dedup is shuffle-free; cross-partition duplicates are
     # handled per path below. Materialized: feeds the id gather AND the
     # verify/join stage.
@@ -333,20 +339,21 @@ def minhash_lsh_pairs(
     # 3) Double hash-join of the pair set against the filtered slice.
     # Cross-partition duplicate pairs are removed by a distributed
     # distinct first — at this size the joins would amplify them.
-    cand = distinct(cand, ["id_a", "id_b"], num_partitions=16)
+    cand = distinct(cand, ["id_a", "id_b"], num_partitions=max(2, num_partitions // 2))
 
     def _as(a_name: str, t_name: str):
         def fn(t: pa.Table) -> pa.Table:
             return pa.table({a_name: t.column(id_col), t_name: t.column(text_col)})
         return fn
 
+    join_parts = max(2, num_partitions // 4)
     with_a = cand.join(
         relevant.map_batches(_as("id_a", "__text_a"), batch_format="pyarrow"),
-        join_type="inner", num_partitions=8, on=("id_a",), right_on=("id_a",),
+        join_type="inner", num_partitions=join_parts, on=("id_a",), right_on=("id_a",),
     )
     with_ab = with_a.join(
         relevant.map_batches(_as("id_b", "__text_b"), batch_format="pyarrow"),
-        join_type="inner", num_partitions=8, on=("id_b",), right_on=("id_b",),
+        join_type="inner", num_partitions=join_parts, on=("id_b",), right_on=("id_b",),
     )
 
     # 4) Verify per batch; shingle each unique text once (cached by id).
@@ -418,7 +425,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.7,
     shingle_k: int = 3,
     max_postings: int = 1000,
-    num_partitions: int = 32,
+    num_partitions: Optional[int] = None,
 ) -> Dataset:
     """EXACT near-dup pairs (id_a < id_b, word-``shingle_k``-gram Jaccard
     ≥ threshold) — the deterministic sibling of ``minhash_lsh_pairs``.
@@ -442,27 +449,49 @@ def ngram_jaccard_pairs(
     """
     import logging
 
-    from kgray.kernels.hashagg import grouped_apply
+    from kgray.kernels.hashagg import auto_partitions, grouped_apply
 
     logger = logging.getLogger(__name__)
 
+    if num_partitions is None:
+        num_partitions = auto_partitions()
+
     def _emit(t: pa.Table) -> pa.Table:
-        ids, shs, szs = [], [], []
-        for doc_id, text in zip(t.column(id_col).to_pylist(), t.column(text_col).to_pylist()):
+        # Vectorized map side (mirrors _SimHasher/_BandEmitter): per-doc
+        # distinct shingles are flattened across the batch, md5 runs once
+        # per UNIQUE shingle (factorize is a C hash pass), ids/sizes are
+        # np.repeat'ed — no per-shingle Python hashing in the hot loop.
+        texts = t.column(text_col).to_pylist()
+        ids_py = t.column(id_col).to_pylist()
+        flat: List[str] = []
+        counts: List[int] = []
+        kept: List[int] = []
+        for r, text in enumerate(texts):
             ss = _shingle_set(text, shingle_k)
             if not ss:
                 continue
-            n = len(ss)
-            for s in ss:
-                h = int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "little")
-                ids.append(doc_id)
-                shs.append(h - (1 << 64) if h >= (1 << 63) else h)
-                szs.append(n)
+            flat.extend(ss)
+            counts.append(len(ss))
+            kept.append(r)
+        if not flat:
+            return pa.table(
+                {
+                    "sh": pa.array([], type=pa.int64()),
+                    id_col: pa.array([], type=t.column(id_col).type),
+                    "sz": pa.array([], type=pa.int32()),
+                }
+            )
+        codes, uniques = pd.factorize(np.asarray(flat, dtype=object))
+        uh = np.empty(len(uniques), dtype=np.uint64)
+        for i, s in enumerate(uniques.tolist()):
+            uh[i] = np.frombuffer(hashlib.md5(s.encode("utf-8")).digest()[:8], dtype="<u8")[0]
+        cnt = np.asarray(counts, dtype=np.int64)
+        ids_np = np.asarray([ids_py[r] for r in kept])
         return pa.table(
             {
-                "sh": pa.array(shs, type=pa.int64()),
-                id_col: pa.array(ids),
-                "sz": pa.array(szs, type=pa.int32()),
+                "sh": pa.array(uh[codes].view(np.int64)),
+                id_col: pa.array(np.repeat(ids_np, cnt)),
+                "sz": pa.array(np.repeat(cnt.astype(np.int32), cnt)),
             }
         )
 
@@ -584,6 +613,7 @@ def simhash_pairs(
     max_hamming: int = 8,
     max_bucket: int = 200,
     n_bands: int = 8,
+    num_partitions: Optional[int] = None,
 ) -> Dataset:
     """Near-dup pairs by SimHash: banded buckets → Hamming verify.
 
@@ -619,7 +649,10 @@ def simhash_pairs(
 
     banded = sh.map_batches(_bands, batch_format="pyarrow")
 
-    from kgray.kernels.hashagg import grouped_apply
+    from kgray.kernels.hashagg import auto_partitions, grouped_apply
+
+    if num_partitions is None:
+        num_partitions = auto_partitions()
 
     def _pairs_partition(part: pd.DataFrame) -> pd.DataFrame:
         multi = part[part.duplicated(["band", "bucket"], keep=False)]
@@ -643,14 +676,17 @@ def simhash_pairs(
             }
         )
 
-    pairs = grouped_apply(banded, ["band", "bucket"], _pairs_partition, num_partitions=32)
+    pairs = grouped_apply(banded, ["band", "bucket"], _pairs_partition, num_partitions=num_partitions)
 
     def _min_ham(part: pd.DataFrame) -> pd.DataFrame:
         return part.sort_values(["id_a", "id_b", "hamming"], kind="mergesort").drop_duplicates(
             ["id_a", "id_b"]
         )
 
-    return grouped_apply(pairs, ["id_a", "id_b"], _min_ham, num_partitions=16, map_side=_min_ham)
+    return grouped_apply(
+        pairs, ["id_a", "id_b"], _min_ham,
+        num_partitions=max(2, num_partitions // 2), map_side=_min_ham,
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -27,7 +27,7 @@ import pyarrow as pa
 import ray.data
 from ray.data import Dataset
 
-from kgray.kernels.hashagg import grouped_apply
+from kgray.kernels.hashagg import auto_partitions, grouped_apply
 
 _TAG = "__asof_side"
 
@@ -39,7 +39,7 @@ def asof_join(
     on: str,
     right_cols: Optional[Sequence[str]] = None,
     suffix: str = "_right",
-    num_partitions: int = 32,
+    num_partitions: Optional[int] = None,
     right_prepare=None,
 ) -> Dataset:
     """Left as-of join: latest right row with ``right.on <= left.on``
@@ -56,6 +56,8 @@ def asof_join(
     ``by``, any by-local preparation rides this exchange for free
     instead of costing its own.
     """
+    if num_partitions is None:
+        num_partitions = auto_partitions()
     rcols = list(right_cols) if right_cols is not None else [
         c for c in right.schema().names if c not in (by, on)
     ]
@@ -118,7 +120,12 @@ def asof_join(
             merged[lcols + out_rcols], preserve_index=False
         ).cast(out_schema)
 
-    return grouped_apply(tagged, [by], _asof, num_partitions=num_partitions)
+    # Arrow map side: the aligned union must NOT round-trip through
+    # pandas before the exchange — NULL-filled int columns would upcast
+    # to float64 on one branch only and spam block-schema warnings.
+    return grouped_apply(
+        tagged, [by], _asof, num_partitions=num_partitions, map_format="pyarrow"
+    )
 
 
 def range_join(
@@ -129,7 +136,7 @@ def range_join(
     hi_col: str,
     right_cols: Optional[Sequence[str]] = None,
     bucket_width: float = 1.0,
-    num_partitions: int = 32,
+    num_partitions: Optional[int] = None,
     suffix: str = "_right",
 ) -> Dataset:
     """Inner range join: every (left, right) pair with
@@ -147,6 +154,8 @@ def range_join(
     with a left column is an error (they cannot be renamed — the
     containment filter needs them by name).
     """
+    if num_partitions is None:
+        num_partitions = auto_partitions()
     rcols = list(right_cols) if right_cols is not None else [
         c for c in right.schema().names if c not in (lo_col, hi_col)
     ]
@@ -178,9 +187,6 @@ def range_join(
         out[_TAG] = "r"
         return out
 
-    lt = left.map_batches(_lbucket, batch_format="pyarrow")
-    rt = right.map_batches(_rbucket, batch_format="pyarrow")
-
     lschema, rschema = left.schema(), right.schema()
     rtypes = {n: t for n, t in zip(rschema.names, rschema.types)}
     types = {n: t for n, t in zip(lschema.names, lschema.types)}
@@ -202,9 +208,13 @@ def range_join(
                 arrays[c] = pa.nulls(len(df), type=types[c])
         return pa.table(arrays)
 
-    tagged = lt.map_batches(_align, batch_format="pandas").union(
-        rt.map_batches(_align, batch_format="pandas")
-    )
+    # Bucket-explode and align fused in one Arrow-out stage per side so
+    # no intermediate pandas blocks (with per-side NULL upcasts) ever
+    # reach the executor — both union branches emit one identical
+    # Arrow schema.
+    lt = left.map_batches(lambda t: _align(_lbucket(t)), batch_format="pyarrow")
+    rt = right.map_batches(lambda t: _align(_rbucket(t)), batch_format="pyarrow")
+    tagged = lt.union(rt)
 
     out_schema = pa.schema([(c, types[c]) for c in lcols + [lo_col, hi_col] + out_rcols])
 
@@ -226,4 +236,6 @@ def range_join(
         # Cast back to the input types (the union's NULL fill upcasts).
         return pa.Table.from_pandas(df, preserve_index=False).cast(out_schema)
 
-    return grouped_apply(tagged, ["__bucket"], _match, num_partitions=num_partitions)
+    return grouped_apply(
+        tagged, ["__bucket"], _match, num_partitions=num_partitions, map_format="pyarrow"
+    )

@@ -254,11 +254,16 @@ def lsh_bucketed_near_dup(
     n_bits: int = 8,
     n_tables: int = 6,
     max_bucket: int = 2000,
+    num_partitions: Optional[int] = None,
 ) -> Dataset:
     """All-pairs cosine ≥ threshold without broadcasting the matrix:
     explode to (table, bucket, id, vec) rows, groupby bucket, pairwise
     matmul within buckets, dedup pairs. The shuffle moves each vector
     n_tables times — fine while n_tables · corpus ≪ all-pairs."""
+    from kgray.kernels.hashagg import auto_partitions, distinct, grouped_apply
+
+    if num_partitions is None:
+        num_partitions = auto_partitions()
     from ray.data.aggregate import Count
 
     # dim sniff
@@ -268,23 +273,24 @@ def lsh_bucketed_near_dup(
     href = ray.put(hasher)
 
     def _explode(t: pa.Table) -> pa.Table:
+        # Table-major explode, fully vectorized: bucket matrix transposed
+        # and flattened, ids tiled, and the normalized vectors tiled once
+        # into a FixedSizeList column — no per-row Python on the map side.
         hs = ray.get(href) if isinstance(href, ray.ObjectRef) else href
         vecs = _normalize(np.asarray(t.column(vec_col).to_pylist(), dtype=np.float64))
-        ids = t.column(id_col).to_pylist()
-        vb = hs.buckets(vecs)
-        t_out, b_out, i_out, v_out = [], [], [], []
-        for r in range(len(ids)):
-            for tt in range(vb.shape[1]):
-                t_out.append(tt)
-                b_out.append(int(vb[r, tt]))
-                i_out.append(ids[r])
-                v_out.append(vecs[r].tolist())
+        n = len(vecs)
+        vb = hs.buckets(vecs)  # (n, n_tables)
+        tiled = np.tile(vecs, (n_tables, 1))  # table-major rows
+        vec_arr = pa.FixedSizeListArray.from_arrays(
+            pa.array(tiled.reshape(-1), type=pa.float64()), dim
+        )
+        ids_np = t.column(id_col).combine_chunks().to_numpy(zero_copy_only=False)
         return pa.table(
             {
-                "table": pa.array(t_out, type=pa.int32()),
-                "bucket": pa.array(b_out, type=pa.int32()),
-                id_col: pa.array(i_out),
-                vec_col: pa.array(v_out, type=pa.list_(pa.float64())),
+                "table": pa.array(np.repeat(np.arange(n_tables, dtype=np.int32), n)),
+                "bucket": pa.array(vb.T.reshape(-1).astype(np.int32)),
+                id_col: pa.array(np.tile(ids_np, n_tables)),
+                vec_col: vec_arr,
             }
         )
 
@@ -305,8 +311,6 @@ def lsh_bucketed_near_dup(
                 b_o.append(ids[j])
         return pd.DataFrame({"id_a": a_o, "id_b": b_o})
 
-    from kgray.kernels.hashagg import distinct, grouped_apply
-
     def _pairs_partition(part: pd.DataFrame) -> pd.DataFrame:
         multi = part[part.duplicated(["table", "bucket"], keep=False)]
         out = [_pairs(g) for _, g in multi.groupby(["table", "bucket"], sort=False)]
@@ -314,5 +318,5 @@ def lsh_bucketed_near_dup(
             return pd.DataFrame({"id_a": [], "id_b": []})
         return pd.concat(out, ignore_index=True)
 
-    pairs = grouped_apply(exploded, ["table", "bucket"], _pairs_partition, num_partitions=16)
-    return distinct(pairs, ["id_a", "id_b"], num_partitions=8)
+    pairs = grouped_apply(exploded, ["table", "bucket"], _pairs_partition, num_partitions=num_partitions)
+    return distinct(pairs, ["id_a", "id_b"], num_partitions=max(2, num_partitions // 2))
