@@ -530,20 +530,57 @@ SELECT q_id, vec_id, rank FROM (
 """
 
 
+def _ann_recall_check(approx, sf_dir: str, floor: float, name: str):
+    """Self-assertion for the approximate-ANN queries (same contract as
+    construct_kg's in-query P/R gate): mean recall@k vs the exact
+    brute-force top-k must clear ``floor`` or the query RAISES instead
+    of returning plausible-but-bad rows. Both result sets are tiny
+    (num_queries × k), so the check is a driver-side set compare."""
+    from kgray.stages.similarity import ann_topk_bruteforce
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    exact = ann_topk_bruteforce(ds, _query_matrix(sf_dir), k=10).take_all()
+    got = approx.take_all()
+    truth: dict = {}
+    for r in exact:
+        truth.setdefault(r["q_id"], set()).add(r["vec_id"])
+    recalls = []
+    for qi, tset in truth.items():
+        rows = {r["vec_id"] for r in got if r["q_id"] == qi}
+        recalls.append(len(rows & tset) / max(1, len(tset)))
+    mean = sum(recalls) / max(1, len(recalls))
+    if mean < floor:
+        raise RuntimeError(
+            f"{name}: recall@10 self-check failed — mean {mean:.3f} < floor {floor} "
+            f"(per-query {sorted(recalls)})"
+        )
+    return pa.table(
+        {
+            "q_id": pa.array([r["q_id"] for r in got], type=pa.int32()),
+            "vec_id": pa.array([r["vec_id"] for r in got], type=pa.int64()),
+            "rank": pa.array([r["rank"] for r in got], type=pa.int64()),
+        }
+    )
+
+
 def q_ann_lsh(sf_dir: str):
+    """LSH ANN (approximate, rows-only) — self-asserting: raises unless
+    mean recall@10 vs the exact brute force clears the pinned floor."""
     from kgray.stages.similarity import ann_topk_lsh
 
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    return ann_topk_lsh(ds, _query_matrix(sf_dir), k=10).select_columns(["q_id", "vec_id", "rank"])
+    approx = ann_topk_lsh(ds, _query_matrix(sf_dir), k=10).select_columns(["q_id", "vec_id", "rank"])
+    return _ann_recall_check(approx, sf_dir, floor=0.5, name="ann_lsh")
 
 
 def q_ann_ivf(sf_dir: str):
-    """IVF coarse-quantizer ANN (approximate — rows-only like ann_lsh;
-    recall vs brute force is pinned in tests/test_similarity.py)."""
+    """IVF coarse-quantizer ANN (approximate, rows-only) — self-asserting
+    like ann_lsh; recall floors also pinned in tests/test_similarity.py."""
     from kgray.stages.similarity import ann_topk_ivf
 
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    return ann_topk_ivf(ds, _query_matrix(sf_dir), k=10).select_columns(["q_id", "vec_id", "rank"])
+    approx = ann_topk_ivf(ds, _query_matrix(sf_dir), k=10).select_columns(["q_id", "vec_id", "rank"])
+    return _ann_recall_check(approx, sf_dir, floor=0.5, name="ann_ivf")
 
 
 def q_dedup_simhash(sf_dir: str):

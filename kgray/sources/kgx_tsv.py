@@ -195,14 +195,20 @@ def priority_sniff(node_paths_by_source: Dict[str, str]) -> List[str]:
         cols = tsv_header(path)
         if "provided_by" not in cols:
             continue
-        table = pacsv.read_csv(
+        # Streaming reader: pull ONE batch and stop — a first-row peek
+        # must not pay for the whole file.
+        with pacsv.open_csv(
             path,
             parse_options=_TSV_PARSE,
             convert_options=_convert_options(cols),
-        )
-        if len(table) == 0:
+        ) as reader:
+            try:
+                batch = reader.read_next_batch()
+            except StopIteration:
+                continue
+        if batch.num_rows == 0:
             continue
-        val = table.column("provided_by")[0].as_py()
+        val = batch.column(batch.schema.get_field_index("provided_by"))[0].as_py()
         if val:
             out.append(val)
     return out

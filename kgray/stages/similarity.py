@@ -100,13 +100,22 @@ def ann_topk_lsh(
     k: int = 10,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    n_bits: int = 10,
+    n_bits: Optional[int] = None,
     n_tables: int = 6,
 ) -> Dataset:
     """Approximate top-k: scan only vectors sharing an LSH bucket with
-    the query in at least one table. Output schema matches brute force."""
+    the query in at least one table. Output schema matches brute force.
+
+    ``n_bits=None`` auto-sizes the hash width from the corpus count so
+    the expected bucket holds ~64 vectors (``log2(n/64)``): too many
+    bits over a small corpus makes every bucket a near-singleton and
+    recall collapses; too few over a big corpus degrades to brute
+    force. Parquet-backed datasets answer ``count()`` from metadata."""
     q = _normalize(np.asarray(query_matrix, dtype=np.float64))
     dim = q.shape[1]
+    if n_bits is None:
+        n = ds.count()
+        n_bits = int(min(16, max(2, np.log2(max(2, n / 64)))))
     hasher = _HyperplaneHasher(dim, n_bits, n_tables)
     q_buckets = hasher.buckets(q)  # (Q, T)
     # table → bucket → [q ids]

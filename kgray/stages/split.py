@@ -30,14 +30,36 @@ def hash_split(
     resumable, cluster-size-independent, join-free."""
 
     def _assign(t: pa.Table) -> pa.Table:
+        # md5 is pinned by the oracle; run it once per DISTINCT id and
+        # broadcast the verdicts back with a take (ids repeat across
+        # epochs/shards more often than not, and the factorize +
+        # boolean-select path avoids a Python branch per row).
+        import numpy as np
+        import pandas as pd
+
         ids = t.column(id_col).to_pylist()
-        labels = [
-            "holdout"
-            if int(hashlib.md5((salt + str(i)).encode("utf-8")).hexdigest()[:8], 16) % 100
-            < holdout_pct
-            else "train"
-            for i in ids
-        ]
-        return t.append_column(split_col, pa.array(labels, type=pa.string()))
+        codes, uniques = pd.factorize(np.asarray(ids, dtype=object))
+        hold = np.fromiter(
+            (
+                int(hashlib.md5((salt + str(i)).encode("utf-8")).hexdigest()[:8], 16) % 100
+                < holdout_pct
+                for i in uniques.tolist()
+            ),
+            dtype=bool,
+            count=len(uniques),
+        )
+        # factorize maps None → code -1; hash str(None) for those rows
+        # (same as the per-row form did).
+        if (codes < 0).any():
+            none_hold = (
+                int(hashlib.md5((salt + str(None)).encode("utf-8")).hexdigest()[:8], 16) % 100
+                < holdout_pct
+            )
+            per_row = hold[np.clip(codes, 0, None)]
+            per_row = np.where(codes < 0, none_hold, per_row)
+        else:
+            per_row = hold[codes]
+        labels = np.where(per_row, "holdout", "train")
+        return t.append_column(split_col, pa.array(labels.tolist(), type=pa.string()))
 
     return ds.map_batches(_assign, batch_format="pyarrow")

@@ -75,12 +75,28 @@ def quality_batch(t: pa.Table, text_col: str = "text") -> pa.Table:
 
 
 def fingerprint_batch(t: pa.Table, text_col: str = "text", out_col: str = "fingerprint") -> pa.Table:
+    # md5 + Python-regex normalization pinned by the oracle — but both
+    # run once per DISTINCT text (duplicate documents are the whole
+    # reason to fingerprint) and map back through a factorize gather.
+    import numpy as np
+    import pandas as pd
+
     texts = t.column(text_col).to_pylist()
-    fps = [
-        hashlib.md5(_WS_COLLAPSE.sub(" ", (x or "").lower()).strip().encode("utf-8")).hexdigest()
-        for x in texts
-    ]
-    return t.append_column(out_col, pa.array(fps, type=pa.string()))
+    codes, uniques = pd.factorize(np.asarray(texts, dtype=object))
+    ufps = np.asarray(
+        [
+            hashlib.md5(_WS_COLLAPSE.sub(" ", (x or "").lower()).strip().encode("utf-8")).hexdigest()
+            for x in uniques.tolist()
+        ],
+        dtype=object,
+    )
+    # factorize maps None → code -1; hash the empty-normal form for it.
+    if (codes < 0).any():
+        none_fp = hashlib.md5(b"").hexdigest()
+        fps = np.where(codes < 0, none_fp, ufps[np.clip(codes, 0, None)])
+    else:
+        fps = ufps[codes]
+    return t.append_column(out_col, pa.array(fps.tolist(), type=pa.string()))
 
 
 class RollingFingerprint:
