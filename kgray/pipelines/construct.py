@@ -82,12 +82,22 @@ _PREFIX_CATEGORIES = [
 
 
 def _dir_rows(path: str) -> int:
-    total = 0
-    for root, _dirs, files in os.walk(path):
-        for f in files:
-            if f.endswith(".parquet"):
-                total += pq.read_metadata(os.path.join(root, f)).num_rows
-    return total
+    """Row count of a parquet tree from footer metadata only. The spill
+    tree holds one file per (write task × partition) — thousands of
+    small files — so the footer reads go through a thread pool (I/O
+    bound; serial driver-side reads cost seconds per shard)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    paths = [
+        os.path.join(root, f)
+        for root, _dirs, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    ]
+    if not paths:
+        return 0
+    with ThreadPoolExecutor(min(32, max(4, len(paths) // 64 + 1))) as ex:
+        return sum(ex.map(lambda p: pq.read_metadata(p).num_rows, paths))
 
 
 def _host_provenance(t: pa.Table) -> pa.Table:
@@ -192,6 +202,10 @@ def extract_and_link_shard(
     )
     with atomic_output_dir(out_dir) as tmp:
         ds.write_parquet(tmp, partition_cols=["__part"])
+    if os.environ.get("KGRAY_STATS"):
+        import sys as _sys
+
+        print(ds.stats(), file=_sys.stderr)
     return _dir_rows(out_dir)
 
 
@@ -262,13 +276,13 @@ def _reduce_partition_write(
 
     import pyarrow.compute as pc
 
-    from kgray.kernels.hashagg import sorted_unique_join_table
+    from kgray.kernels.hashagg import provenance_merge_table
 
     t = pq.read_table(files)
     if "__part" in t.column_names:
         t = t.drop_columns(["__part"])
-    other = [c for c in EDGE_COLUMNS if c not in _EDGE_KEY]
-    r = sorted_unique_join_table(t, _EDGE_KEY, other).select(EDGE_COLUMNS)
+    (other,) = [c for c in EDGE_COLUMNS if c not in _EDGE_KEY]
+    r = provenance_merge_table(t, _EDGE_KEY, other).select(EDGE_COLUMNS)
     for pred in pc.unique(r.column("predicate")).to_pylist():
         sub = r.filter(pc.equal(r.column("predicate"), pred)).drop_columns(["predicate"])
         d = os.path.join(out_root, f"predicate={quote(str(pred), safe='')}")
@@ -474,13 +488,53 @@ def construct_kg(
     cref = ray.put(canonical_state(cmap) if cmap else None)
     timings["canonical_map_sec"] = round(_time.perf_counter() - t_start, 3)
 
-    # ---- node-side build overlaps the front half (driver thread): the
-    # KB is the pipeline's small side by construction, and the node
-    # table needs only aliases + cmap.
+    # ---- node-side build AND merge overlap the front half (driver
+    # thread): the whole node path depends only on aliases + cmap, not
+    # on the extracted triples, so it runs as an independent cluster
+    # job that fills the front half's ramp/drain slack (its distributed
+    # merge is plain tasks — no second actor pool to starve the front's;
+    # see the pool-starvation note in kernels/hashagg.py). Only the stub
+    # append (needs the reduce's missing-endpoint report) remains on the
+    # critical path.
     _nb: Dict[str, Any] = {}
+    _nodes_built = threading.Event()
+    nodes_stage = os.path.join(out_dir, ".nodes_stage")
 
     def _build_nodes():
+        try:
+            _build_nodes_inner()
+        except BaseException as e:  # surfaced at join/wait on the main thread
+            _nb["err"] = e
+        finally:
+            _nodes_built.set()
+
+    def _build_nodes_inner():
+        import shutil as _sh
+
         _nb["t"] = build_node_table(alias_table, cmap)
+        _nodes_built.set()
+        if giant_kb:
+            return  # _backhalf_giant owns the node merge on this path
+        nodes_t = _nb["t"]
+        if len(nodes_t) <= 50_000:
+            _nb["frame"] = merge_nodes_frame(
+                nodes_t.to_pandas(), NODE_COLUMNS, priority_sources=["kb_primary"]
+            )
+        else:
+            # Big KB: the same merge distributed (same frame kernel as
+            # the per-partition reduce). Split the table so the map side
+            # parallelizes (from_arrow of one table = one block).
+            from kgray.pipelines.kgx_merge import merge_nodes
+
+            step = -(-len(nodes_t) // max(8, num_partitions))
+            chunks = [nodes_t.slice(o, step) for o in range(0, len(nodes_t), step)]
+            nodes_ds = ray.data.from_arrow([c for c in chunks if len(c)])
+            merged = merge_nodes(
+                nodes_ds, priority_sources=["kb_primary"], num_partitions=num_partitions
+            )
+            _sh.rmtree(nodes_stage, ignore_errors=True)
+            merged.write_parquet(nodes_stage)
+            _nb["staged"] = nodes_stage
 
     nb_thread = threading.Thread(target=_build_nodes)
     nb_thread.start()
@@ -534,10 +588,13 @@ def construct_kg(
         return manifest.counters()
 
     t_mark = _time.perf_counter()
-    nb_thread.join()
+    _nodes_built.wait()
+    if "err" in _nb:
+        raise _nb["err"]
     nodes_t: pa.Table = _nb["t"]
 
     if giant_kb:
+        nb_thread.join()
         assert labels_ds is not None
         edges_rows, nodes_rows, n_missing = _backhalf_giant(
             out_dir, triples_root, labels_ds, nodes_t, edges_out, nodes_out, num_partitions
@@ -567,28 +624,18 @@ def construct_kg(
             for p, files_p in sorted(part_files.items())
         ]
 
-        # Node merge runs CONCURRENTLY with the reduce tasks (driver-side
-        # for small KBs, a distributed Dataset execution for big ones —
-        # either way the cluster interleaves it with the reduce).
+        # The node merge ran overlapped with the front half (nb_thread);
+        # here its output just moves into place and the stub rows (the
+        # only node-side product of the reduce) are appended.
         with atomic_output_dir(nodes_out) as nodes_tmp:
-            merged_frame: Optional[pd.DataFrame] = None
-            if len(nodes_t) <= 50_000:
-                merged_frame = merge_nodes_frame(
-                    nodes_t.to_pandas(), NODE_COLUMNS, priority_sources=["kb_primary"]
-                )
-            else:
-                # Big KB: same merge distributed (same frame kernel as the
-                # per-partition reduce). Split the table so the map side
-                # parallelizes (from_arrow of one table = one block).
-                from kgray.pipelines.kgx_merge import merge_nodes
-
-                step = -(-len(nodes_t) // max(8, num_partitions))
-                chunks = [nodes_t.slice(o, step) for o in range(0, len(nodes_t), step)]
-                nodes_ds = ray.data.from_arrow([c for c in chunks if len(c)])
-                merged = merge_nodes(
-                    nodes_ds, priority_sources=["kb_primary"], num_partitions=num_partitions
-                )
-                merged.write_parquet(nodes_tmp)
+            nb_thread.join()
+            if "err" in _nb:
+                raise _nb["err"]
+            merged_frame: Optional[pd.DataFrame] = _nb.get("frame")
+            if _nb.get("staged"):
+                for f in os.listdir(nodes_stage):
+                    os.replace(os.path.join(nodes_stage, f), os.path.join(nodes_tmp, f))
+                os.rmdir(nodes_stage)
 
             results = ray.get(refs)
             missing = sorted({m for r in results for m in r["missing"]})

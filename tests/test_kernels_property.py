@@ -143,3 +143,39 @@ def test_stable_round_matches_duckdb(xs, nd):
         duckdb.sql(f"SELECT ROUND(CAST({x!r} AS DOUBLE), {nd})").fetchone()[0] for x in xs
     ]
     assert got == want
+
+
+_pm_keys = st.sampled_from(["s:1", "s:2", "s:3", "ü:1"])
+_pm_vals = st.one_of(st.none(), st.sampled_from(["src_a", "src_b", "", "x|y", "ü"]))
+
+
+@settings(max_examples=40, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(st.tuples(_pm_keys, _pm_keys, _pm_vals), min_size=0, max_size=40),
+)
+def test_provenance_merge_matches_general_kernel(rows):
+    """provenance_merge_table (the edge-reduce fast kernel) is row-for-row
+    equal to sorted_unique_join_table on arbitrary inputs: single-value
+    groups, multi-value groups, all-null groups, empties, unicode."""
+    import pyarrow as pa
+
+    from kgray.kernels.hashagg import provenance_merge_table, sorted_unique_join_table
+
+    t = pa.table(
+        {
+            "subject": pa.array([r[0] for r in rows], type=pa.string()),
+            "object": pa.array([r[1] for r in rows], type=pa.string()),
+            "src": pa.array([r[2] for r in rows], type=pa.string()),
+        }
+    )
+    keys = ["subject", "object"]
+    want = sorted_unique_join_table(t, keys, ["src"]).select(keys + ["src"])
+    got = provenance_merge_table(t, keys, "src")
+
+    def norm(tbl):
+        return sorted(
+            tuple("\x00" if v is None else v for v in d.values())
+            for d in tbl.select(keys + ["src"]).to_pylist()
+        )
+
+    assert norm(got) == norm(want)
