@@ -70,11 +70,15 @@ BENCH_QUERIES = [
     "dedup_minhash_pairs",
     "dedup_jaccard_pairs",
     "dedup_exact",
+    "dedup_embedding_pairs",
+    "dedup_simhash",
     "ann_topk",
     "ann_ivf",
     "lineitem_agg",
     "sessionize",
     "token_count",
+    "pii_scrub",
+    "repetition_filter",
     "asof_join",
     "range_join",
 ]

@@ -299,6 +299,20 @@ def _reduce_partition_write(
     return {"rows": r.num_rows, "missing": missing.to_pylist()}
 
 
+@ray.remote(num_cpus=1)
+def _merge_nodes_part_write(
+    sub: pa.Table, schema_names: List[str], part_id: int, out_dir: str
+) -> int:
+    """Merge ONE driver-made hash partition of the node table (same
+    pure-Arrow kernel as the small-KB path) and write its parquet file
+    directly — no driver collection of the merged output."""
+    from kgray.pipelines.kgx_merge import merge_nodes_table
+
+    r = merge_nodes_table(sub, schema_names, priority_sources=["kb_primary"])
+    pq.write_table(r, os.path.join(out_dir, f"part-{part_id:05d}.parquet"))
+    return len(r)
+
+
 def _partition_files(triples_root: str) -> Dict[int, List[str]]:
     """{partition id: [spilled parquet files across all shards]}."""
     out: Dict[int, List[str]] = {}
@@ -488,53 +502,59 @@ def construct_kg(
     cref = ray.put(canonical_state(cmap) if cmap else None)
     timings["canonical_map_sec"] = round(_time.perf_counter() - t_start, 3)
 
-    # ---- node-side build AND merge overlap the front half (driver
-    # thread): the whole node path depends only on aliases + cmap, not
-    # on the extracted triples, so it runs as an independent cluster
-    # job that fills the front half's ramp/drain slack (its distributed
-    # merge is plain tasks — no second actor pool to starve the front's;
-    # see the pool-starvation note in kernels/hashagg.py). Only the stub
-    # append (needs the reduce's missing-endpoint report) remains on the
-    # critical path.
+    # ---- node-side build overlaps the front half (driver thread): the
+    # KB is the pipeline's small side by construction, and the node
+    # table needs only aliases + cmap. Small KBs also merge here (a
+    # driver-side Arrow merge, trivial). The BIG-KB distributed merge is
+    # deliberately NOT overlapped with the front half: the front's actor
+    # pool saturates the cluster, so any concurrent cluster work —
+    # a second Ray Data execution (resource-manager split) or even raw
+    # tasks — steals slots 1:1 (measured: front 45→54 s at 32 CPUs).
+    # It launches in the reduce phase instead, interleaving with the
+    # edge-reduce task fleet (see _launch_node_merge_tasks below).
     _nb: Dict[str, Any] = {}
     _nodes_built = threading.Event()
     nodes_stage = os.path.join(out_dir, ".nodes_stage")
 
     def _build_nodes():
+        _nb["t0"] = _time.perf_counter()
         try:
-            _build_nodes_inner()
+            _nb["t"] = build_node_table(alias_table, cmap)
+            _nodes_built.set()
+            if not giant_kb and len(_nb["t"]) <= 50_000:
+                _nb["frame"] = merge_nodes_frame(
+                    _nb["t"].to_pandas(), NODE_COLUMNS, priority_sources=["kb_primary"]
+                )
         except BaseException as e:  # surfaced at join/wait on the main thread
             _nb["err"] = e
         finally:
+            _nb["t1"] = _time.perf_counter()
             _nodes_built.set()
 
-    def _build_nodes_inner():
+    def _launch_node_merge_tasks(nodes_t: pa.Table) -> List:
+        """Big-KB node merge as RAW 1-CPU Ray tasks, launched alongside
+        the edge-reduce fleet (the cluster interleaves the two). The
+        node table is already driver-resident, so hash-partition it
+        here (vectorized) and let each task run the pure-Arrow merge
+        kernel and write its own file — no driver collection."""
         import shutil as _sh
 
-        _nb["t"] = build_node_table(alias_table, cmap)
-        _nodes_built.set()
-        if giant_kb:
-            return  # _backhalf_giant owns the node merge on this path
-        nodes_t = _nb["t"]
-        if len(nodes_t) <= 50_000:
-            _nb["frame"] = merge_nodes_frame(
-                nodes_t.to_pandas(), NODE_COLUMNS, priority_sources=["kb_primary"]
-            )
-        else:
-            # Big KB: the same merge distributed (same frame kernel as
-            # the per-partition reduce). Split the table so the map side
-            # parallelizes (from_arrow of one table = one block).
-            from kgray.pipelines.kgx_merge import merge_nodes
+        import pyarrow.compute as _pc
 
-            step = -(-len(nodes_t) // max(8, num_partitions))
-            chunks = [nodes_t.slice(o, step) for o in range(0, len(nodes_t), step)]
-            nodes_ds = ray.data.from_arrow([c for c in chunks if len(c)])
-            merged = merge_nodes(
-                nodes_ds, priority_sources=["kb_primary"], num_partitions=num_partitions
-            )
-            _sh.rmtree(nodes_stage, ignore_errors=True)
-            merged.write_parquet(nodes_stage)
-            _nb["staged"] = nodes_stage
+        from kgray.kernels.hashagg import add_partition_column_arrow
+
+        P = max(8, num_partitions)
+        tp = add_partition_column_arrow(nodes_t, ["id"], P)
+        part_col = tp.column("__part")
+        tp = tp.drop_columns(["__part"])
+        _sh.rmtree(nodes_stage, ignore_errors=True)
+        os.makedirs(nodes_stage, exist_ok=True)
+        schema_names = list(nodes_t.column_names)
+        return [
+            _merge_nodes_part_write.remote(sub, schema_names, p, nodes_stage)
+            for p in range(P)
+            if len(sub := tp.filter(_pc.equal(part_col, p)))
+        ]
 
     nb_thread = threading.Thread(target=_build_nodes)
     nb_thread.start()
@@ -577,6 +597,8 @@ def construct_kg(
         )
         manifest.mark_shard(key, fp, triples_rows=rows, input_files=len(files))
     timings["front_sec"] = round(_time.perf_counter() - t_mark, 3)
+    if "t1" in _nb:  # node thread already finished: report its span
+        timings["node_thread_sec"] = round(_nb["t1"] - _nb["t0"], 3)
 
     # ---- reduce half ----------------------------------------------------
     stage_fp = "|".join(
@@ -624,15 +646,20 @@ def construct_kg(
             for p, files_p in sorted(part_files.items())
         ]
 
-        # The node merge ran overlapped with the front half (nb_thread);
-        # here its output just moves into place and the stub rows (the
-        # only node-side product of the reduce) are appended.
+        # Node side: small KBs merged on the node thread already; big
+        # KBs launch their raw merge tasks HERE so they interleave with
+        # the edge-reduce fleet. Only the stub append (needs the
+        # reduce's missing-endpoint report) is on the critical path.
         with atomic_output_dir(nodes_out) as nodes_tmp:
             nb_thread.join()
             if "err" in _nb:
                 raise _nb["err"]
+            timings.setdefault("node_thread_sec", round(_nb["t1"] - _nb["t0"], 3))
             merged_frame: Optional[pd.DataFrame] = _nb.get("frame")
-            if _nb.get("staged"):
+            if merged_frame is None:
+                t_nm = _time.perf_counter()
+                ray.get(_launch_node_merge_tasks(_nb["t"]))
+                timings["node_merge_sec"] = round(_time.perf_counter() - t_nm, 3)
                 for f in os.listdir(nodes_stage):
                     os.replace(os.path.join(nodes_stage, f), os.path.join(nodes_tmp, f))
                 os.rmdir(nodes_stage)

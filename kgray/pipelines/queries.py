@@ -1275,6 +1275,109 @@ def q_extract_text(sf_dir: str):
 # Registry
 # ---------------------------------------------------------------------------
 
+def q_pii_scrub(sf_dir: str):
+    """PII redaction (emails / IPv4s / SSNs / phone numbers → typed
+    placeholders, plus per-kind counts). The synthetic documents are
+    PII-free word salad, so the query first APPENDS a deterministic
+    doc_id-derived PII suffix on BOTH the Ray and SQL sides — every row
+    then exercises every pattern."""
+    from kgray.stages.text import pii_scrub_batch
+
+    def _aug(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").combine_chunks()
+        s = lambda a: a.cast(pa.string())  # noqa: E731
+        p4 = s(pc.add(_mod(d, 9000), pa.scalar(1000, type=pa.int64())))
+        text = pc.binary_join_element_wise(
+            pc.fill_null(t.column("text"), "").combine_chunks(),
+            " contact user",
+            s(d),
+            "@mail.example.com call 555-010-",
+            p4,
+            " or +1555010",
+            s(_mod(d, 1000)),
+            " ip 10.0.",
+            s(_mod(d, 200)),
+            ".",
+            s(_mod(d, 250)),
+            " ssn 123-45-",
+            p4,
+            ".",
+            "",
+        )
+        return pii_scrub_batch(t.set_column(1, "text", text)).select(
+            ["doc_id", "text_clean", "n_email", "n_ip", "n_ssn", "n_phone"]
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(_aug, batch_format="pyarrow")
+
+
+# Nested CTEs mirror the stage's pattern ORDER: each count sees the
+# text after the previous redactions, exactly like pii_scrub_batch.
+SQL_PII_SCRUB = """
+WITH aug AS (
+  SELECT doc_id, COALESCE(text, '')
+    || ' contact user' || CAST(doc_id AS VARCHAR)
+    || '@mail.example.com call 555-010-' || CAST(1000 + doc_id % 9000 AS VARCHAR)
+    || ' or +1555010' || CAST(doc_id % 1000 AS VARCHAR)
+    || ' ip 10.0.' || CAST(doc_id % 200 AS VARCHAR) || '.' || CAST(doc_id % 250 AS VARCHAR)
+    || ' ssn 123-45-' || CAST(1000 + doc_id % 9000 AS VARCHAR) || '.' AS t
+  FROM documents
+), s1 AS (
+  SELECT doc_id,
+    CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+    regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t
+  FROM aug
+), s2 AS (
+  SELECT doc_id, n_email,
+    CAST(len(regexp_extract_all(t, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT) AS n_ip,
+    regexp_replace(t, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g') AS t
+  FROM s1
+), s3 AS (
+  SELECT doc_id, n_email, n_ip,
+    CAST(len(regexp_extract_all(t, '\\b\\d{3}-\\d{2}-\\d{4}\\b')) AS BIGINT) AS n_ssn,
+    regexp_replace(t, '\\b\\d{3}-\\d{2}-\\d{4}\\b', '<SSN>', 'g') AS t
+  FROM s2
+), s4 AS (
+  SELECT doc_id, n_email, n_ip, n_ssn,
+    CAST(len(regexp_extract_all(t, '\\+\\d{7,15}|\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b')) AS BIGINT) AS n_phone,
+    regexp_replace(t, '\\+\\d{7,15}|\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b', '<PHONE>', 'g') AS t
+  FROM s3
+)
+SELECT doc_id, t AS text_clean, n_email, n_ip, n_ssn, n_phone FROM s4
+"""
+
+
+def q_repetition_filter(sf_dir: str):
+    """Gopher-style repetition quality metrics + keep flag per doc."""
+    from kgray.stages.text import repetition_stats_batch
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        lambda t: repetition_stats_batch(t).select(
+            ["doc_id", "top_word_frac", "dup_2gram_frac", "keep"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_REPETITION_FILTER = """
+WITH d AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws FROM documents),
+w AS (SELECT doc_id, unnest(ws) AS w FROM d),
+wc AS (SELECT doc_id, w, COUNT(*) AS c FROM w GROUP BY doc_id, w),
+tw AS (SELECT doc_id, CAST(MAX(c) AS DOUBLE) / SUM(c) AS twf FROM wc GROUP BY doc_id),
+g AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS bg
+  FROM d WHERE len(ws) >= 2
+), gc AS (
+  SELECT doc_id, 1.0 - CAST(COUNT(DISTINCT bg) AS DOUBLE) / COUNT(*) AS dgf FROM g GROUP BY doc_id
+)
+SELECT d.doc_id,
+  ROUND(COALESCE(twf, 0), 6) AS top_word_frac,
+  ROUND(COALESCE(dgf, 0), 6) AS dup_2gram_frac,
+  CAST(ROUND(COALESCE(twf, 0), 6) <= 0.2 AND ROUND(COALESCE(dgf, 0), 6) <= 0.2 AS BIGINT) AS keep
+FROM d LEFT JOIN tw USING (doc_id) LEFT JOIN gc USING (doc_id)
+"""
+
+
 QUERIES = {
     "kgx_node_merge": q_kgx_node_merge,
     "kgx_edge_dedup": q_kgx_edge_dedup,
@@ -1315,6 +1418,8 @@ QUERIES = {
     "session_gap": q_session_gap,
     "connected_components": q_connected_components,
     "multimodal_features": q_multimodal_features,
+    "pii_scrub": q_pii_scrub,
+    "repetition_filter": q_repetition_filter,
 }
 
 ORACLES = {
@@ -1352,6 +1457,8 @@ ORACLES = {
     "filter_prefix": SQL_FILTER_PREFIX,
     "session_gap": SQL_SESSION_GAP,
     "connected_components": SQL_CONNECTED_COMPONENTS,
+    "pii_scrub": SQL_PII_SCRUB,
+    "repetition_filter": SQL_REPETITION_FILTER,
     # rows-only (non-SQL-expressible): ann_lsh (LSH recall is
     # probabilistic), construct_kg / extract_text (self-checking
     # against generator goldens), multimodal_features (decode stub)

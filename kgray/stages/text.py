@@ -74,6 +74,99 @@ def quality_batch(t: pa.Table, text_col: str = "text") -> pa.Table:
     return t.append_column("quality_score", stable_round(q, 6))
 
 
+# PII redaction patterns, applied IN ORDER (earlier replacements hide
+# their text from later patterns — the SQL oracle nests identically).
+# RE2-only syntax so pyarrow's kernel and DuckDB's regexp_replace agree
+# byte-for-byte. Counts are taken on the text as seen by that pattern
+# (i.e. after the previous redactions).
+PII_PATTERNS: List = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("phone", r"\+\d{7,15}|\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+]
+
+
+def pii_scrub_batch(t: pa.Table, text_col: str = "text", out_col: str = "text_clean") -> pa.Table:
+    """PII scrub for LLM corpus prep: redact emails / IPv4s / SSNs /
+    phone numbers with typed placeholders and count each kind. Pure
+    pyarrow RE2 kernels — two C passes per pattern per batch, zero
+    per-row Python."""
+    text = pc.fill_null(t.column(text_col), "")
+    counts = {}
+    for name, pat, repl in PII_PATTERNS:
+        counts[f"n_{name}"] = pc.count_substring_regex(text, pat).cast(pa.int64())
+        text = pc.replace_substring_regex(text, pat, repl)
+    t = t.append_column(out_col, text)
+    for k, v in counts.items():
+        t = t.append_column(k, v)
+    return t
+
+
+def repetition_stats_batch(
+    t: pa.Table, text_col: str = "text", id_col: str = "doc_id", max_frac: float = 0.2
+) -> pa.Table:
+    """Gopher-style repetition quality metrics per document:
+
+    * ``top_word_frac``  — count of the most frequent word / total words
+    * ``dup_2gram_frac`` — 1 − distinct word-bigrams / total bigrams
+    * ``keep``           — 1 iff both metrics ≤ ``max_frac``
+
+    Fully vectorized: one whitespace-collapse + split (Arrow C kernels),
+    one ``dictionary_encode`` for word ids, then numpy
+    ``unique``/``reduceat``/``bincount`` segment math — no per-row
+    Python. Zero-word documents score 0.0 / 0.0 (kept)."""
+    n = len(t)
+    text = pc.fill_null(t.column(text_col), "")
+    clean = pc.utf8_trim_whitespace(pc.replace_substring_regex(text, r"\s+", " "))
+    la = pc.split_pattern(clean, " ").combine_chunks()
+    offsets = la.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    lens = np.diff(offsets)
+    # '' splits to [''] — treat as zero words.
+    nonempty = pc.not_equal(clean, "").to_numpy(zero_copy_only=False)
+    enc = pc.dictionary_encode(la.values)
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    V = max(1, len(enc.dictionary))
+    doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+    wmask = nonempty[doc_idx]
+    codes, doc_idx = codes[wmask], doc_idx[wmask]
+
+    twf = np.zeros(n, dtype=np.float64)
+    dgf = np.zeros(n, dtype=np.float64)
+    if len(codes):
+        key = doc_idx * V + codes
+        uk, cnt = np.unique(key, return_counts=True)
+        udoc = (uk // V).astype(np.int64)
+        starts = np.flatnonzero(np.r_[True, udoc[1:] != udoc[:-1]])
+        twf[udoc[starts]] = np.maximum.reduceat(cnt, starts) / np.add.reduceat(cnt, starts)
+
+        same = doc_idx[:-1] == doc_idx[1:]
+        if same.any():
+            bdoc = doc_idx[:-1][same]
+            b1, b2 = codes[:-1][same], codes[1:][same]
+            if n * V * V < (1 << 62):
+                key2 = np.unique((bdoc * V + b1) * V + b2)
+                kdoc = (key2 // (V * V)).astype(np.int64)
+            else:  # huge batch vocabulary: 2-D unique, no key overflow
+                tri = np.unique(np.stack([bdoc, b1, b2], axis=1), axis=0)
+                kdoc = tri[:, 0]
+            total = np.bincount(bdoc, minlength=n).astype(np.float64)
+            dist = np.bincount(kdoc, minlength=n).astype(np.float64)
+            has = total > 0
+            dgf[has] = 1.0 - dist[has] / total[has]
+
+    twf_r = stable_round(pa.array(twf, type=pa.float64()), 6)
+    dgf_r = stable_round(pa.array(dgf, type=pa.float64()), 6)
+    keep = pc.and_(
+        pc.less_equal(twf_r, pa.scalar(max_frac)), pc.less_equal(dgf_r, pa.scalar(max_frac))
+    ).cast(pa.int64())
+    t = t.append_column("top_word_frac", twf_r)
+    t = t.append_column("dup_2gram_frac", dgf_r)
+    return t.append_column("keep", keep)
+
+
 def fingerprint_batch(t: pa.Table, text_col: str = "text", out_col: str = "fingerprint") -> pa.Table:
     # md5 + Python-regex normalization pinned by the oracle — but both
     # run once per DISTINCT text (duplicate documents are the whole

@@ -77,3 +77,63 @@ def test_hash_split_stable_and_proportional(ray_session):
     assert a == b
     frac = sum(1 for v in a.values() if v == "holdout") / len(a)
     assert 0.07 <= frac <= 0.13
+
+
+def test_pii_scrub_redacts_and_counts():
+    from kgray.stages.text import pii_scrub_batch
+
+    out = pii_scrub_batch(
+        _t(
+            [
+                "mail me at jo.doe+x@sub.example.org today",
+                "call +4915551234567 or 555-010-1234, ssn 123-45-6789, host 192.168.0.1",
+                "",
+                "no pii here",
+            ]
+        )
+    )
+    clean = out.column("text_clean").to_pylist()
+    assert clean[0] == "mail me at <EMAIL> today"
+    assert clean[1] == "call <PHONE> or <PHONE>, ssn <SSN>, host <IP>"
+    assert clean[3] == "no pii here"
+    assert out.column("n_email").to_pylist() == [1, 0, 0, 0]
+    assert out.column("n_phone").to_pylist() == [0, 2, 0, 0]
+    assert out.column("n_ssn").to_pylist() == [0, 1, 0, 0]
+    assert out.column("n_ip").to_pylist() == [0, 1, 0, 0]
+
+
+def test_repetition_stats_exact_fractions():
+    from kgray.stages.text import repetition_stats_batch
+
+    out = repetition_stats_batch(
+        _t(
+            [
+                "a a a a",  # top word 4/4, bigrams: 3 total 1 distinct
+                "a b c d",  # all distinct: top 1/4, 3/3 bigrams distinct
+                "",  # zero words
+                "x y x y x",  # top 3/5; bigrams: x y, y x, x y, y x -> 2/4 distinct
+            ]
+        )
+    )
+    assert out.column("top_word_frac").to_pylist() == [1.0, 0.25, 0.0, 0.6]
+    assert out.column("dup_2gram_frac").to_pylist() == [
+        round(1 - 1 / 3, 6),
+        0.0,
+        0.0,
+        0.5,
+    ]
+    # keep: both metrics must be <= 0.2; "a b c d" has top_word_frac 0.25
+    assert out.column("keep").to_pylist() == [0, 0, 1, 0]
+
+
+def test_repetition_stats_batch_invariant():
+    # metrics are per-row: one batch == two half batches
+    from kgray.stages.text import repetition_stats_batch
+
+    texts = ["a b a b", "c c c", "d e f", "g g h h"]
+    whole = repetition_stats_batch(_t(texts))
+    parts = pa.concat_tables(
+        [repetition_stats_batch(_t(texts[:2])), repetition_stats_batch(_t(texts[2:]))]
+    )
+    assert whole.column("top_word_frac").to_pylist() == parts.column("top_word_frac").to_pylist()
+    assert whole.column("dup_2gram_frac").to_pylist() == parts.column("dup_2gram_frac").to_pylist()
