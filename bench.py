@@ -81,6 +81,10 @@ BENCH_QUERIES = [
     "repetition_filter",
     "asof_join",
     "range_join",
+    "topk_tokens",
+    "chunk_dedup",
+    "decontaminate",
+    "pack_sequences",
 ]
 
 

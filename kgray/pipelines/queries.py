@@ -1378,6 +1378,141 @@ FROM d LEFT JOIN tw USING (doc_id) LEFT JOIN gc USING (doc_id)
 """
 
 
+def q_topk_tokens(sf_dir: str):
+    """Global vocabulary heavy hitters: top-50 most frequent tokens."""
+    from kgray.stages.corpus import topk_tokens
+
+    return topk_tokens(_docs(sf_dir, ["text"]), k=50)
+
+
+SQL_TOPK_TOKENS = """
+WITH toks AS (SELECT unnest(regexp_extract_all(text, '\\S+')) AS tok FROM documents)
+SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok ORDER BY n DESC, tok LIMIT 50
+"""
+
+
+def q_chunk_dedup(sf_dir: str):
+    """CCNet-style segment dedup: 20-word chunks, first occurrence
+    wins globally, documents reassembled from surviving chunks."""
+    from kgray.stages.corpus import chunk_dedup
+
+    return chunk_dedup(_docs(sf_dir, ["doc_id", "text"]), chunk_words=20)
+
+
+SQL_CHUNK_DEDUP = """
+WITH words AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM documents),
+chunks AS (
+  SELECT doc_id, i AS pos, array_to_string(w[(i-1)*20+1:least(i*20, len(w))], ' ') AS chunk
+  FROM words, UNNEST(generate_series(1, CAST(ceil(len(w)/20.0) AS BIGINT))) t(i)
+  WHERE len(w) > 0
+),
+ranked AS (SELECT *, row_number() OVER (PARTITION BY chunk ORDER BY doc_id, pos) AS rn FROM chunks)
+SELECT d.doc_id,
+  COALESCE(string_agg(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY pos), '') AS text,
+  CAST(COUNT(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
+  CAST(COUNT(*) FILTER (WHERE rn > 1) AS BIGINT) AS n_dropped
+FROM documents d LEFT JOIN ranked r USING (doc_id) GROUP BY d.doc_id
+"""
+
+
+def q_decontaminate(sf_dir: str):
+    """Training-set decontamination: flag corpus docs sharing any word
+    5-gram with the 'benchmark' slice (every 50th doc id)."""
+    from kgray.stages.corpus import decontaminate
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def _is_bench(t: pa.Table, flag: bool) -> pa.Table:
+        is_b = (t.column("doc_id").to_numpy() % 50) == 0
+        return t.filter(pa.array(is_b if flag else ~is_b))
+
+    bench = ds.map_batches(lambda t: _is_bench(t, True), batch_format="pyarrow")
+    corpus = ds.map_batches(lambda t: _is_bench(t, False), batch_format="pyarrow")
+    return decontaminate(corpus, bench, n=5)
+
+
+SQL_DECONTAMINATE = """
+WITH words AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS g
+  FROM words, UNNEST(generate_series(1, len(w) - 4)) t(i) WHERE len(w) >= 5
+),
+bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0),
+hits AS (
+  SELECT doc_id, COUNT(*) AS cnt FROM grams JOIN bench USING (g)
+  WHERE doc_id % 50 <> 0 GROUP BY doc_id
+)
+SELECT d.doc_id, CAST(COALESCE(cnt, 0) AS BIGINT) AS n_contaminated,
+       COALESCE(cnt, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits USING (doc_id) WHERE d.doc_id % 50 <> 0
+"""
+
+
+def q_group_quantiles(sf_dir: str):
+    """Exact per-source p50/p90/p99 of document length."""
+    from kgray.stages.corpus import group_quantiles
+
+    return group_quantiles(
+        _docs(sf_dir, ["source", "n_chars"]), "source", "n_chars", qs=(0.5, 0.9, 0.99)
+    )
+
+
+SQL_GROUP_QUANTILES = """
+WITH r AS (
+  SELECT source, n_chars,
+    row_number() OVER (PARTITION BY source ORDER BY n_chars) AS rn,
+    COUNT(*) OVER (PARTITION BY source) AS cnt
+  FROM documents
+)
+SELECT source, CAST(MAX(cnt) AS BIGINT) AS n,
+  MAX(CASE WHEN rn = GREATEST(CAST(CEIL(0.50 * cnt) AS BIGINT), 1) THEN n_chars END) AS p50,
+  MAX(CASE WHEN rn = GREATEST(CAST(CEIL(0.90 * cnt) AS BIGINT), 1) THEN n_chars END) AS p90,
+  MAX(CASE WHEN rn = GREATEST(CAST(CEIL(0.99 * cnt) AS BIGINT), 1) THEN n_chars END) AS p99
+FROM r GROUP BY source
+"""
+
+
+def q_stratified_sample(sf_dir: str):
+    """Deterministic per-language downsampling (data mixing): keep 10%
+    of 'en', 50% of de/fr/es, all of 'zh' — by id content hash."""
+    from kgray.stages.split import stratified_sample
+
+    rates = {"en": 0.1, "de": 0.5, "fr": 0.5, "es": 0.5, "zh": 1.0}
+    return stratified_sample(_docs(sf_dir, ["doc_id", "lang"]), "lang", rates)
+
+
+SQL_STRATIFIED_SAMPLE = """
+SELECT doc_id, lang FROM documents
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 10000 <
+  CASE lang WHEN 'en' THEN 1000 WHEN 'de' THEN 5000 WHEN 'fr' THEN 5000
+            WHEN 'es' THEN 5000 WHEN 'zh' THEN 10000 ELSE 0 END
+"""
+
+
+def q_pack_sequences(sf_dir: str):
+    """GPT-style sequence packing: global ordered token prefix sum →
+    (seq_id, seq_offset) per document for a 2048-token window."""
+    from kgray.stages.pack import pack_sequences
+
+    return pack_sequences(_docs(sf_dir, ["doc_id", "text"]), window=2048)
+
+
+SQL_PACK_SEQUENCES = """
+WITH t AS (
+  SELECT doc_id, CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+    COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+  FROM t
+)
+SELECT doc_id, n_tokens, CAST(prev // 2048 AS BIGINT) AS seq_id,
+       CAST(prev % 2048 AS BIGINT) AS seq_offset
+FROM c
+"""
+
+
 QUERIES = {
     "kgx_node_merge": q_kgx_node_merge,
     "kgx_edge_dedup": q_kgx_edge_dedup,
@@ -1420,6 +1555,12 @@ QUERIES = {
     "multimodal_features": q_multimodal_features,
     "pii_scrub": q_pii_scrub,
     "repetition_filter": q_repetition_filter,
+    "topk_tokens": q_topk_tokens,
+    "chunk_dedup": q_chunk_dedup,
+    "decontaminate": q_decontaminate,
+    "group_quantiles": q_group_quantiles,
+    "stratified_sample": q_stratified_sample,
+    "pack_sequences": q_pack_sequences,
 }
 
 ORACLES = {
@@ -1459,6 +1600,12 @@ ORACLES = {
     "connected_components": SQL_CONNECTED_COMPONENTS,
     "pii_scrub": SQL_PII_SCRUB,
     "repetition_filter": SQL_REPETITION_FILTER,
+    "topk_tokens": SQL_TOPK_TOKENS,
+    "chunk_dedup": SQL_CHUNK_DEDUP,
+    "decontaminate": SQL_DECONTAMINATE,
+    "group_quantiles": SQL_GROUP_QUANTILES,
+    "stratified_sample": SQL_STRATIFIED_SAMPLE,
+    "pack_sequences": SQL_PACK_SEQUENCES,
     # rows-only (non-SQL-expressible): ann_lsh (LSH recall is
     # probabilistic), construct_kg / extract_text (self-checking
     # against generator goldens), multimodal_features (decode stub)

@@ -1,0 +1,448 @@
+"""Corpus-level text operators: vocabulary heavy hitters, chunk
+(paragraph-style) dedup, benchmark decontamination, grouped exact
+quantiles.
+
+These are the corpus-wide passes of a web-scale curation pipeline
+(the reference engine stops at per-file KGX ops; these extend the same
+exchange machinery to whole-corpus text statistics — see
+reference merge_utils.py:260-320 for its closest analog, the grouped
+DISTINCT aggregations, which `grouped_apply` generalizes).
+
+Scale shape shared by every operator here:
+
+* the map side is pure Arrow/numpy over zero-copy batches — words come
+  from ONE `utf8_split_whitespace` kernel per batch, chunk/gram
+  assembly is `ListArray.from_arrays` + `binary_join` (no per-row
+  Python), hashing is one `hash_pandas_object`/`hash_array` C call
+  over the flattened token array;
+* the exchange key is a fixed-width hash (token/chunk/gram), never the
+  document — at 100 TB only tokens or chunk strings move, and a
+  map-side combiner shrinks them before the shuffle;
+* reduce sides are pandas/numpy C-speed per-partition kernels.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+from ray.data import Dataset
+
+from kgray.kernels.hashagg import auto_partitions, grouped_apply
+
+# Mix constants for rolling n-gram hashes (odd, full-width).
+_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def flat_words(text: pa.ChunkedArray | pa.Array) -> Tuple[pa.Array, np.ndarray]:
+    """``\\S+`` tokenization of a string column, vectorized.
+
+    Returns ``(flat, offsets)`` where ``flat`` is the concatenated word
+    array (one Arrow StringArray) and ``offsets[i]:offsets[i+1]`` is
+    row i's slice of it. NULL text behaves as empty. One Arrow split
+    kernel + one boolean filter — the empty edge tokens that
+    ``utf8_split_whitespace`` emits for leading/trailing whitespace are
+    masked out so the result matches ``regexp_extract_all(text,'\\S+')``
+    exactly (the SQL-oracle definition used across this package).
+    """
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    words = pc.utf8_split_whitespace(pc.coalesce(text, pa.scalar("")))
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    flat = words.flatten()
+    raw_off = words.offsets.to_numpy().astype(np.int64)
+    keep = pc.greater(pc.utf8_length(flat), 0)
+    keep_np = keep.to_numpy(zero_copy_only=False)
+    # Per-row nonempty counts -> new offsets.
+    if len(flat) == 0:
+        counts = np.zeros(len(words), dtype=np.int64)
+    else:
+        cum = np.concatenate([[0], np.cumsum(keep_np.astype(np.int64))])
+        counts = cum[raw_off[1:]] - cum[raw_off[:-1]]
+    offsets = np.concatenate([[0], np.cumsum(counts)])
+    return flat.filter(keep), offsets
+
+
+def _chunk_offsets(doc_offsets: np.ndarray, chunk_words: int) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Chunk boundaries every ``chunk_words`` words within each doc.
+
+    Returns (chunk_start_word, doc_index_per_chunk, pos_per_chunk) —
+    all numpy, no Python loop. The trailing partial chunk is kept.
+    """
+    n_words = doc_offsets[1:] - doc_offsets[:-1]
+    n_chunks = -(-n_words // chunk_words)  # ceil; 0 for empty docs
+    doc_idx = np.repeat(np.arange(len(n_words), dtype=np.int64), n_chunks)
+    total = int(n_chunks.sum())
+    if total == 0:
+        return np.zeros(0, np.int64), doc_idx, np.zeros(0, np.int64)
+    # Position of each chunk within its doc: global arange minus each
+    # doc's first-chunk index.
+    first = np.concatenate([[0], np.cumsum(n_chunks)])[:-1]
+    pos = np.arange(total, dtype=np.int64) - np.repeat(first, n_chunks)
+    start = doc_offsets[:-1][doc_idx] + pos * chunk_words
+    return start, doc_idx, pos
+
+
+def chunk_strings(
+    text: pa.ChunkedArray | pa.Array, chunk_words: int
+) -> Tuple[pa.Array, np.ndarray, np.ndarray]:
+    """Split each document into consecutive ``chunk_words``-word chunks
+    (last chunk partial), fully vectorized.
+
+    Returns ``(chunks, doc_idx, pos)``: chunk strings (words re-joined
+    with single spaces via one ``binary_join`` kernel), the row index
+    each chunk came from, and its 0-based position within the doc.
+    """
+    flat, doc_off = flat_words(text)
+    start, doc_idx, pos = _chunk_offsets(doc_off, chunk_words)
+    end = np.minimum(start + chunk_words, doc_off[1:][doc_idx] if len(doc_idx) else start)
+    # ListArray offsets must be monotone over a single values array:
+    # chunks tile the word array contiguously, so starts are sorted and
+    # end[i] == start[i+1] within a doc; across docs they're contiguous
+    # too. offsets = [start..., last end].
+    offs = np.concatenate([start, end[-1:]]) if len(start) else np.zeros(1, np.int64)
+    lst = pa.ListArray.from_arrays(pa.array(offs, type=pa.int32()), flat)
+    return pc.binary_join(lst, pa.scalar(" ")), doc_idx, pos
+
+
+# ---------------------------------------------------------------------------
+# Top-k vocabulary heavy hitters
+# ---------------------------------------------------------------------------
+
+def topk_tokens(ds: Dataset, k: int = 50, text_col: str = "text",
+                num_partitions: Optional[int] = None) -> pa.Table:
+    """Global top-k most frequent ``\\S+`` tokens (count desc, token asc).
+
+    Map side: one split kernel + one ``value_counts`` per batch — the
+    exchange carries (token, partial_count), already combined, never
+    raw text. Reduce side: per-partition sum + LOCAL top-k (a token
+    hashes to exactly one partition, so per-partition top-k is exact);
+    only P·k rows reach the driver for the final merge.
+    """
+    if num_partitions is None:
+        num_partitions = auto_partitions()
+
+    def _count(t: pa.Table) -> pa.Table:
+        flat, _ = flat_words(t.column(text_col))
+        vc = pc.value_counts(flat)
+        if len(vc) == 0:
+            return pa.table({"tok": pa.array([], pa.string()), "n": pa.array([], pa.int64())})
+        return pa.table({"tok": vc.field("values"), "n": vc.field("counts")})
+
+    def _combine(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("tok", as_index=False, sort=False)["n"].sum()
+
+    def _reduce(df: pd.DataFrame) -> pd.DataFrame:
+        agg = df.groupby("tok", as_index=False, sort=False)["n"].sum()
+        agg = agg.sort_values(["n", "tok"], ascending=[False, True], kind="mergesort")
+        return agg.head(k)
+
+    counted = ds.map_batches(_count, batch_format="pyarrow")
+    partial = grouped_apply(counted, ["tok"], _reduce, num_partitions=num_partitions,
+                            map_side=_combine)
+    # P·k candidate rows: tiny, final merge on the driver.
+    top = partial.to_pandas().sort_values(["n", "tok"], ascending=[False, True],
+                                          kind="mergesort").head(k)
+    return pa.Table.from_pandas(top.reset_index(drop=True), preserve_index=False)
+
+
+# ---------------------------------------------------------------------------
+# Chunk-level (paragraph-style) exact dedup
+# ---------------------------------------------------------------------------
+
+def chunk_dedup(
+    ds: Dataset,
+    chunk_words: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: Optional[int] = None,
+) -> Dataset:
+    """CCNet-style segment dedup: split every document into consecutive
+    ``chunk_words``-word chunks, keep only the globally FIRST occurrence
+    of each distinct chunk (min ``(doc_id, pos)``), and reassemble each
+    document from its surviving chunks in order.
+
+    Output: ``(id_col, text_col, n_kept, n_dropped)`` — one row per
+    input document, ``text_col`` rebuilt from kept chunks (``''`` when
+    everything was dropped).
+
+    Scale shape: two hash exchanges, each moving a chunk at most once —
+    (1) partition by chunk text, per-partition vectorized first-wins;
+    (2) partition survivors + per-doc chunk counts by doc id,
+    per-partition ordered reassembly via one ``binary_join``. The doc
+    text never travels whole; empty docs ride a tiny side table.
+    """
+    if num_partitions is None:
+        num_partitions = auto_partitions()
+
+    def _explode(t: pa.Table) -> pa.Table:
+        chunks, doc_idx, pos = chunk_strings(t.column(text_col), chunk_words)
+        ids = t.column(id_col).combine_chunks().take(pa.array(doc_idx))
+        return pa.table({id_col: ids, "pos": pa.array(pos), "chunk": chunks})
+
+    def _first_wins(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([ "chunk", id_col, "pos"], kind="mergesort")
+        keep = ~df["chunk"].duplicated()
+        df = df.assign(__keep=keep)
+        return df
+
+    exploded = ds.select_columns([id_col, text_col]).map_batches(
+        _explode, batch_format="pyarrow"
+    )
+    flagged = grouped_apply(exploded, ["chunk"], _first_wins,
+                            num_partitions=num_partitions)
+
+    def _reassemble(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([id_col, "pos"], kind="mergesort")
+        kept = df[df["__keep"]]
+        gk = kept.groupby(id_col, sort=False)
+        # Vectorized join of kept chunks per doc via Arrow binary_join.
+        sizes = gk.size()
+        offs = np.concatenate([[0], np.cumsum(sizes.to_numpy())]).astype(np.int64)
+        lst = pa.ListArray.from_arrays(
+            pa.array(offs, type=pa.int32()), pa.array(kept["chunk"].to_numpy(), pa.string())
+        )
+        texts = pc.binary_join(lst, pa.scalar(" ")).to_pandas()
+        n_tot = df.groupby(id_col, sort=False).size()
+        out = pd.DataFrame({id_col: sizes.index, text_col: texts.to_numpy(),
+                            "n_kept": sizes.to_numpy().astype(np.int64)})
+        # Docs whose every chunk was dropped:
+        dropped_only = n_tot.index.difference(sizes.index)
+        if len(dropped_only):
+            out = pd.concat([out, pd.DataFrame({
+                id_col: dropped_only, text_col: "", "n_kept": np.int64(0)})],
+                ignore_index=True)
+        out = out.merge(n_tot.rename("n_total").reset_index(), on=id_col)
+        out["n_dropped"] = (out.pop("n_total") - out["n_kept"]).astype(np.int64)
+        return out
+
+    deduped = grouped_apply(flagged, [id_col], _reassemble,
+                            num_partitions=num_partitions)
+
+    # Documents with zero chunks (empty/whitespace text) never explode;
+    # re-attach them with empty output. At scale this side table is the
+    # (rare) empty docs only — filtered at the read, unioned at the end.
+    def _empties(t: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(pc.coalesce(t.column(text_col), pa.scalar("")), r"\S+")
+        mask = pc.equal(n, 0)
+        sub = t.filter(mask)
+        z = pa.array(np.zeros(len(sub), np.int64))
+        return pa.table({id_col: sub.column(id_col),
+                         text_col: pa.array([""] * len(sub), pa.string()),
+                         "n_kept": z, "n_dropped": z})
+
+    empties = ds.select_columns([id_col, text_col]).map_batches(_empties, batch_format="pyarrow")
+    return deduped.union(empties)
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (n-gram overlap)
+# ---------------------------------------------------------------------------
+
+def _gram_hashes(text: pa.ChunkedArray | pa.Array, n: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Rolling word-``n``-gram hashes per row, vectorized.
+
+    Words are hashed with pandas' C string hash ONCE over the flattened
+    token array; each gram hash is a fixed polynomial mix of its n word
+    hashes computed by n shifted-array multiplies (no per-gram loop).
+    Returns ``(gram_hash_u64, row_index_per_gram)``. Rows with fewer
+    than n words emit nothing. Matching on 64-bit hashes instead of
+    gram strings is this operator's documented approximation — at any
+    corpus size the expected false-hit count is ~(grams²)/2⁶⁴.
+    """
+    flat, off = flat_words(text)
+    n_words = off[1:] - off[:-1]
+    if len(flat) == 0:
+        return np.zeros(0, np.uint64), np.zeros(0, np.int64)
+    wh = pd.util.hash_array(np.asarray(flat.to_pandas(), dtype=object)).astype(np.uint64)
+    total = len(wh)
+    # Polynomial rolling mix across n shifted views.
+    gh = np.zeros(max(total - n + 1, 0), dtype=np.uint64)
+    for j in range(n):
+        gh = gh * _MIX + wh[j : total - n + 1 + j]
+    # A gram starting at word i is valid iff all n words lie in one row:
+    # i >= row_start and i + n <= row_end.
+    n_grams = np.maximum(n_words - n + 1, 0)
+    row_idx = np.repeat(np.arange(len(n_words), dtype=np.int64), n_grams)
+    first = off[:-1][row_idx] + (
+        np.arange(len(row_idx), dtype=np.int64)
+        - np.repeat(np.concatenate([[0], np.cumsum(n_grams)])[:-1], n_grams)
+    )
+    return gh[first], row_idx
+
+
+def decontaminate(
+    corpus: Dataset,
+    benchmark: Dataset,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_limit: int = 5_000_000,
+    num_partitions: Optional[int] = None,
+) -> Dataset:
+    """Flag corpus documents sharing any word-``n``-gram with a
+    benchmark/eval set (GPT-3-style training-set decontamination).
+
+    Output: ``(id_col, n_contaminated, contaminated)`` — the number of
+    DISTINCT benchmark-overlapping n-grams per corpus doc and a flag.
+
+    Two paths, size-switched like the embedding near-dup operator:
+
+    * **broadcast** (benchmark gram count ≤ ``broadcast_limit``): the
+      distinct benchmark gram hashes are sorted into one uint64 numpy
+      array, put in the object store ONCE, and every map task probes it
+      zero-copy with ``np.searchsorted`` — no shuffle at all.
+    * **join** (giant benchmark): corpus (gram, doc) and benchmark
+      (gram) both hash-exchange on the gram; the per-partition reduce
+      counts matches. Only gram hashes move, never text.
+    """
+    if num_partitions is None:
+        num_partitions = auto_partitions()
+
+    def _bench_grams(t: pa.Table) -> pa.Table:
+        gh, _ = _gram_hashes(t.column(text_col), n)
+        return pa.table({"g": pa.array(np.unique(gh))})
+
+    bench_ds = benchmark.select_columns([text_col]).map_batches(
+        _bench_grams, batch_format="pyarrow"
+    )
+
+    def _corpus_grams(t: pa.Table) -> pa.Table:
+        gh, ridx = _gram_hashes(t.column(text_col), n)
+        ids = t.column(id_col).combine_chunks().take(pa.array(ridx))
+        # Distinct (doc, gram) within the batch — map-side combine.
+        sub = pa.table({id_col: ids, "g": pa.array(gh)})
+        return sub.group_by([id_col, "g"]).aggregate([])
+
+    # Size probe: count benchmark grams (cheap — hashes only).
+    n_bench = bench_ds.count()
+    if n_bench <= broadcast_limit:
+        parts = [b.column("g").to_numpy() for b in bench_ds.iter_batches(batch_format="pyarrow")]
+        bench_sorted = np.sort(np.unique(np.concatenate(parts))) if parts else np.zeros(0, np.uint64)
+        ref = ray.put(bench_sorted)
+
+        def _probe(t: pa.Table) -> pa.Table:
+            bs = ray.get(ref)  # zero-copy plasma numpy
+            gh, ridx = _gram_hashes(t.column(text_col), n)
+            if len(gh):
+                # distinct per doc before probing
+                key = pd.DataFrame({"i": ridx, "g": gh}).drop_duplicates()
+                pos = np.searchsorted(bs, key["g"].to_numpy())
+                pos = np.minimum(pos, max(len(bs) - 1, 0))
+                hits = (bs[pos] == key["g"].to_numpy()) if len(bs) else np.zeros(len(key), bool)
+                cnt = np.zeros(t.num_rows, np.int64)
+                np.add.at(cnt, key["i"].to_numpy()[hits], 1)
+            else:
+                cnt = np.zeros(t.num_rows, np.int64)
+            return pa.table({
+                id_col: t.column(id_col),
+                "n_contaminated": pa.array(cnt),
+                "contaminated": pa.array(cnt > 0),
+            })
+
+        return corpus.select_columns([id_col, text_col]).map_batches(
+            _probe, batch_format="pyarrow"
+        )
+
+    # Join path: tag benchmark grams, exchange both sides on the gram.
+    def _tag_bench(t: pa.Table) -> pa.Table:
+        nn = pa.nulls(t.num_rows, pa.int64())
+        return pa.table({id_col: nn, "g": t.column("g")})
+
+    corpus_grams = corpus.select_columns([id_col, text_col]).map_batches(
+        _corpus_grams, batch_format="pyarrow"
+    )
+    tagged = corpus_grams.union(bench_ds.map_batches(_tag_bench, batch_format="pyarrow"))
+
+    def _match(df: pd.DataFrame) -> pd.DataFrame:
+        bench_g = df.loc[df[id_col].isna(), "g"].unique()
+        hits = df[df[id_col].notna() & df["g"].isin(bench_g)]
+        out = hits.groupby(id_col, sort=False).size().rename("n_contaminated").reset_index()
+        out[id_col] = out[id_col].astype(np.int64)
+        out["n_contaminated"] = out["n_contaminated"].astype(np.int64)
+        return out
+
+    counts = grouped_apply(tagged, ["g"], _match, num_partitions=num_partitions,
+                           map_format="pyarrow")
+    # Per-doc totals (a doc's grams span partitions), then left-join the
+    # full id list so zero-hit docs appear.
+    def _sum(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(id_col, as_index=False, sort=False)["n_contaminated"].sum()
+
+    totals = grouped_apply(counts, [id_col], _sum, num_partitions=num_partitions)
+    tot_tbl = pa.concat_tables(
+        [b for b in totals.iter_batches(batch_format="pyarrow")]
+        or [pa.table({id_col: pa.array([], pa.int64()),
+                      "n_contaminated": pa.array([], pa.int64())})]
+    )
+    # The totals table is O(contaminated docs) — broadcast it and left
+    # join in the map side (contamination is rare by construction; a
+    # giant hit set would use another hash-join exchange).
+    ref = ray.put(tot_tbl)
+
+    def _attach(t: pa.Table) -> pa.Table:
+        tt = ray.get(ref)
+        ids = tt.column(id_col).to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids_s, cnt_s = ids[order], tt.column("n_contaminated").to_numpy()[order]
+        mine = t.column(id_col).to_numpy()
+        pos = np.searchsorted(ids_s, mine)
+        pos = np.minimum(pos, max(len(ids_s) - 1, 0))
+        hit = (ids_s[pos] == mine) if len(ids_s) else np.zeros(len(mine), bool)
+        cnt = np.where(hit, cnt_s[pos] if len(ids_s) else 0, 0).astype(np.int64)
+        return pa.table({id_col: t.column(id_col),
+                         "n_contaminated": pa.array(cnt),
+                         "contaminated": pa.array(cnt > 0)})
+
+    return corpus.select_columns([id_col]).map_batches(_attach, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Grouped exact quantiles
+# ---------------------------------------------------------------------------
+
+def group_quantiles(
+    ds: Dataset,
+    group_col: str,
+    value_col: str,
+    qs: Sequence[float] = (0.5, 0.9, 0.99),
+    num_partitions: Optional[int] = None,
+) -> Dataset:
+    """Exact per-group discrete quantiles: for each group the value at
+    1-based sorted index ``ceil(q·n)`` (the classic discrete quantile —
+    an actual element, never interpolated, so integer columns stay
+    integers and a SQL oracle reproduces it with a window row_number).
+
+    Hash-exchange on the group key; each partition sorts its complete
+    groups once (numpy argsort) and gathers all quantile indices in one
+    take. Exact quantiles require a group's values co-resident — for
+    groups that outgrow a partition, switch to a mergeable sketch
+    (t-digest); this operator documents that boundary rather than
+    silently approximating.
+    """
+    if num_partitions is None:
+        num_partitions = auto_partitions()
+    qs = list(qs)
+
+    def _quant(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([group_col, value_col], kind="mergesort")
+        v = df[value_col].to_numpy()
+        starts = np.concatenate([[0], 1 + np.flatnonzero(
+            df[group_col].to_numpy()[1:] != df[group_col].to_numpy()[:-1])])
+        ends = np.concatenate([starts[1:], [len(df)]])
+        n = ends - starts
+        out = {group_col: df[group_col].to_numpy()[starts],
+               "n": n.astype(np.int64)}
+        for q in qs:
+            idx = starts + np.maximum(np.ceil(q * n).astype(np.int64), 1) - 1
+            out[f"p{int(q * 100)}"] = v[idx]
+        return pd.DataFrame(out)
+
+    return grouped_apply(ds.select_columns([group_col, value_col]), [group_col],
+                         _quant, num_partitions=num_partitions)

@@ -63,3 +63,49 @@ def hash_split(
         return t.append_column(split_col, pa.array(labels.tolist(), type=pa.string()))
 
     return ds.map_batches(_assign, batch_format="pyarrow")
+
+
+def stratified_sample(
+    ds: Dataset,
+    strata_col: str,
+    rates: dict,
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+    salt: str = "",
+) -> Dataset:
+    """Deterministic per-stratum downsampling — the data-mixing
+    primitive of a web-scale curation pipeline (e.g. keep 10% of 'en',
+    50% of every low-resource language).
+
+    A row survives iff ``md5(salt + str(id))`` first-8-hex mod 10000 <
+    ``rates[stratum] * 10000``. Same hash family as :func:`hash_split`,
+    so samples are stable across runs/clusters, nested (a 0.1 sample is
+    a subset of a 0.5 sample), and disjointness with holdout splits can
+    be arranged via the salt. One map_batches pass, shuffle-free; the
+    md5 runs once per distinct id per batch.
+    """
+
+    def _keep(t: pa.Table) -> pa.Table:
+        import numpy as np
+        import pandas as pd
+
+        ids = t.column(id_col).to_pylist()
+        codes, uniques = pd.factorize(np.asarray(ids, dtype=object))
+        hv = np.fromiter(
+            (
+                int(hashlib.md5((salt + str(i)).encode("utf-8")).hexdigest()[:8], 16) % 10000
+                for i in uniques.tolist()
+            ),
+            dtype=np.int64,
+            count=len(uniques),
+        )
+        per_row = hv[np.clip(codes, 0, None)]
+        strata = np.asarray(t.column(strata_col).to_pylist(), dtype=object)
+        thresh = np.fromiter(
+            (int(rates.get(s, default_rate) * 10000) for s in strata.tolist()),
+            dtype=np.int64,
+            count=len(strata),
+        )
+        return t.filter(pa.array(per_row < thresh))
+
+    return ds.map_batches(_keep, batch_format="pyarrow")

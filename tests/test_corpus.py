@@ -1,0 +1,114 @@
+"""Unit tests for corpus-level operators: tokenization helper edges,
+chunk dedup reassembly, decontamination (both size-switched paths),
+grouped quantiles, packing prefix-sum correctness."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data
+
+from kgray.stages.corpus import (
+    chunk_dedup,
+    chunk_strings,
+    decontaminate,
+    flat_words,
+    group_quantiles,
+    topk_tokens,
+)
+from kgray.stages.pack import pack_sequences
+from kgray.stages.split import stratified_sample
+
+
+def test_flat_words_matches_regex_semantics(ray_session):
+    texts = pa.array(["  a  b c ", "x", "", None, "\t\n", "one two"])
+    flat, off = flat_words(texts)
+    import re
+
+    expect = [re.findall(r"\S+", t or "") for t in texts.to_pylist()]
+    got = [flat.to_pylist()[off[i] : off[i + 1]] for i in range(len(texts))]
+    assert got == expect
+
+
+def test_chunk_strings_partial_tail(ray_session):
+    texts = pa.array(["a b c d e", "x y", ""])
+    chunks, doc_idx, pos = chunk_strings(texts, 2)
+    assert chunks.to_pylist() == ["a b", "c d", "e", "x y"]
+    assert doc_idx.tolist() == [0, 0, 0, 1]
+    assert pos.tolist() == [0, 1, 2, 0]
+
+
+def test_chunk_dedup_first_wins_and_empty_docs(ray_session):
+    rows = [
+        {"doc_id": 1, "text": "a b c d"},   # chunks: "a b", "c d"
+        {"doc_id": 2, "text": "c d a b"},   # both chunks dupes of doc 1's
+        {"doc_id": 3, "text": "  "},        # empty -> rides the side table
+        {"doc_id": 4, "text": "c d x"},     # "c d" dropped, "x" kept
+    ]
+    out = chunk_dedup(ray.data.from_items(rows), chunk_words=2).to_pandas()
+    out = out.set_index("doc_id").sort_index()
+    assert out.loc[1, "text"] == "a b c d" and out.loc[1, "n_dropped"] == 0
+    assert out.loc[2, "text"] == "" and out.loc[2, "n_dropped"] == 2
+    assert out.loc[3, "text"] == "" and out.loc[3, "n_kept"] == 0
+    assert out.loc[4, "text"] == "x" and out.loc[4, "n_kept"] == 1
+
+
+def test_decontaminate_paths_agree(ray_session):
+    docs = [{"doc_id": i, "text": f"w{i} " + "alpha beta gamma delta epsilon"}
+            for i in range(0, 10)]
+    docs += [{"doc_id": 100 + i, "text": f"unique{i} only tokens here none match at all {i}"}
+             for i in range(5)]
+    ds = ray.data.from_items(docs)
+    bench = ray.data.from_items([{"doc_id": -1, "text": "alpha beta gamma delta epsilon"}])
+    a = decontaminate(ds, bench, n=5).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = decontaminate(ds, bench, n=5, broadcast_limit=0).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    assert a[a.doc_id < 100]["contaminated"].all()
+    assert not a[a.doc_id >= 100]["contaminated"].any()
+
+
+def test_decontaminate_short_docs_emit_nothing(ray_session):
+    ds = ray.data.from_items([{"doc_id": 1, "text": "too short"}])
+    bench = ray.data.from_items([{"doc_id": 2, "text": "too short as well ok"}])
+    out = decontaminate(ds, bench, n=5).to_pandas()
+    assert out["n_contaminated"].tolist() == [0]
+
+
+def test_group_quantiles_exact(ray_session):
+    rows = [{"g": "a", "v": i} for i in range(1, 11)] + [{"g": "b", "v": 7}]
+    out = group_quantiles(ray.data.from_items(rows), "g", "v").to_pandas()
+    out = out.set_index("g").sort_index()
+    # group a: n=10 -> p50 = 5th element = 5, p90 = 9, p99 = ceil(9.9)=10th = 10
+    assert out.loc["a", ["p50", "p90", "p99"]].tolist() == [5, 9, 10]
+    assert out.loc["b", ["n", "p50"]].tolist() == [1, 7]
+
+
+def test_topk_ties_break_lexicographically(ray_session):
+    ds = ray.data.from_items([{"text": "b a b a c"}])
+    top = topk_tokens(ds, k=2).to_pandas()
+    assert top["tok"].tolist() == ["a", "b"]
+
+
+def test_pack_sequences_matches_serial_cumsum(ray_session):
+    rng = np.random.RandomState(7)
+    rows = [{"doc_id": int(i), "text": " ".join(["w"] * int(rng.randint(1, 40)))}
+            for i in rng.permutation(200)]
+    out = pack_sequences(ray.data.from_items(rows), window=64, num_partitions=8).to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    serial = out["n_tokens"].to_numpy()
+    excl = np.concatenate([[0], np.cumsum(serial)[:-1]])
+    assert (out["seq_id"].to_numpy() == excl // 64).all()
+    assert (out["seq_offset"].to_numpy() == excl % 64).all()
+
+
+def test_stratified_sample_nested(ray_session):
+    rows = [{"doc_id": i, "lang": "en"} for i in range(500)]
+    ds = ray.data.from_items(rows)
+    small = set(stratified_sample(ds, "lang", {"en": 0.1}).to_pandas()["doc_id"])
+    big = set(stratified_sample(ds, "lang", {"en": 0.5}).to_pandas()["doc_id"])
+    assert small <= big  # nested samples: same hash, higher threshold
+    assert 0 < len(small) < len(big) < 500
+    # default_rate drops unknown strata entirely
+    zh = ray.data.from_items([{"doc_id": 1, "lang": "zh"}])
+    assert stratified_sample(zh, "lang", {"en": 1.0}).count() == 0
