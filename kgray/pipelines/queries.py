@@ -1513,6 +1513,102 @@ FROM c
 """
 
 
+def q_hash_join(sf_dir: str):
+    """Generic distributed LEFT hash join: orders enriched with their
+    customer (right side filtered to acctbal > 5000 so the NULL-fill
+    path is exercised)."""
+    from kgray.stages.relational import hash_join
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    ).map_batches(lambda t: t.rename_columns(["o_orderkey", "custkey", "o_totalprice"]),
+                  batch_format="pyarrow")
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name", "c_acctbal"]
+    ).map_batches(
+        lambda t: t.filter(pc.greater(t.column("c_acctbal"), 5000.0)).rename_columns(
+            ["custkey", "c_name", "c_acctbal"]
+        ),
+        batch_format="pyarrow",
+    )
+    return hash_join(orders, cust, on="custkey", how="left")
+
+
+SQL_HASH_JOIN = """
+SELECT o_orderkey, o_custkey AS custkey, o_totalprice, c_name, c_acctbal
+FROM orders LEFT JOIN (SELECT * FROM customer WHERE c_acctbal > 5000)
+  ON o_custkey = c_custkey
+"""
+
+
+def q_top_n_per_group(sf_dir: str):
+    """Top-3 orders by totalprice per order priority (deterministic
+    row_number semantics, ties by orderkey)."""
+    from kgray.stages.relational import top_n_per_group
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderpriority", "o_orderkey", "o_totalprice"],
+    )
+    return top_n_per_group(ds, "o_orderpriority", "o_totalprice", n=3,
+                           ascending=False, tie_cols=["o_orderkey"])
+
+
+SQL_TOP_N_PER_GROUP = """
+SELECT o_orderpriority, o_orderkey, o_totalprice FROM orders
+QUALIFY row_number() OVER (
+  PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) <= 3
+"""
+
+
+def q_grouped_distinct_count(sf_dir: str):
+    """Exact COUNT(DISTINCT custkey) per order status."""
+    from kgray.stages.relational import grouped_distinct_count
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderstatus", "o_custkey"]
+    )
+    return grouped_distinct_count(ds, "o_orderstatus", "o_custkey",
+                                  out_col="n_distinct_cust")
+
+
+SQL_GROUPED_DISTINCT_COUNT = """
+SELECT o_orderstatus, CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct_cust
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+def q_approx_distinct(sf_dir: str):
+    """SELF-ASSERTING (rows-only): HyperLogLog approximate distinct
+    token count over the corpus, checked in-query against the exact
+    distributed distinct count (|est − exact| / exact ≤ 5% — 3σ for
+    b=12). The sketch is the 100-TB path: constant 4 KiB per map task
+    instead of one exchange row per distinct value."""
+    from kgray.stages.corpus import flat_words
+    from kgray.stages.sketch import approx_distinct
+
+    ds = _docs(sf_dir, ["text"])
+
+    def _toks(t: pa.Table) -> pa.Table:
+        flat, _ = flat_words(t.column("text"))
+        return pa.table({"tok": flat})
+
+    toks = ds.map_batches(_toks, batch_format="pyarrow")
+    est = approx_distinct(toks, "tok", b=12)
+
+    # Exact check rides the topk machinery's exchange (map-side dedup).
+    from kgray.kernels.hashagg import grouped_apply
+
+    def _dedup(df):
+        return df.drop_duplicates()
+
+    exact = grouped_apply(toks, ["tok"], _dedup, num_partitions=16,
+                          map_side=_dedup).count()
+    assert exact > 0 and abs(est - exact) / exact <= 0.05, (est, exact)
+    return pa.table({"n_distinct_est": pa.array([round(est, 2)]),
+                     "n_distinct_exact": pa.array([int(exact)], pa.int64())})
+
+
 QUERIES = {
     "kgx_node_merge": q_kgx_node_merge,
     "kgx_edge_dedup": q_kgx_edge_dedup,
@@ -1561,6 +1657,10 @@ QUERIES = {
     "group_quantiles": q_group_quantiles,
     "stratified_sample": q_stratified_sample,
     "pack_sequences": q_pack_sequences,
+    "hash_join": q_hash_join,
+    "top_n_per_group": q_top_n_per_group,
+    "grouped_distinct_count": q_grouped_distinct_count,
+    "approx_distinct": q_approx_distinct,
 }
 
 ORACLES = {
@@ -1606,6 +1706,9 @@ ORACLES = {
     "group_quantiles": SQL_GROUP_QUANTILES,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "pack_sequences": SQL_PACK_SEQUENCES,
+    "hash_join": SQL_HASH_JOIN,
+    "top_n_per_group": SQL_TOP_N_PER_GROUP,
+    "grouped_distinct_count": SQL_GROUPED_DISTINCT_COUNT,
     # rows-only (non-SQL-expressible): ann_lsh (LSH recall is
     # probabilistic), construct_kg / extract_text (self-checking
     # against generator goldens), multimodal_features (decode stub)

@@ -1,0 +1,221 @@
+"""Generic relational building blocks Ray Data lacks natively:
+distributed hash join, top-N per group, exact grouped distinct count.
+
+These generalize the one-off join/aggregate shapes used by the KGX
+pipelines (reference duckdb_utils.py expresses them as SQL strings —
+here each is a reusable Dataset→Dataset operator on the same
+``grouped_apply`` exchange primitive).
+
+Shared scale shape: ONE hash exchange on the join/group key; the
+per-partition reduce is a pandas/numpy C kernel (``pd.merge``,
+segmented sorts, ``drop_duplicates``). Skew note: one key's rows must
+fit a worker's heap — for a pathological hot key, pre-aggregate or salt
+(see kgx_merge.merge_edges_fast). A SMALL right side should broadcast
+instead (``broadcast_join``): ``ray.put`` once, probe zero-copy in
+every map task, no shuffle at all.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+from ray.data import Dataset
+
+from kgray.kernels.hashagg import auto_partitions, grouped_apply
+
+_SIDE = "__join_side"
+
+
+def hash_join(
+    left: Dataset,
+    right: Dataset,
+    on: Sequence[str] | str,
+    how: str = "inner",
+    suffix: str = "_right",
+    num_partitions: Optional[int] = None,
+) -> Dataset:
+    """Distributed hash join (inner or left) on equality keys.
+
+    Both sides are tagged and ride ONE exchange hash-partitioned on the
+    key; each partition splits by tag and runs pandas ``merge``. Right
+    columns colliding with left names get ``suffix``. NULL join keys
+    never match (SQL semantics — pandas merge would match NaN to NaN,
+    so null-keyed right rows are dropped and null-keyed left rows are
+    preserved only under ``how='left'``).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"hash_join supports inner/left, got {how!r}")
+    on = [on] if isinstance(on, str) else list(on)
+    if num_partitions is None:
+        num_partitions = auto_partitions()
+
+    lschema, rschema = left.schema(), right.schema()
+    lcols = lschema.names
+    rcols = [c for c in rschema.names if c not in on]
+    ltypes = dict(zip(lschema.names, lschema.types))
+    rtypes = dict(zip(rschema.names, rschema.types))
+    rename = {c: (c + suffix if c in lcols else c) for c in rcols}
+    out_cols = lcols + [rename[c] for c in rcols]
+    out_types = {**{c: ltypes[c] for c in lcols},
+                 **{rename[c]: rtypes[c] for c in rcols}}
+    all_cols = lcols + [rename[c] for c in rcols]
+
+    def _align(t: pa.Table, side: str) -> pa.Table:
+        # Union-ready layout: every output column present, absent side
+        # filled with typed NULLs — aligned in Arrow so both branches
+        # emit identical block schemas (no pandas upcast warnings).
+        arrays, names = [], []
+        present = dict(zip(t.column_names, t.columns))
+        for c in all_cols + [_SIDE]:
+            if c == _SIDE:
+                arrays.append(pa.array([side] * t.num_rows, pa.string()))
+            elif side == "l" and c in lcols:
+                arrays.append(present[c])
+            elif side == "r" and c in rename.values():
+                orig = next(k for k, v in rename.items() if v == c)
+                arrays.append(present[orig])
+            else:
+                arrays.append(pa.nulls(t.num_rows, out_types[c]))
+            names.append(c)
+        # Join keys ride under their own names from BOTH sides.
+        for k in on:
+            arrays.append(present[k])
+            names.append("__k_" + k)
+        return pa.Table.from_arrays(arrays, names=names)
+
+    lt = left.map_batches(lambda t: _align(t, "l"), batch_format="pyarrow")
+    rt = right.map_batches(lambda t: _align(t, "r"), batch_format="pyarrow")
+    keys = ["__k_" + k for k in on]
+    out_schema = pa.schema([(c, out_types[c]) for c in out_cols])
+
+    def _merge(df: pd.DataFrame) -> pa.Table:
+        ldf = df[df[_SIDE] == "l"]
+        rdf = df[df[_SIDE] == "r"]
+        # SQL NULL semantics: null keys never match.
+        rdf = rdf.dropna(subset=keys)
+        lkeep = [c for c in lcols] + keys
+        rkeep = [rename[c] for c in rcols] + keys
+        merged = ldf[lkeep].merge(rdf[rkeep], on=keys, how=how, sort=False)
+        # Column-wise typed conversion: a left join's unmatched rows
+        # upcast int right columns to float-NaN in pandas; pa.array with
+        # the target type + from_pandas=True turns NaN back into typed
+        # NULLs instead of failing a table-level cast.
+        arrays = [pa.array(merged[c], type=out_types[c], from_pandas=True)
+                  for c in out_cols]
+        return pa.Table.from_arrays(arrays, names=out_cols)
+
+    joined = grouped_apply(
+        lt.union(rt), keys, _merge, num_partitions=num_partitions,
+        map_format="pyarrow",
+    )
+    return joined
+
+
+def broadcast_join(
+    left: Dataset,
+    right_table: pa.Table,
+    on: Sequence[str] | str,
+    how: str = "inner",
+    suffix: str = "_right",
+) -> Dataset:
+    """Map-side join against a SMALL right table: ``ray.put`` once,
+    every map task probes the plasma copy zero-copy — no shuffle. The
+    100-TB form of enriching a corpus with a lookup table (the KGX
+    category map, a domain allowlist, license metadata)."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"broadcast_join supports inner/left, got {how!r}")
+    on = [on] if isinstance(on, str) else list(on)
+    ref = ray.put(right_table)
+    lcols = left.schema().names
+
+    def _probe(t: pa.Table) -> pa.Table:
+        rt = ray.get(ref)
+        # An all-NULL block types its columns pa.null() → pandas object;
+        # align such key columns to the other side before merging.
+        for k in on:
+            if pa.types.is_null(t.schema.field(k).type):
+                idx = t.column_names.index(k)
+                t = t.set_column(idx, k, t.column(k).cast(rt.schema.field(k).type))
+        r = rt.to_pandas()
+        rename = {c: (c + suffix if c in lcols and c not in on else c)
+                  for c in r.columns}
+        r = r.rename(columns=rename).dropna(subset=on)
+        out = t.to_pandas().merge(r, on=on, how=how, sort=False)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return left.map_batches(_probe, batch_format="pyarrow")
+
+
+def top_n_per_group(
+    ds: Dataset,
+    group_cols: Sequence[str] | str,
+    order_col: str,
+    n: int,
+    ascending: bool = False,
+    tie_cols: Optional[Sequence[str]] = None,
+    num_partitions: Optional[int] = None,
+) -> Dataset:
+    """Top-``n`` rows per group by ``order_col`` (``row_number() <= n``
+    semantics — deterministic: ties broken by ``tie_cols``).
+
+    Map-side combine: each batch keeps only its own per-group top-n
+    before the exchange, so at most ``n × groups_in_batch`` rows move —
+    the shuffle carries candidates, not the table.
+    """
+    group_cols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    tie_cols = list(tie_cols or [])
+    if num_partitions is None:
+        num_partitions = auto_partitions()
+    sort_cols = group_cols + [order_col] + tie_cols
+    asc = [True] * len(group_cols) + [ascending] + [True] * len(tie_cols)
+
+    def _local_top(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(sort_cols, ascending=asc, kind="mergesort")
+        return df.groupby(group_cols, sort=False, dropna=False).head(n)
+
+    return grouped_apply(ds, group_cols, _local_top,
+                         num_partitions=num_partitions, map_side=_local_top)
+
+
+def grouped_distinct_count(
+    ds: Dataset,
+    group_cols: Sequence[str] | str,
+    value_col: str,
+    out_col: str = "n_distinct",
+    num_partitions: Optional[int] = None,
+) -> Dataset:
+    """Exact COUNT(DISTINCT value) per group.
+
+    Map-side combine drops duplicate (group, value) pairs per batch, so
+    the exchange moves at most one row per distinct pair; the reduce is
+    one ``drop_duplicates`` + ``groupby.size`` per partition. (The
+    approximate counterpart at extreme cardinality is a mergeable HLL
+    sketch; this operator is the exact path.)
+    """
+    group_cols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    if num_partitions is None:
+        num_partitions = auto_partitions()
+    sub = list(dict.fromkeys(group_cols + [value_col]))
+
+    def _dedup(df: pd.DataFrame) -> pd.DataFrame:
+        return df[sub].drop_duplicates()
+
+    def _count(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates()
+        # SQL COUNT(DISTINCT v): NULL values don't count, but a group
+        # whose values are ALL NULL still appears (with 0).
+        nonnull = d.dropna(subset=[value_col])
+        sizes = nonnull.groupby(group_cols, sort=False, dropna=False).size().rename(out_col)
+        groups = d[group_cols].drop_duplicates()
+        out = groups.merge(sizes.reset_index(), on=group_cols, how="left")
+        out[out_col] = out[out_col].fillna(0).astype(np.int64)
+        return out
+
+    pruned = ds.select_columns(sub)
+    return grouped_apply(pruned, group_cols, _count,
+                         num_partitions=num_partitions, map_side=_dedup)

@@ -1,0 +1,90 @@
+"""Mergeable sketches for cardinality at scale.
+
+:func:`approx_distinct` — HyperLogLog over any column. The exact
+counterpart (`relational.grouped_distinct_count`) moves one row per
+distinct value through an exchange; at 100 TB-scale cardinalities the
+sketch replaces that shuffle with a CONSTANT 2^b bytes per map task:
+every batch folds into a local register array, register arrays merge by
+elementwise max (associative + commutative, so Ray can combine them in
+any order), and only the m-byte sketches ever travel.
+
+Determinism: the value hash is pandas' fixed-key SipHash-ish C hash, so
+the estimate is a pure function of the value multiset — the same
+estimate on every run, any cluster, any partitioning (the property the
+self-asserting query relies on).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from ray.data import Dataset
+
+# Standard HLL bias constants.
+_ALPHA = {16: 0.673, 32: 0.697, 64: 0.709}
+
+
+def _alpha(m: int) -> float:
+    return _ALPHA.get(m, 0.7213 / (1 + 1.079 / m))
+
+
+def hll_registers(values: np.ndarray, b: int) -> np.ndarray:
+    """Fold an array of uint64 hashes into a 2^b register array."""
+    m = 1 << b
+    reg = np.zeros(m, dtype=np.uint8)
+    if len(values) == 0:
+        return reg
+    j = (values >> np.uint64(64 - b)).astype(np.int64)
+    w = values & np.uint64((1 << (64 - b)) - 1)
+    # rho = leading-zero count within the (64-b)-bit suffix, + 1.
+    # 64-b <= 52 bits fits a double exactly, so frexp is exact.
+    nz = w > 0
+    rho = np.full(len(w), 64 - b + 1, dtype=np.uint8)
+    if nz.any():
+        # frexp: w = f·2^e with f∈[0.5,1) → e = floor(log2 w)+1, so the
+        # leading-zero count within the (64-b)-bit suffix is (64-b)-e.
+        _, e = np.frexp(w[nz].astype(np.float64))
+        rho[nz] = ((64 - b) - e + 1).astype(np.uint8)
+    np.maximum.at(reg, j, rho)
+    return reg
+
+
+def hll_estimate(reg: np.ndarray) -> float:
+    """Estimate cardinality from a register array (with the standard
+    small-range linear-counting correction)."""
+    m = len(reg)
+    est = _alpha(m) * m * m / np.sum(np.exp2(-reg.astype(np.float64)))
+    zeros = int(np.count_nonzero(reg == 0))
+    if est <= 2.5 * m and zeros > 0:
+        est = m * np.log(m / zeros)
+    return float(est)
+
+
+def approx_distinct(ds: Dataset, col: str, b: int = 12) -> float:
+    """Approximate COUNT(DISTINCT col) via HyperLogLog (2^b registers;
+    relative standard error ≈ 1.04/√(2^b) — b=12 → ~1.6%).
+
+    One map pass emits a 2^b-byte sketch per batch; sketches merge by
+    elementwise max. No shuffle, no per-distinct-value data movement —
+    the constant-size alternative to the exact exchange when the
+    cardinality itself is web-scale (URLs, n-grams, user ids).
+    """
+    m = 1 << b
+
+    def _sketch(t: pa.Table) -> pa.Table:
+        vals = t.column(col).to_pandas()
+        h = pd.util.hash_pandas_object(vals.dropna(), index=False).to_numpy().astype(np.uint64)
+        reg = hll_registers(h, b)
+        return pa.table({"reg": pa.FixedSizeListArray.from_arrays(pa.array(reg), m)})
+
+    merged = np.zeros(m, dtype=np.uint8)
+    # Per-batch sketches are m bytes each — the driver-side fold is over
+    # O(num_batches) tiny rows, not the data.
+    for batch in ds.map_batches(_sketch, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        regs = batch.column("reg").combine_chunks()
+        flat = regs.flatten().to_numpy().reshape(-1, m)
+        merged = np.maximum(merged, flat.max(axis=0))
+    return hll_estimate(merged)

