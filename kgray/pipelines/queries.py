@@ -1609,6 +1609,51 @@ def q_approx_distinct(sf_dir: str):
                      "n_distinct_exact": pa.array([int(exact)], pa.int64())})
 
 
+def q_kmeans(sf_dir: str):
+    """SELF-ASSERTING (rows-only): distributed k-means over the
+    embeddings table — the SemDeDup-style clustering building block.
+    Asserts (a) Lloyd's inertia is monotone (inside kmeans), and
+    (b) final inertia beats the k=1 baseline (total variance) by ≥4%
+    — a collapsed/degenerate clustering gains ~0%, so this catches it.
+    The bar is pinned below the measured gain on the near-isotropic
+    generator data (6.0–8.4% across sf0.001/sf0.01/sf0.1 at k=10; the
+    embeddings are close to an isotropic Gaussian, so large gains are
+    impossible by construction). The generator's `label` column is NOT
+    geometrically separable — within-label spread ≈5× the centroid
+    separation — so label purity is not a valid oracle here; the
+    planted-cluster recovery test lives in tests/test_cluster."""
+    from kgray.stages.cluster import kmeans
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    assign, _cents, hist = kmeans(ds, k=10, max_iters=15)
+
+    # k=1 baseline: total variance = Σ‖v‖² − n·‖mean‖², one map pass.
+    def _moments(t: pa.Table) -> pa.Table:
+        col = t.column("embedding").combine_chunks()
+        v = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64).reshape(len(col), -1)
+        return pa.table({
+            "sumsq": pa.array([float((v * v).sum())]),
+            "n": pa.array([len(v)], pa.int64()),
+            "vsum": pa.array([v.sum(axis=0)]),
+        })
+
+    sumsq, n, vsum = 0.0, 0, None
+    for b in ds.map_batches(_moments, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        sumsq += float(np.sum(b.column("sumsq").to_numpy()))
+        n += int(np.sum(b.column("n").to_numpy()))
+        vs = np.stack(b.column("vsum").to_pylist()).sum(axis=0)
+        vsum = vs if vsum is None else vsum + vs
+    inertia_1 = sumsq - n * float((vsum / n) @ (vsum / n))
+    assert hist[-1] <= 0.96 * inertia_1, (
+        f"k-means inertia {hist[-1]:.1f} did not beat the k=1 baseline "
+        f"{inertia_1:.1f} by 4% — degenerate clustering")
+    return assign
+
+
 QUERIES = {
     "kgx_node_merge": q_kgx_node_merge,
     "kgx_edge_dedup": q_kgx_edge_dedup,
@@ -1661,6 +1706,7 @@ QUERIES = {
     "top_n_per_group": q_top_n_per_group,
     "grouped_distinct_count": q_grouped_distinct_count,
     "approx_distinct": q_approx_distinct,
+    "kmeans": q_kmeans,
 }
 
 ORACLES = {
