@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     "decontaminate",
     "pack_sequences",
     "kmeans",
+    "semantic_dedup",
 ]
 
 

@@ -1654,6 +1654,65 @@ def q_kmeans(sf_dir: str):
     return assign
 
 
+def q_semantic_dedup(sf_dir: str):
+    """SemDeDup (cluster-then-dedup) over the embeddings corpus with
+    planted exact-direction duplicates (each vector also appears x2.0
+    scaled under vec_id+100000 — cosine exactly 1.0 with its source,
+    same derivation as `dedup_embedding_pairs`). Exact-direction dups
+    L2-normalize to identical unit vectors, so they always share a
+    k-means cluster and the within-cluster pass is EXACT on this pair
+    graph — which the sf fixtures' natural geometry never enters (max
+    natural cosine 0.60 at every sf, measured) — so the recursive-CTE
+    min-id-per-component oracle is a full value oracle, not approximate."""
+    from kgray.stages.cluster import semantic_dedup
+
+    def _dup(t: pa.Table) -> pa.Table:
+        emb = t.column("embedding").combine_chunks()
+        scaled = pa.ListArray.from_arrays(
+            emb.offsets, pc.multiply(emb.values, pa.scalar(2.0, type=pa.float32()))
+        ).cast(pa.list_(pa.float32()))
+        t1 = pa.table({"vec_id": t.column("vec_id"), "embedding": emb})
+        t2 = pa.table({"vec_id": pc.add(t.column("vec_id"), 100000), "embedding": scaled})
+        return pa.concat_tables([t1, t2])
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).map_batches(_dup, batch_format="pyarrow")
+    surv = semantic_dedup(ds, k=10, threshold=0.99).materialize()
+    # Self-assert (recall on the planted dups): never keep both halves
+    # of a planted pair — the oracle would also catch this, but the
+    # assert localizes the failure for pytest runs without DuckDB.
+    ids = set()
+    for b in surv.iter_batches(batch_format="pyarrow"):
+        ids.update(b.column("vec_id").to_pylist())
+    both = [i for i in ids if i < 100000 and i + 100000 in ids]
+    assert not both, f"planted duplicates not collapsed: {both[:5]}"
+    return surv
+
+
+SQL_SEMANTIC_DEDUP = """
+WITH RECURSIVE all_v AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id, list_transform(embedding, x -> x * 2.0) AS embedding FROM embeddings
+), pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM all_v a JOIN all_v b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.99
+), edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs
+), walk(u, label) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.v, w.label FROM walk w JOIN edges e ON w.u = e.u
+), labels AS (
+  SELECT u, MIN(label) AS label FROM walk GROUP BY u
+)
+SELECT vec_id FROM all_v
+WHERE vec_id NOT IN (SELECT u FROM labels WHERE label < u)
+"""
+
+
 QUERIES = {
     "kgx_node_merge": q_kgx_node_merge,
     "kgx_edge_dedup": q_kgx_edge_dedup,
@@ -1707,6 +1766,7 @@ QUERIES = {
     "grouped_distinct_count": q_grouped_distinct_count,
     "approx_distinct": q_approx_distinct,
     "kmeans": q_kmeans,
+    "semantic_dedup": q_semantic_dedup,
 }
 
 ORACLES = {
@@ -1725,6 +1785,7 @@ ORACLES = {
     "dedup_minhash": SQL_DEDUP_MINHASH_SURVIVORS,
     "dedup_jaccard_pairs": SQL_DEDUP_JACCARD_PAIRS,
     "dedup_embedding_pairs": SQL_DEDUP_EMBEDDING_PAIRS,
+    "semantic_dedup": SQL_SEMANTIC_DEDUP,
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "ann_topk": SQL_ANN_TOPK,
     "token_count": SQL_TOKEN_COUNT,

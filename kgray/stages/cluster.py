@@ -24,6 +24,7 @@ from __future__ import annotations
 from typing import Optional, Tuple
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import ray
 import ray.data
@@ -157,3 +158,91 @@ def kmeans(
         })
 
     return proj.map_batches(_assign, batch_format="pyarrow"), cents, inertia_hist
+
+
+def semantic_dedup(
+    ds: Dataset,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    threshold: float = 0.99,
+    max_iters: int = 10,
+    num_partitions: Optional[int] = None,
+) -> Dataset:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): L2-normalize, k-means-cluster, then within each
+    cluster drop all but the smallest id of every connected component of
+    the exact-cosine >= ``threshold`` pair graph. Returns the SURVIVOR
+    ids as a Dataset of ``(id_col,)``.
+
+    Scale shape:
+
+    * Clustering is the shuffle-free :func:`kmeans` above (centroids
+      broadcast; the corpus never moves).
+    * The dedup pass is ONE hash exchange keyed on cluster id
+      (``grouped_apply``): each partition receives whole clusters, so
+      the exact pairwise verify + union-find is local to a task and the
+      transitive-closure semantics never need a global fixpoint.
+    * Per-cluster work is an (m x m) matmul — k bounds the expected
+      cluster size m to n/k; pick k so m fits a task (SemDeDup uses
+      k ~ sqrt(n)..n/1e4 at web scale for exactly this reason).
+    * Exact-direction duplicates normalize to identical unit vectors,
+      so they ALWAYS land in the same cluster — within-cluster dedup
+      misses only borderline cross-cluster pairs, the documented
+      SemDeDup approximation.
+    """
+    from kgray.kernels.hashagg import auto_partitions, grouped_apply
+
+    def _normalize(t: pa.Table) -> pa.Table:
+        v = _batch_vecs(t, vec_col).astype(np.float64)
+        v /= np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+        return pa.table({
+            id_col: t.column(id_col),
+            vec_col: pa.FixedSizeListArray.from_arrays(
+                pa.array(v.reshape(-1), type=pa.float32()), v.shape[1]),
+        })
+
+    unit = ds.select_columns([id_col, vec_col]).map_batches(
+        _normalize, batch_format="pyarrow"
+    ).materialize()
+
+    _, cents, _ = kmeans(unit, vec_col=vec_col, id_col=id_col, k=k, max_iters=max_iters)
+    cref = ray.put(cents)
+
+    def _with_cluster(t: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        v = _batch_vecs(t, vec_col)
+        d2 = (v * v).sum(axis=1, keepdims=True) - 2.0 * (v @ c.T) + (c * c).sum(axis=1)[None, :]
+        return t.append_column("cluster", pa.array(d2.argmin(axis=1).astype(np.int64)))
+
+    tagged = unit.map_batches(_with_cluster, batch_format="pyarrow")
+    nparts = num_partitions or auto_partitions(unit.size_bytes())
+
+    def _dedup_part(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, g in df.groupby("cluster", sort=False):
+            ids = g[id_col].to_numpy()
+            order = np.argsort(ids, kind="stable")
+            ids = ids[order]
+            m = np.stack(g[vec_col].to_numpy())[order].astype(np.float64)
+            adj = (m @ m.T) >= threshold
+            # Tiny union-find over local indices (transitive closure).
+            parent = np.arange(len(ids))
+
+            def find(i):
+                while parent[i] != i:
+                    parent[i] = parent[parent[i]]
+                    i = parent[i]
+                return i
+
+            ra, ca = np.nonzero(np.triu(adj, 1))
+            for i, j in zip(ra.tolist(), ca.tolist()):
+                pi, pj = find(i), find(j)
+                if pi != pj:
+                    parent[max(pi, pj)] = min(pi, pj)
+            roots = np.array([find(i) for i in range(len(ids))])
+            # ids ascend with index, so the root IS the min-id member.
+            out.append(pd.DataFrame({id_col: ids[np.unique(roots)]}))
+        return pd.concat(out) if out else pd.DataFrame({id_col: df[id_col].iloc[:0]})
+
+    return grouped_apply(tagged, ["cluster"], _dedup_part, num_partitions=nparts)

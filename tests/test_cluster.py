@@ -51,3 +51,54 @@ def test_kmeans_k_too_large_raises(ray_session):
     rows = _planted(n_per=1, k=2, d=4)
     with pytest.raises(ValueError):
         kmeans(ray.data.from_items(rows), k=10)
+
+
+def test_semantic_dedup_collapses_planted_dups(ray_session):
+    from kgray.stages.cluster import semantic_dedup
+
+    # spread=0.6 keeps natural within-cluster cosines ≈0.97 — clearly
+    # below threshold — while planted rescaled copies are exactly 1.0;
+    # the tight default spread (0.05) makes whole clusters mutual
+    # near-dups at 0.999 and the planted structure unobservable.
+    rows = _planted(n_per=30, k=4, d=8, spread=0.6)
+    # Plant exact-direction duplicates: every 3rd vector rescaled ×5
+    # under id+1000 (cosine 1.0 with its source after normalization).
+    dups = [
+        {"vec_id": r["vec_id"] + 1000,
+         "embedding": [x * 5.0 for x in r["embedding"]], "label": r["label"]}
+        for r in rows if r["vec_id"] % 3 == 0
+    ]
+    ds = ray.data.from_items(rows + dups)
+    surv = semantic_dedup(ds, k=4, threshold=0.999)
+    ids = set(surv.to_pandas()["vec_id"])
+    planted = {r["vec_id"] for r in rows if r["vec_id"] % 3 == 0}
+    # Each planted pair keeps exactly its min id (the original).
+    assert all(i in ids and i + 1000 not in ids for i in planted)
+    # Non-duplicated rows all survive unless they are natural near-dups
+    # of one another — spread 0.05 makes that possible, so only check
+    # the planted structure plus no-pair-survives.
+    assert len(ids) <= len(rows)
+
+
+def test_semantic_dedup_transitive(ray_session):
+    """A chain a~b~c (a·b, b·c ≥ t but a·c < t) is ONE component —
+    survivors keep only the min id, matching the recursive-CTE oracle."""
+    import numpy as np
+    from kgray.stages.cluster import semantic_dedup
+
+    base = np.array([1.0, 0.0, 0.0, 0.0])
+    rot = np.array([np.cos(0.1), np.sin(0.1), 0.0, 0.0])
+    rot2 = np.array([np.cos(0.2), np.sin(0.2), 0.0, 0.0])
+    far = np.array([0.0, 0.0, 1.0, 0.0])
+    rows = [
+        {"vec_id": 0, "embedding": base.tolist()},
+        {"vec_id": 1, "embedding": rot.tolist()},
+        {"vec_id": 2, "embedding": rot2.tolist()},
+        {"vec_id": 3, "embedding": far.tolist()},
+        {"vec_id": 4, "embedding": (-far).tolist()},
+    ]
+    # cos(0.1)≈0.995 ≥ t; cos(0.2)≈0.980 < t=0.99 → chain via 1.
+    surv = semantic_dedup(
+        ray.data.from_items(rows), k=2, threshold=0.99, max_iters=5
+    )
+    assert sorted(surv.to_pandas()["vec_id"]) == [0, 3, 4]
