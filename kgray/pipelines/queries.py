@@ -1713,6 +1713,23 @@ WHERE vec_id NOT IN (SELECT u FROM labels WHERE label < u)
 """
 
 
+def q_shuffle_rank(sf_dir: str):
+    """Deterministic global shuffle rank over documents: pos = rank of
+    md5(doc_id) ascending — a global sort expressed as range-bucket
+    histogram + offset broadcast + one exchange (no Ray sort). Exact
+    ROW_NUMBER oracle."""
+    from kgray.stages.split import shuffle_rank
+
+    return shuffle_rank(_docs(sf_dir, ["doc_id"]), id_col="doc_id")
+
+
+SQL_SHUFFLE_RANK = """
+SELECT doc_id,
+       CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR))) - 1 AS BIGINT) AS pos
+FROM documents
+"""
+
+
 QUERIES = {
     "kgx_node_merge": q_kgx_node_merge,
     "kgx_edge_dedup": q_kgx_edge_dedup,
@@ -1767,6 +1784,7 @@ QUERIES = {
     "approx_distinct": q_approx_distinct,
     "kmeans": q_kmeans,
     "semantic_dedup": q_semantic_dedup,
+    "shuffle_rank": q_shuffle_rank,
 }
 
 ORACLES = {
@@ -1786,6 +1804,7 @@ ORACLES = {
     "dedup_jaccard_pairs": SQL_DEDUP_JACCARD_PAIRS,
     "dedup_embedding_pairs": SQL_DEDUP_EMBEDDING_PAIRS,
     "semantic_dedup": SQL_SEMANTIC_DEDUP,
+    "shuffle_rank": SQL_SHUFFLE_RANK,
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "ann_topk": SQL_ANN_TOPK,
     "token_count": SQL_TOKEN_COUNT,

@@ -14,6 +14,7 @@ from __future__ import annotations
 import hashlib
 
 import pyarrow as pa
+import ray
 from ray.data import Dataset
 
 
@@ -109,3 +110,93 @@ def stratified_sample(
         return t.filter(pa.array(per_row < thresh))
 
     return ds.map_batches(_keep, batch_format="pyarrow")
+
+
+def shuffle_rank(
+    ds: Dataset,
+    id_col: str,
+    salt: str = "",
+    pos_col: str = "pos",
+    num_buckets: int = 4096,
+    num_partitions=None,
+) -> Dataset:
+    """Deterministic global shuffle for training-data ordering:
+    ``pos_col`` = 0-based rank of ``md5(salt + str(id))`` ascending — the
+    epoch-stable, cluster-size-independent permutation a pre-packing
+    shuffle needs (rerun anywhere, same order; change ``salt`` for a new
+    epoch). Requires unique ids (ties would make the rank ill-defined —
+    the same caveat as SQL ``ROW_NUMBER`` over a non-key).
+
+    Scale shape — a global sort WITHOUT a global sort:
+
+    1. one map pass computes the hash (once per distinct id) and its
+       range bucket (first 3 hex digits — md5 is uniform, so buckets are
+       balanced by construction, no sampling/skew pass needed);
+    2. per-batch bucket histograms (``num_buckets`` ints) stream to the
+       driver and fold — O(buckets), not O(rows), and NO shuffle;
+    3. the cumsum offsets broadcast back (one small ``ray.put``);
+    4. ONE hash exchange groups whole buckets; each task sorts its
+       buckets locally and emits ``offset[bucket] + local_rank``.
+
+    Total: the corpus moves once; driver state is ``num_buckets`` ints.
+    """
+    import numpy as np
+
+    from kgray.kernels.hashagg import auto_partitions, grouped_apply
+
+    hexw = 3
+    assert num_buckets == 16 ** hexw, "num_buckets pinned to 16^3 (uniform md5 prefix)"
+
+    def _hashed(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        ids = t.column(id_col).to_pylist()
+        codes, uniques = pd.factorize(np.asarray(ids, dtype=object))
+        hx = np.asarray(
+            [hashlib.md5((salt + str(i)).encode("utf-8")).hexdigest() for i in uniques.tolist()],
+            dtype=object,
+        )
+        per_row = hx[codes]
+        bucket = np.asarray([int(h[:hexw], 16) for h in per_row.tolist()], dtype=np.int64)
+        return pa.table({
+            id_col: t.column(id_col),
+            "__hash": pa.array(per_row.tolist(), type=pa.string()),
+            "__bucket": pa.array(bucket),
+        })
+
+    hashed = ds.select_columns([id_col]).map_batches(
+        _hashed, batch_format="pyarrow"
+    ).materialize()
+
+    def _hist(t: pa.Table) -> pa.Table:
+        counts = np.bincount(t.column("__bucket").to_numpy(), minlength=num_buckets)
+        nz = np.nonzero(counts)[0]
+        # (bucket, count) pairs — batch-boundary-independent, so the
+        # driver fold survives iter_batches re-chunking.
+        return pa.table({"b": pa.array(nz, type=pa.int64()),
+                         "c": pa.array(counts[nz], type=pa.int64())})
+
+    total = np.zeros(num_buckets, dtype=np.int64)
+    for b in hashed.map_batches(_hist, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        np.add.at(total, b.column("b").to_numpy(), b.column("c").to_numpy())
+    offsets = np.concatenate([[0], np.cumsum(total)[:-1]])
+    oref = ray.put(offsets)
+
+    def _rank(df):
+        import pandas as pd
+
+        off = ray.get(oref)
+        out = []
+        for b, g in df.groupby("__bucket", sort=False):
+            g = g.sort_values("__hash", kind="stable")
+            out.append(pd.DataFrame({
+                id_col: g[id_col].to_numpy(),
+                pos_col: off[int(b)] + np.arange(len(g), dtype=np.int64),
+            }))
+        return pd.concat(out) if out else pd.DataFrame(
+            {id_col: df[id_col].iloc[:0], pos_col: np.array([], dtype=np.int64)})
+
+    nparts = num_partitions or auto_partitions(hashed.size_bytes())
+    return grouped_apply(hashed, ["__bucket"], _rank, num_partitions=nparts)

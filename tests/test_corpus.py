@@ -112,3 +112,30 @@ def test_stratified_sample_nested(ray_session):
     # default_rate drops unknown strata entirely
     zh = ray.data.from_items([{"doc_id": 1, "lang": "zh"}])
     assert stratified_sample(zh, "lang", {"en": 1.0}).count() == 0
+
+
+def test_shuffle_rank_permutation_string_ids(ray_session):
+    """shuffle_rank must emit an exact permutation 0..n-1 matching the
+    md5-ascending order, for string ids (the oracle covers int ids)."""
+    import hashlib
+
+    import ray.data
+
+    from kgray.stages.split import shuffle_rank
+
+    ids = [f"doc-{i:04d}" for i in range(777)]
+    ds = ray.data.from_items([{"id": i} for i in ids])
+    out = shuffle_rank(ds, id_col="id").to_pandas()
+    assert sorted(out["pos"]) == list(range(777))
+    expect = {
+        i: r
+        for r, i in enumerate(
+            sorted(ids, key=lambda s: hashlib.md5(s.encode()).hexdigest())
+        )
+    }
+    assert all(expect[t.id] == t.pos for t in out.itertuples())
+    # Salted epoch: different permutation, still a permutation.
+    out2 = shuffle_rank(ds, id_col="id", salt="epoch1").to_pandas()
+    assert sorted(out2["pos"]) == list(range(777))
+    merged = out.merge(out2, on="id")
+    assert (merged["pos_x"] != merged["pos_y"]).any()
