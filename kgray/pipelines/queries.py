@@ -1730,6 +1730,46 @@ FROM documents
 """
 
 
+def q_gopher_filter(sf_dir: str):
+    """Gopher-style rule-based quality filtering: every rule is an RE2
+    regex count (pyarrow and DuckDB share RE2, so the oracle is exact,
+    including the IEEE float ratio comparisons at rule boundaries)."""
+    from kgray.stages.text import gopher_filter
+
+    return gopher_filter(_docs(sf_dir, ["doc_id", "text"]))
+
+
+SQL_GOPHER_FILTER = """
+WITH m AS (
+  SELECT doc_id,
+    len(regexp_extract_all(text, '\\S+')) AS words,
+    GREATEST(len(regexp_extract_all(text, '\\S+')), 1) AS words_safe,
+    len(regexp_extract_all(text, '\\S')) AS nonws,
+    len(regexp_extract_all(text, '#|\\.\\.\\.')) AS symbols,
+    len(regexp_extract_all(text, '\\n')) + 1 AS nlines,
+    len(regexp_extract_all(text, '(?m)^\\s*[-*•]')) AS bullets,
+    len(regexp_extract_all(text, '(?m)(\\.\\.\\.|…)$')) AS ellipsis,
+    len(regexp_extract_all(text, '\\S*[A-Za-z]\\S*')) AS alpha_words,
+    len(regexp_extract_all(text, '(?i)\\b(the|be|to|of|and|that|have|with)\\b')) AS stops
+  FROM documents
+), r AS (
+  SELECT doc_id,
+    CAST(words BETWEEN 30 AND 90 AS BIGINT) AS r_word_count,
+    CAST(nonws * 1.0 / words_safe BETWEEN 3.0 AND 10.0 AS BIGINT) AS r_mean_word_len,
+    CAST(symbols * 1.0 / words_safe <= 0.1 AS BIGINT) AS r_symbol_ratio,
+    CAST(bullets * 1.0 / nlines <= 0.9 AS BIGINT) AS r_bullet_ratio,
+    CAST(ellipsis * 1.0 / nlines <= 0.3 AS BIGINT) AS r_ellipsis_ratio,
+    CAST(alpha_words * 1.0 / words_safe >= 0.8 AS BIGINT) AS r_alpha_words,
+    CAST(stops >= 2 AS BIGINT) AS r_stopwords
+  FROM m
+)
+SELECT *,
+  r_word_count * r_mean_word_len * r_symbol_ratio * r_bullet_ratio
+    * r_ellipsis_ratio * r_alpha_words * r_stopwords AS keep
+FROM r
+"""
+
+
 QUERIES = {
     "kgx_node_merge": q_kgx_node_merge,
     "kgx_edge_dedup": q_kgx_edge_dedup,
@@ -1785,6 +1825,7 @@ QUERIES = {
     "kmeans": q_kmeans,
     "semantic_dedup": q_semantic_dedup,
     "shuffle_rank": q_shuffle_rank,
+    "gopher_filter": q_gopher_filter,
 }
 
 ORACLES = {
@@ -1805,6 +1846,7 @@ ORACLES = {
     "dedup_embedding_pairs": SQL_DEDUP_EMBEDDING_PAIRS,
     "semantic_dedup": SQL_SEMANTIC_DEDUP,
     "shuffle_rank": SQL_SHUFFLE_RANK,
+    "gopher_filter": SQL_GOPHER_FILTER,
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "ann_topk": SQL_ANN_TOPK,
     "token_count": SQL_TOKEN_COUNT,

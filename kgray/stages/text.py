@@ -259,3 +259,78 @@ class LangId:
                     best, best_hits = lang, hits
             preds.append(best)
         return t.append_column(self.out_col, pa.array(preds, type=pa.string()))
+
+
+# Gopher-style rule thresholds (Rae et al. 2021, "Scaling Language
+# Models: ... Gopher", table A1 — adapted: bounds re-centered for the
+# synthetic corpus, rule SET kept). Every rule is an RE2 regex count —
+# pyarrow and DuckDB both run RE2, so the SQL oracle matches exactly.
+GOPHER_RULES: Dict[str, float] = {
+    "min_words": 30,
+    "max_words": 90,
+    "min_mean_word_len": 3.0,
+    "max_mean_word_len": 10.0,
+    "max_symbol_ratio": 0.1,       # '#' or '...' per word
+    "max_bullet_ratio": 0.9,       # lines starting with -, *, •
+    "max_ellipsis_ratio": 0.3,     # lines ending with ... or …
+    "min_alpha_word_ratio": 0.8,   # words containing ≥1 [A-Za-z]
+    "min_stopword_hits": 2,        # the|be|to|of|and|that|have|with
+}
+
+_GOPHER_STOPWORD_RE = r"(?i)\b(the|be|to|of|and|that|have|with)\b"
+
+
+def gopher_quality_batch(
+    t: pa.Table, text_col: str = "text", id_col: str = "doc_id"
+) -> pa.Table:
+    """Gopher-style document quality rules, one Arrow regex-count kernel
+    per rule (no Python per row). Emits int64 0/1 per rule plus ``keep``
+    = AND of all — downstream filters on ``keep`` but the per-rule flags
+    are what curation dashboards aggregate."""
+    text = t.column(text_col)
+    f64 = pa.float64()
+    words = pc.count_substring_regex(text, _TOKEN_RE).cast(f64)
+    words_safe = pc.max_element_wise(words, pa.scalar(1.0))
+    nonws = pc.count_substring_regex(text, r"\S").cast(f64)
+    mean_wl = pc.divide(nonws, words_safe)
+    symbols = pc.count_substring_regex(text, r"#|\.\.\.").cast(f64)
+    nlines = pc.add(pc.count_substring_regex(text, r"\n").cast(f64), pa.scalar(1.0))
+    bullets = pc.count_substring_regex(text, r"(?m)^\s*[-*•]").cast(f64)
+    ellipsis = pc.count_substring_regex(text, r"(?m)(\.\.\.|…)$").cast(f64)
+    alpha_words = pc.count_substring_regex(text, r"\S*[A-Za-z]\S*").cast(f64)
+    stops = pc.count_substring_regex(text, _GOPHER_STOPWORD_RE).cast(f64)
+
+    R = GOPHER_RULES
+    rules = {
+        "r_word_count": pc.and_(
+            pc.greater_equal(words, pa.scalar(float(R["min_words"]))),
+            pc.less_equal(words, pa.scalar(float(R["max_words"]))),
+        ),
+        "r_mean_word_len": pc.and_(
+            pc.greater_equal(mean_wl, pa.scalar(R["min_mean_word_len"])),
+            pc.less_equal(mean_wl, pa.scalar(R["max_mean_word_len"])),
+        ),
+        "r_symbol_ratio": pc.less_equal(
+            pc.divide(symbols, words_safe), pa.scalar(R["max_symbol_ratio"])),
+        "r_bullet_ratio": pc.less_equal(
+            pc.divide(bullets, nlines), pa.scalar(R["max_bullet_ratio"])),
+        "r_ellipsis_ratio": pc.less_equal(
+            pc.divide(ellipsis, nlines), pa.scalar(R["max_ellipsis_ratio"])),
+        "r_alpha_words": pc.greater_equal(
+            pc.divide(alpha_words, words_safe), pa.scalar(R["min_alpha_word_ratio"])),
+        "r_stopwords": pc.greater_equal(
+            stops, pa.scalar(float(R["min_stopword_hits"]))),
+    }
+    out = pa.table({id_col: t.column(id_col)})
+    keep = None
+    for name, cond in rules.items():
+        out = out.append_column(name, cond.cast(pa.int64()))
+        keep = cond if keep is None else pc.and_(keep, cond)
+    return out.append_column("keep", keep.cast(pa.int64()))
+
+
+def gopher_filter(ds: Dataset, text_col: str = "text", id_col: str = "doc_id") -> Dataset:
+    """One streaming map pass; column-pruned by the caller's read."""
+    return ds.map_batches(
+        lambda t: gopher_quality_batch(t, text_col, id_col), batch_format="pyarrow"
+    )

@@ -137,3 +137,32 @@ def test_repetition_stats_batch_invariant():
     )
     assert whole.column("top_word_frac").to_pylist() == parts.column("top_word_frac").to_pylist()
     assert whole.column("dup_2gram_frac").to_pylist() == parts.column("dup_2gram_frac").to_pylist()
+
+
+def test_gopher_rules_edges():
+    """Rule-by-rule edge cases through the batch kernel (the oracle test
+    covers the corpus path; this pins the per-rule semantics)."""
+    import pyarrow as pa
+
+    from kgray.stages.text import gopher_quality_batch
+
+    # 39 words, stopword-rich, mean word length ≈ 4.2 (inside [3, 10])
+    filler = "the black cat sat and the brown dog ran to the green mat with a round hat today " * 3
+    docs = {
+        "ok": filler,
+        "too_short": "the and of",
+        "bullety": "\n".join(f"- item {i} the and" for i in range(10)) + "\n" + filler,
+        "elliptic": "\n".join(f"wait for it{'.'*3}" for i in range(9)) + "\n" + filler.replace("\n", " "),
+        "symbols": ("# " * 20) + filler,
+        "no_alpha": ("123 456 789 " * 12) + "the and",
+        "empty": "",
+    }
+    t = pa.table({"doc_id": list(docs), "text": list(docs.values())})
+    out = gopher_quality_batch(t).to_pandas().set_index("doc_id")
+    assert out.loc["ok", "keep"] == 1
+    assert out.loc["too_short", "r_word_count"] == 0
+    assert out.loc["bullety", "r_bullet_ratio"] == 0  # 10/11 lines bulleted > 0.9
+    assert out.loc["elliptic", "r_ellipsis_ratio"] == 0  # 9/10 > 0.3
+    assert out.loc["symbols", "r_symbol_ratio"] == 0  # 20/56 > 0.1
+    assert out.loc["no_alpha", "r_alpha_words"] == 0  # 2/38 < 0.8
+    assert out.loc["empty", "keep"] == 0 and out.loc["empty", "r_word_count"] == 0
