@@ -1770,6 +1770,36 @@ FROM r
 """
 
 
+def q_tfidf_topk(sf_dir: str):
+    """Per-document top-3 TF-IDF terms (smoothed idf), ordered on the
+    UNROUNDED score then rounded to 6 for the value hash — same as the
+    oracle's ROW_NUMBER over the raw expression."""
+    from kgray.stages.corpus import tfidf_topk
+
+    return tfidf_topk(_docs(sf_dir, ["doc_id", "text"]), k=3)
+
+
+SQL_TFIDF_TOPK = """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS tok FROM documents
+), tf AS (
+  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2
+), dfreq AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+), n AS (SELECT COUNT(*) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.tok, tf.tf, dfreq.df,
+         tf.tf * (ln((n.n + 1.0) / (dfreq.df + 1.0)) + 1.0) AS raw
+  FROM tf JOIN dfreq USING (tok) CROSS JOIN n
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY doc_id ORDER BY raw DESC, tok ASC) AS rk
+  FROM scored
+)
+SELECT doc_id, tok, tf, df, ROUND(raw, 6) AS score FROM ranked WHERE rk <= 3
+"""
+
+
 QUERIES = {
     "kgx_node_merge": q_kgx_node_merge,
     "kgx_edge_dedup": q_kgx_edge_dedup,
@@ -1826,6 +1856,7 @@ QUERIES = {
     "semantic_dedup": q_semantic_dedup,
     "shuffle_rank": q_shuffle_rank,
     "gopher_filter": q_gopher_filter,
+    "tfidf_topk": q_tfidf_topk,
 }
 
 ORACLES = {
@@ -1847,6 +1878,7 @@ ORACLES = {
     "semantic_dedup": SQL_SEMANTIC_DEDUP,
     "shuffle_rank": SQL_SHUFFLE_RANK,
     "gopher_filter": SQL_GOPHER_FILTER,
+    "tfidf_topk": SQL_TFIDF_TOPK,
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "ann_topk": SQL_ANN_TOPK,
     "token_count": SQL_TOKEN_COUNT,

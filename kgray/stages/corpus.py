@@ -446,3 +446,72 @@ def group_quantiles(
 
     return grouped_apply(ds.select_columns([group_col, value_col]), [group_col],
                          _quant, num_partitions=num_partitions)
+
+
+def tfidf_topk(
+    ds: Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_partitions: Optional[int] = None,
+) -> Dataset:
+    """Top-``k`` TF-IDF terms per document (score desc, token asc):
+    ``score = tf * (ln((N+1)/(df+1)) + 1)`` — the smoothed-idf form.
+
+    Scale shape — two hash exchanges, both on pre-aggregated rows:
+
+    1. The map side explodes text ONCE and combines to one
+       ``(doc, token, tf)`` row per distinct (doc, token) pair inside
+       the batch, so the token-keyed exchange never carries raw text.
+    2. Reduce #1 (token-keyed) sees every row of its tokens: it both
+       counts df AND scores the rows in place — the df table never
+       materializes anywhere, and idf needs only the scalar N.
+    3. Reduce #2 (doc-keyed) takes the per-doc top-k (score desc, token
+       asc). Output is N*k rows.
+
+    Scores are ``stable_round``-ed to 6 so the DuckDB ROUND oracle
+    matches bit-for-bit.
+    """
+    from kgray.kernels.hashagg import stable_round
+
+    n_docs = ds.count()
+    nparts = num_partitions or auto_partitions()
+
+    def _tf(t: pa.Table) -> pa.Table:
+        flat, off = flat_words(t.column(text_col))
+        doc_idx = np.repeat(np.arange(len(off) - 1), np.diff(off))
+        g = (
+            pd.DataFrame({"d": doc_idx, "tok": flat.to_pandas()})
+            .groupby(["d", "tok"], sort=False)
+            .size()
+            .reset_index(name="tf")
+        )
+        ids = t.column(id_col).to_pandas().iloc[g["d"].to_numpy()].to_numpy()
+        return pa.table({
+            id_col: pa.array(ids),
+            "tok": pa.array(g["tok"].to_numpy(), type=pa.string()),
+            "tf": pa.array(g["tf"].to_numpy(), type=pa.int64()),
+        })
+
+    def _score(df: pd.DataFrame) -> pd.DataFrame:
+        dfreq = df.groupby("tok", sort=False)["tok"].transform("size")
+        out = df.copy()
+        out["df"] = dfreq.astype("int64")
+        out["score"] = out["tf"] * (
+            np.log((n_docs + 1.0) / (out["df"] + 1.0)) + 1.0
+        )
+        return out
+
+    def _topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["score", "tok"], ascending=[False, True], kind="mergesort")
+        return df.groupby(id_col, sort=False).head(k)
+
+    tf_rows = ds.map_batches(_tf, batch_format="pyarrow")
+    scored = grouped_apply(tf_rows, ["tok"], _score, num_partitions=nparts)
+    top = grouped_apply(scored, [id_col], _topk, num_partitions=nparts)
+    return top.map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("score"), "score", stable_round(t.column("score"), 6)
+        ),
+        batch_format="pyarrow",
+    )

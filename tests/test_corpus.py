@@ -139,3 +139,31 @@ def test_shuffle_rank_permutation_string_ids(ray_session):
     assert sorted(out2["pos"]) == list(range(777))
     merged = out.merge(out2, on="id")
     assert (merged["pos_x"] != merged["pos_y"]).any()
+
+
+def test_tfidf_topk_hand_computed(ray_session):
+    import math
+
+    from kgray.stages.corpus import tfidf_topk
+
+    docs = [
+        {"doc_id": 1, "text": "apple apple banana"},
+        {"doc_id": 2, "text": "banana cherry"},
+        {"doc_id": 3, "text": "cherry cherry cherry durian"},
+    ]
+    out = (
+        tfidf_topk(ray.data.from_items(docs), k=2)
+        .to_pandas()
+        .sort_values(["doc_id", "score", "tok"], ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+    idf = lambda df: math.log(4.0 / (df + 1.0)) + 1.0
+    # doc 1: apple tf=2 df=1 → 2*idf(1); banana tf=1 df=2 → idf(2)
+    r = out[out.doc_id == 1]
+    assert list(r.tok) == ["apple", "banana"]
+    assert abs(r.score.iloc[0] - round(2 * idf(1), 6)) < 1e-9
+    # doc 3: cherry tf=3 df=2 beats durian tf=1 df=1
+    r = out[out.doc_id == 3]
+    assert list(r.tok) == ["cherry", "durian"]
+    assert abs(r.score.iloc[0] - round(3 * idf(2), 6)) < 1e-9
+    assert (out.groupby("doc_id").size() <= 2).all()
