@@ -288,6 +288,57 @@ def _probe_fleets(slice_path: str, state_dir: str, lo: int, hi: int) -> dict:
     }
 
 
+def _control_leg() -> None:
+    """In-Ray perfectly-parallel control: the construct front half's
+    EXACT actor-pool workload (same PageToEdges class, same batch size,
+    same pool sizing) as a bare ``read → map_batches → count`` with NO
+    exchange, NO write, NO reduce. Its two-level efficiency is the best
+    any Ray Data job with this compute profile can record on this box —
+    the raw pipeline's number divided by it isolates what the
+    PIPELINE's shuffles/writes cost, with Ray's own overhead and the
+    box's memory ceiling factored out. Prints one JSON line."""
+    import numpy as np  # noqa: F401
+    import pyarrow.parquet as pq
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+    from kgray.pipelines.construct import PageToEdges
+    from kgray.pipelines.queries import construct_corpus_for_sf
+    from kgray.stages.canonical import canonical_map_from_aliases, canonical_state
+    from kgray.stages.linking import build_linker_state
+
+    paths = construct_corpus_for_sf(
+        SF_DIR, pages_per_doc=int(os.environ.get("GRAFT_BENCH_PPD", "1600"))
+    )
+    alias_table = pq.read_table(paths["aliases"])
+    alias_ref = ray.put(build_linker_state(alias_table))
+    cref = ray.put(canonical_state(canonical_map_from_aliases(alias_table)))
+    cfg = construct_config(NUM_CPUS)
+    ds = ray.data.read_parquet(paths["pages"])
+    ds.count()  # warm page cache, same as run_bench
+    t0 = time.perf_counter()
+    n = ds.map_batches(
+        PageToEdges,
+        fn_constructor_kwargs=dict(
+            alias_ref=alias_ref, cmap_ref=cref,
+            num_partitions=cfg["num_partitions"], lang="en"),
+        batch_format="pyarrow",
+        batch_size=cfg["extract_batch_size"],
+        concurrency=cfg["actor_concurrency"],
+        num_cpus=cfg["actor_num_cpus"],
+    ).count()
+    wall = time.perf_counter() - t0
+    ray.shutdown()
+    print(json.dumps({"wall": round(wall, 3), "rows": n,
+                      "n_pages": paths["n_pages"],
+                      "docs_per_sec": round(paths["n_pages"] / wall, 1)}))
+
+
 def run_scaling() -> dict:
     def run_at(ncpu: int) -> dict:
         env = dict(
@@ -333,6 +384,27 @@ def run_scaling() -> dict:
     r_hi = min(r_his, key=lambda r: r["value"])
     eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
     probe = run_probe(lo, hi)
+
+    # In-Ray perfectly-parallel control (same caging discipline).
+    def control_at(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   GRAFT_BENCH_PPD=os.environ.get("GRAFT_SCALING_PPD", "1600"))
+        subprocess.run(["sync"], check=False)
+        time.sleep(5)
+        cmd = [sys.executable, os.path.join(_REPO, "bench.py"), "--control-leg"]
+        if shutil.which("taskset"):
+            cmd = ["taskset", "-c", f"0-{ncpu - 1}"] + cmd
+        out = subprocess.run(cmd, env=env, capture_output=True, text=True,
+                             check=True).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    c_los, c_his = [], []
+    for _ in range(max(1, reps - 1)):
+        c_los.append(control_at(lo))
+        c_his.append(control_at(hi))
+    c_lo = min(c_los, key=lambda r: r["wall"])
+    c_hi = min(c_his, key=lambda r: r["wall"])
+    eff_control = (c_lo["wall"] / c_hi["wall"]) / (hi / lo)
     result = {
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
@@ -345,6 +417,14 @@ def run_scaling() -> dict:
         "n_pages": r_hi.get("n_pages"),
         "reps_per_leg": reps,
         "caged": bool(shutil.which("taskset")),
+        # Ray-parallel control: the same actor-pool compute as a pure
+        # map job (no exchange/write). Its efficiency is the in-Ray
+        # ceiling for this box; raw ÷ control isolates the pipeline's
+        # shuffle+write share of the loss.
+        f"control_sec_{lo}": c_lo["wall"],
+        f"control_sec_{hi}": c_hi["wall"],
+        "efficiency_ray_control": round(eff_control, 3),
+        "efficiency_vs_ray_control": round(min(1.0, eff / eff_control), 3),
         **probe,
         # raw efficiency ÷ what a PERFECT pipeline could score on this
         # shared box — the multi-node-comparable number (each real node
@@ -357,7 +437,9 @@ def run_scaling() -> dict:
 
 
 if __name__ == "__main__":
-    if "--probe-worker" in sys.argv:
+    if "--control-leg" in sys.argv:
+        _control_leg()
+    elif "--probe-worker" in sys.argv:
         i = sys.argv.index("--probe-worker")
         _probe_worker(sys.argv[i + 1], sys.argv[i + 2])
     elif "--probe" in sys.argv:
