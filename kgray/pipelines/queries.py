@@ -1800,6 +1800,118 @@ SELECT doc_id, tok, tf, df, ROUND(raw, 6) AS score FROM ranked WHERE rk <= 3
 """
 
 
+def q_unigram_nll(sf_dir: str):
+    """CCNet-style unigram LM quality score (mean NLL per doc, top-1000
+    vocab, add-1 smoothing) — corpus-statistic broadcast + map-only
+    scoring; exact SQL oracle over the same pinned model."""
+    from kgray.stages.corpus import unigram_nll
+
+    return unigram_nll(_docs(sf_dir, ["doc_id", "text"]), vocab_size=1000)
+
+
+SQL_UNIGRAM_NLL = """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS tok FROM documents
+), cnt AS (
+  SELECT tok, COUNT(*) AS c FROM toks GROUP BY 1
+), v AS (
+  SELECT tok, c FROM cnt ORDER BY c DESC, tok ASC LIMIT 1000
+), tot AS (SELECT COUNT(*) AS n FROM toks)
+SELECT t.doc_id,
+       ROUND(-AVG(ln((COALESCE(v.c, 0) + 1.0) / (tot.n + 1001.0))), 6) AS nll
+FROM toks t LEFT JOIN v USING (tok) CROSS JOIN tot
+GROUP BY t.doc_id
+"""
+
+
+def q_top_orders(sf_dir: str):
+    """TPC-H-Q3-shaped composition: segment semi-filter (broadcast) →
+    map-side partial revenue per order → ONE orderkey exchange that
+    joins order metadata and finishes the sum → per-partition exact
+    top-10 (an orderkey lives in one partition) → driver merge of P·10
+    candidate rows. The big table (lineitem) moves once, pre-combined."""
+    import pandas as pd
+
+    from kgray.kernels.hashagg import auto_partitions, grouped_apply
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+    keys = pc.filter(
+        cust.column("c_custkey"), pc.equal(cust.column("c_mktsegment"), "BUILDING")
+    ).combine_chunks()
+    kref = ray.put(keys)
+
+    def _orders(t: pa.Table) -> pa.Table:
+        ks = ray.get(kref) if isinstance(kref, ray.ObjectRef) else kref
+        t = t.filter(pc.is_in(t.column("o_custkey"), value_set=ks))
+        return pa.table({
+            "o_orderkey": t.column("o_orderkey"),
+            "o_orderdate": t.column("o_orderdate"),
+            "o_orderpriority": t.column("o_orderpriority"),
+            "rev": pa.nulls(len(t), pa.float64()),
+        })
+
+    def _li_partial(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            t.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), t.column("l_discount")),
+        )
+        g = (
+            pd.DataFrame({"k": t.column("l_orderkey").to_numpy(), "rev": rev.to_numpy()})
+            .groupby("k", sort=False)["rev"].sum().reset_index()
+        )
+        return pa.table({
+            "o_orderkey": pa.array(g["k"].to_numpy(), type=pa.int64()),
+            "o_orderdate": pa.nulls(len(g), pa.timestamp("us")),
+            "o_orderpriority": pa.nulls(len(g), pa.string()),
+            "rev": pa.array(g["rev"].to_numpy(), type=pa.float64()),
+        })
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+    ).map_batches(_orders, batch_format="pyarrow")
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    ).map_batches(_li_partial, batch_format="pyarrow")
+    tagged = orders.union(li)
+
+    def _finish(df: pd.DataFrame) -> pd.DataFrame:
+        meta = df[df["o_orderdate"].notna()][
+            ["o_orderkey", "o_orderdate", "o_orderpriority"]]
+        rev = (
+            df.groupby("o_orderkey", sort=False)["rev"].sum(min_count=1)
+            .dropna().rename("revenue").reset_index()
+        )
+        j = meta.merge(rev, on="o_orderkey")  # inner: both sides present
+        j["revenue"] = j["revenue"].round(2)
+        return j.sort_values(["revenue", "o_orderkey"],
+                             ascending=[False, True], kind="mergesort").head(10)
+
+    nparts = auto_partitions(files=[f"{sf_dir}/lineitem.parquet"])
+    cand = grouped_apply(tagged, ["o_orderkey"], _finish,
+                         num_partitions=nparts, map_format="pyarrow")
+    top = (
+        cand.to_pandas()
+        .sort_values(["revenue", "o_orderkey"], ascending=[False, True],
+                     kind="mergesort").head(10).reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(top, preserve_index=False)
+
+
+SQL_TOP_ORDERS = """
+SELECT o_orderkey, o_orderdate, o_orderpriority,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
 QUERIES = {
     "kgx_node_merge": q_kgx_node_merge,
     "kgx_edge_dedup": q_kgx_edge_dedup,
@@ -1857,6 +1969,8 @@ QUERIES = {
     "shuffle_rank": q_shuffle_rank,
     "gopher_filter": q_gopher_filter,
     "tfidf_topk": q_tfidf_topk,
+    "unigram_nll": q_unigram_nll,
+    "top_orders": q_top_orders,
 }
 
 ORACLES = {
@@ -1879,6 +1993,8 @@ ORACLES = {
     "shuffle_rank": SQL_SHUFFLE_RANK,
     "gopher_filter": SQL_GOPHER_FILTER,
     "tfidf_topk": SQL_TFIDF_TOPK,
+    "unigram_nll": SQL_UNIGRAM_NLL,
+    "top_orders": SQL_TOP_ORDERS,
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "ann_topk": SQL_ANN_TOPK,
     "token_count": SQL_TOKEN_COUNT,

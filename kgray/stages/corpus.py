@@ -515,3 +515,62 @@ def tfidf_topk(
         ),
         batch_format="pyarrow",
     )
+
+
+def unigram_nll(
+    ds: Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 1000,
+    num_partitions: Optional[int] = None,
+) -> Dataset:
+    """CCNet-style LM quality proxy: per-document mean negative
+    log-likelihood under a corpus-estimated smoothed unigram model
+    (CCNet, Wenzek et al. 2020, uses a KenLM 5-gram; the unigram form
+    keeps the exact same pipeline shape — corpus statistics pass →
+    broadcast model → one scoring map — with a SQL-checkable model).
+
+    Pinned definition: vocabulary = top-``vocab_size`` tokens by
+    (count desc, token asc); ``p(tok) = (c+1)/(N + vocab_size + 1)``
+    with c = 0 for out-of-vocabulary; ``nll = -mean(ln p)`` over the
+    doc's tokens; docs with no tokens are dropped (SQL GROUP BY
+    semantics).
+
+    Scale shape: the vocab (V rows) comes from :func:`topk_tokens`'s
+    combined exchange; N is one streaming count; both broadcast via
+    ``ray.put`` — the scoring pass is map-only, corpus never shuffles.
+    """
+    top = topk_tokens(ds, k=vocab_size, text_col=text_col,
+                      num_partitions=num_partitions)
+
+    def _ntok(t: pa.Table) -> pa.Table:
+        flat, _ = flat_words(t.column(text_col))
+        return pa.table({"n": pa.array([len(flat)], pa.int64())})
+
+    n_total = sum(
+        b.column("n").to_numpy().sum()
+        for b in ds.map_batches(_ntok, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow")
+    )
+    denom = float(n_total + vocab_size + 1)
+    vref = ray.put(dict(zip(top.column("tok").to_pylist(),
+                            top.column("n").to_pylist())))
+
+    def _score(t: pa.Table) -> pa.Table:
+        from kgray.kernels.hashagg import stable_round
+
+        vocab = ray.get(vref) if isinstance(vref, ray.ObjectRef) else vref
+        flat, off = flat_words(t.column(text_col))
+        c = pd.Series(flat.to_pandas()).map(vocab).fillna(0).to_numpy(np.float64)
+        logp = np.log((c + 1.0) / denom)
+        cum = np.concatenate([[0.0], np.cumsum(logp)])
+        counts = np.diff(off)
+        keep = counts > 0
+        sums = cum[off[1:]] - cum[off[:-1]]
+        nll = -(sums[keep] / counts[keep])
+        return pa.table({
+            id_col: t.column(id_col).filter(pa.array(keep)),
+            "nll": stable_round(pa.array(nll, type=pa.float64()), 6),
+        })
+
+    return ds.map_batches(_score, batch_format="pyarrow")

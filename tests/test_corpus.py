@@ -167,3 +167,25 @@ def test_tfidf_topk_hand_computed(ray_session):
     assert list(r.tok) == ["cherry", "durian"]
     assert abs(r.score.iloc[0] - round(3 * idf(2), 6)) < 1e-9
     assert (out.groupby("doc_id").size() <= 2).all()
+
+
+def test_unigram_nll_hand_computed(ray_session):
+    import math
+
+    from kgray.stages.corpus import unigram_nll
+
+    docs = [
+        {"doc_id": 1, "text": "a a b"},
+        {"doc_id": 2, "text": "b zz"},
+        {"doc_id": 3, "text": ""},  # no tokens → dropped
+    ]
+    # N=5 tokens; vocab cap 2 → top-2 by (count desc, tok asc): a(2), b(2).
+    # denom = 5 + 2 + 1 = 8. p(a)=3/8, p(b)=3/8, p(oov)=1/8.
+    out = unigram_nll(
+        ray.data.from_items(docs), vocab_size=2
+    ).to_pandas().set_index("doc_id")
+    assert sorted(out.index) == [1, 2]
+    exp1 = -(2 * math.log(3 / 8) + math.log(3 / 8)) / 3
+    exp2 = -(math.log(3 / 8) + math.log(1 / 8)) / 2
+    assert abs(out.loc[1, "nll"] - round(exp1, 6)) < 1e-9
+    assert abs(out.loc[2, "nll"] - round(exp2, 6)) < 1e-9
