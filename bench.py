@@ -87,6 +87,11 @@ BENCH_QUERIES = [
     "pack_sequences",
     "kmeans",
     "semantic_dedup",
+    "shuffle_rank",
+    "gopher_filter",
+    "tfidf_topk",
+    "unigram_nll",
+    "top_orders",
 ]
 
 
