@@ -1912,6 +1912,35 @@ LIMIT 10
 """
 
 
+def q_approx_quantiles(sf_dir: str):
+    """SELF-ASSERTING (rows-only): mergeable-histogram approximate
+    quantiles of events.value, checked in-query against the exact
+    discrete quantile (`group_quantiles` over a single group) within
+    the sketch's own bin-width guarantee. The sketch is the 100-TB
+    path: O(bins) per map task, zero shuffles, vs the exact operator's
+    full-column exchange."""
+    from kgray.stages.corpus import group_quantiles
+    from kgray.stages.sketch import approx_quantiles
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    approx = approx_quantiles(ds, "value", qs=(0.5, 0.9, 0.99), bins=4096)
+
+    one = ds.map_batches(
+        lambda t: t.append_column("g", pa.array(np.zeros(len(t), np.int64))),
+        batch_format="pyarrow",
+    )
+    exact = group_quantiles(one, "g", "value", qs=(0.5, 0.9, 0.99)).to_pandas()
+    for _, row in approx.iterrows():
+        ex = float(exact[f"p{int(row['q'] * 100)}"].iloc[0])
+        assert abs(row["value"] - ex) <= row["max_err"] + 1e-9, (
+            f"approx quantile q={row['q']}: {row['value']} vs exact {ex} "
+            f"exceeds guaranteed error {row['max_err']}")
+    out = approx.copy()
+    out["value"] = out["value"].round(6)
+    out["max_err"] = out["max_err"].round(6)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 QUERIES = {
     "kgx_node_merge": q_kgx_node_merge,
     "kgx_edge_dedup": q_kgx_edge_dedup,
@@ -1971,6 +2000,7 @@ QUERIES = {
     "tfidf_topk": q_tfidf_topk,
     "unigram_nll": q_unigram_nll,
     "top_orders": q_top_orders,
+    "approx_quantiles": q_approx_quantiles,
 }
 
 ORACLES = {

@@ -88,3 +88,69 @@ def approx_distinct(ds: Dataset, col: str, b: int = 12) -> float:
         flat = regs.flatten().to_numpy().reshape(-1, m)
         merged = np.maximum(merged, flat.max(axis=0))
     return hll_estimate(merged)
+
+
+def approx_quantiles(
+    ds: Dataset, col: str, qs=(0.5, 0.9, 0.99), bins: int = 4096
+) -> pd.DataFrame:
+    """Approximate quantiles via a mergeable fixed-bin histogram — the
+    shuffle-free companion to :func:`approx_distinct` (the exact
+    counterpart, `corpus.group_quantiles`, exchanges the whole column).
+
+    Two streaming passes, zero shuffles:
+
+    1. a (min, max) pass — two scalars per batch to the driver;
+    2. a histogram pass — each batch folds into a ``bins``-long int64
+       count array; arrays merge by elementwise sum (associative +
+       commutative), so only O(bins) ever travels regardless of rows.
+
+    The returned estimate is the upper edge of the bin containing the
+    target rank, so the error is bounded by one bin width
+    ``(max - min) / bins`` — an explicit, data-independent guarantee
+    the caller (and the self-asserting registry query) can check
+    against the exact quantile.
+    """
+    lo, hi = None, None
+
+    def _minmax(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "lo": pa.array([pc.min(t.column(col)).as_py()], pa.float64()),
+            "hi": pa.array([pc.max(t.column(col)).as_py()], pa.float64()),
+        })
+
+    for b in ds.map_batches(_minmax, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        blo = np.nanmin(b.column("lo").to_numpy(zero_copy_only=False))
+        bhi = np.nanmax(b.column("hi").to_numpy(zero_copy_only=False))
+        lo = blo if lo is None else min(lo, blo)
+        hi = bhi if hi is None else max(hi, bhi)
+    if lo is None or not np.isfinite(lo):
+        raise ValueError(f"approx_quantiles: column {col!r} has no finite values")
+    width = (hi - lo) / bins or 1.0
+
+    def _hist(t: pa.Table) -> pa.Table:
+        v = t.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[~np.isnan(v)]
+        idx = np.clip(((v - lo) / width).astype(np.int64), 0, bins - 1)
+        counts = np.bincount(idx, minlength=bins)
+        nz = np.nonzero(counts)[0]
+        return pa.table({"b": pa.array(nz, type=pa.int64()),
+                         "c": pa.array(counts[nz], type=pa.int64())})
+
+    total = np.zeros(bins, dtype=np.int64)
+    for b in ds.map_batches(_hist, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        np.add.at(total, b.column("b").to_numpy(), b.column("c").to_numpy())
+    n = int(total.sum())
+    cum = np.cumsum(total)
+    out = []
+    for q in qs:
+        rank = max(1, int(np.ceil(q * n)))
+        bi = int(np.searchsorted(cum, rank))
+        out.append({"q": q, "value": lo + (bi + 1) * width,
+                    "max_err": width, "n": n})
+    return pd.DataFrame(out)

@@ -39,3 +39,31 @@ def test_approx_distinct_ignores_nulls(ray_session):
     ds = ray.data.from_items([{"v": None}] * 50 + [{"v": 1}, {"v": 2}])
     est = approx_distinct(ds, "v", b=12)
     assert 1.5 < est < 2.5
+
+
+def test_approx_quantiles_error_bound(ray_session):
+    import numpy as np
+    import ray.data
+
+    from kgray.stages.sketch import approx_quantiles
+
+    rng = np.random.RandomState(7)
+    vals = rng.lognormal(3.0, 1.0, size=20000)
+    ds = ray.data.from_items([{"v": float(x)} for x in vals])
+    out = approx_quantiles(ds, "v", qs=(0.1, 0.5, 0.9, 0.99), bins=2048)
+    srt = np.sort(vals)
+    for _, row in out.iterrows():
+        exact = srt[max(1, int(np.ceil(row["q"] * len(vals)))) - 1]
+        assert abs(row["value"] - exact) <= row["max_err"] + 1e-9
+    assert (out["n"] == len(vals)).all()
+
+
+def test_approx_quantiles_constant_column(ray_session):
+    import ray.data
+
+    from kgray.stages.sketch import approx_quantiles
+
+    ds = ray.data.from_items([{"v": 5.0}] * 100)
+    out = approx_quantiles(ds, "v", qs=(0.5,), bins=64)
+    # zero range → width falls back to 1.0; estimate within one bin.
+    assert abs(out["value"].iloc[0] - 5.0) <= out["max_err"].iloc[0] + 1e-9
