@@ -96,8 +96,16 @@ def _dir_rows(path: str) -> int:
     ]
     if not paths:
         return 0
-    with ThreadPoolExecutor(min(32, max(4, len(paths) // 64 + 1))) as ex:
-        return sum(ex.map(lambda p: pq.read_metadata(p).num_rows, paths))
+    try:
+        # C++-parallel footer scan (no GIL): ~3x the thread pool on
+        # thousands-of-files spill trees. Explicit file list — directory
+        # discovery misreads the hive layout's __part= dirs.
+        import pyarrow.dataset as pads
+
+        return pads.dataset(paths).count_rows()
+    except Exception:
+        with ThreadPoolExecutor(min(32, max(4, len(paths) // 64 + 1))) as ex:
+            return sum(ex.map(lambda p: pq.read_metadata(p).num_rows, paths))
 
 
 def _host_provenance(t: pa.Table) -> pa.Table:
@@ -186,7 +194,16 @@ def extract_and_link_shard(
     Returns rows written. ``actor_num_cpus < 1`` oversubscribes the
     actor pool slightly so read/write tasks interleave with the
     CPU-bound actors instead of starving behind them."""
-    ds = ray.data.read_parquet(files)
+    # Bound the block count explicitly: Ray's size-based splitting makes
+    # ~6 MB blocks here, so every shard becomes hundreds of write tasks
+    # and (tasks × num_partitions) tiny spill files — footer-scan and
+    # file-create overhead then rival the compute. Target ~64 MiB of
+    # in-memory input per block (≈4x on-disk), floored at 2 blocks per
+    # CPU so the actor pool stays saturated.
+    in_bytes = sum(os.path.getsize(f) for f in files)
+    ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    nblocks = max(2 * ncpu, -(-in_bytes * 4 // (64 << 20)))
+    ds = ray.data.read_parquet(files, override_num_blocks=nblocks)
     ds = ds.map_batches(
         PageToEdges,
         fn_constructor_kwargs={
