@@ -92,6 +92,11 @@ BENCH_QUERIES = [
     "tfidf_topk",
     "unigram_nll",
     "top_orders",
+    "semi_join",
+    "anti_join",
+    "running_total",
+    "normalize_text",
+    "decontaminate_bloom",
 ]
 
 

@@ -1941,6 +1941,144 @@ def q_approx_quantiles(sf_dir: str):
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def _urgent_orderkeys(sf_dir: str):
+    """Right side for the semi/anti queries: custkeys of URGENT orders
+    (filtered at the read so both match and no-match sets are
+    non-trivial — the generator gives every customer SOME order)."""
+    return ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderpriority"]
+    ).map_batches(
+        lambda t: t.filter(
+            pc.equal(t.column("o_orderpriority"), "1-URGENT")
+        ).select(["o_custkey"]).rename_columns(["c_custkey"]),
+        batch_format="pyarrow",
+    )
+
+
+def q_semi_join(sf_dir: str):
+    """Distributed semi join (SQL EXISTS): customers with ≥1 URGENT
+    order. Only the right side's DISTINCT keys ride the exchange."""
+    from kgray.stages.relational import hash_join
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name", "c_acctbal"]
+    )
+    return hash_join(cust, _urgent_orderkeys(sf_dir), on="c_custkey", how="semi")
+
+
+SQL_SEMI_JOIN = """
+SELECT c_custkey, c_name, c_acctbal FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+"""
+
+
+def q_anti_join(sf_dir: str):
+    """Distributed anti join (SQL NOT EXISTS): customers with no
+    URGENT order — the TPC-H Q22 shape."""
+    from kgray.stages.relational import hash_join
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name", "c_acctbal"]
+    )
+    return hash_join(cust, _urgent_orderkeys(sf_dir), on="c_custkey", how="anti")
+
+
+SQL_ANTI_JOIN = """
+SELECT c_custkey, c_name, c_acctbal FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+"""
+
+
+def q_running_total(sf_dir: str):
+    """Per-user running value total ordered by (ts, event_id) — the
+    cumulative member of the window family (row_number, gap, tumbling
+    and sliding are registered separately). Same shape as sessionize:
+    one user-keyed exchange, per-partition mergesort + C cumsum; the
+    accumulation order is the sort order, so the doubles match the SQL
+    running window bit-for-bit before the shared ROUND."""
+    import pandas as pd
+
+    from kgray.kernels.hashagg import auto_partitions, grouped_apply
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    )
+
+    def _cum(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        rv = part.groupby("user_id", sort=False)["value"].cumsum()
+        part["running_value"] = np.round(rv.to_numpy() * 1e4) / 1e4
+        return part[["event_id", "user_id", "running_value"]]
+
+    return grouped_apply(
+        ds, ["user_id"], _cum,
+        num_partitions=auto_partitions(files=[f"{sf_dir}/events.parquet"]),
+    )
+
+
+SQL_RUNNING_TOTAL = """
+SELECT event_id, user_id,
+  ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_value
+FROM events
+"""
+
+
+def q_normalize_text(sf_dir: str):
+    """Canonical pre-dedup text normalization (lower → strip accents →
+    collapse whitespace → trim): five vectorized Arrow kernels,
+    map-only."""
+    from kgray.stages.text import normalize_batch
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        lambda t: normalize_batch(t).drop_columns(["text"]), batch_format="pyarrow"
+    )
+
+
+SQL_NORMALIZE_TEXT = """
+SELECT doc_id,
+  trim(regexp_replace(strip_accents(lower(text)), '\\s+', ' ', 'g'), ' ') AS text_norm
+FROM documents
+"""
+
+
+def q_decontaminate_bloom(sf_dir: str):
+    """SELF-ASSERTING (rows-only): Bloom-filter decontamination — the
+    constant-memory scale path (partial bitmaps merged by OR; no
+    shuffle, no sorted-gram broadcast). Asserted in-query against the
+    exact operator on the same benchmark split: ZERO false negatives
+    (the bloom guarantee) and a false-positive doc rate within 0.1%
+    (fpr=1e-6 × ~200 grams/doc leaves orders of magnitude of slack)."""
+    from kgray.stages.corpus import decontaminate, decontaminate_bloom
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def _is_bench(t: pa.Table, flag: bool) -> pa.Table:
+        is_b = (t.column("doc_id").to_numpy() % 50) == 0
+        return t.filter(pa.array(is_b if flag else ~is_b))
+
+    bench = ds.map_batches(lambda t: _is_bench(t, True), batch_format="pyarrow")
+    corpus = ds.map_batches(lambda t: _is_bench(t, False), batch_format="pyarrow")
+
+    bloom_t = pa.concat_tables(
+        [b for b in decontaminate_bloom(corpus, bench, n=5, fpr=1e-6).iter_batches(
+            batch_format="pyarrow")]
+    )
+    exact_t = pa.concat_tables(
+        [b for b in decontaminate(corpus, bench, n=5).iter_batches(batch_format="pyarrow")]
+    )
+    bl = bloom_t.select(["doc_id", "contaminated"]).to_pandas().set_index("doc_id")
+    ex = exact_t.select(["doc_id", "contaminated"]).to_pandas().set_index("doc_id")
+    both = bl.join(ex, lsuffix="_bloom", rsuffix="_exact")
+    fn = int((both["contaminated_exact"] & ~both["contaminated_bloom"]).sum())
+    fp = int((both["contaminated_bloom"] & ~both["contaminated_exact"]).sum())
+    assert fn == 0, f"bloom false negatives: {fn}"
+    assert fp <= max(5, len(both) // 1000), f"bloom false positives: {fp}/{len(both)}"
+    return bloom_t.sort_by("doc_id")
+
+
 QUERIES = {
     "kgx_node_merge": q_kgx_node_merge,
     "kgx_edge_dedup": q_kgx_edge_dedup,
@@ -2001,6 +2139,11 @@ QUERIES = {
     "unigram_nll": q_unigram_nll,
     "top_orders": q_top_orders,
     "approx_quantiles": q_approx_quantiles,
+    "semi_join": q_semi_join,
+    "anti_join": q_anti_join,
+    "running_total": q_running_total,
+    "normalize_text": q_normalize_text,
+    "decontaminate_bloom": q_decontaminate_bloom,
 }
 
 ORACLES = {
@@ -2055,6 +2198,10 @@ ORACLES = {
     "hash_join": SQL_HASH_JOIN,
     "top_n_per_group": SQL_TOP_N_PER_GROUP,
     "grouped_distinct_count": SQL_GROUPED_DISTINCT_COUNT,
+    "semi_join": SQL_SEMI_JOIN,
+    "anti_join": SQL_ANTI_JOIN,
+    "running_total": SQL_RUNNING_TOTAL,
+    "normalize_text": SQL_NORMALIZE_TEXT,
     # rows-only (non-SQL-expressible): ann_lsh (LSH recall is
     # probabilistic), construct_kg / extract_text (self-checking
     # against generator goldens), multimodal_features (decode stub)

@@ -403,6 +403,81 @@ def decontaminate(
     return corpus.select_columns([id_col]).map_batches(_attach, batch_format="pyarrow")
 
 
+def decontaminate_bloom(
+    corpus: Dataset,
+    benchmark: Dataset,
+    n: int = 5,
+    fpr: float = 1e-6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> Dataset:
+    """Bloom-filter decontamination: the constant-memory scale path.
+
+    :func:`decontaminate`'s broadcast path ships 8 bytes per distinct
+    benchmark gram (sorted uint64 array); its join path exchanges every
+    corpus gram. The bloom variant replaces both with a bitmap of
+    ~1.44·log2(1/fpr) bits per gram (~3.6 bytes at fpr=1e-6) built
+    shuffle-free: each map task folds its batch's gram hashes into a
+    partial bitmap, partials merge by bitwise OR (associative +
+    commutative), and only O(num_batches) bitmaps ever travel. The
+    merged bitmap is ``ray.put`` once and probed zero-copy per batch.
+
+    Guarantees: **zero false negatives** — every doc sharing a word
+    n-gram with the benchmark is flagged; a non-contaminated doc is
+    falsely flagged with probability ≤ grams_per_doc · fpr. Output:
+    ``(id_col, n_flagged, contaminated)`` where ``n_flagged`` counts
+    bloom-positive distinct grams (≥ the exact count).
+    """
+    from kgray.stages.sketch import bloom_fold, bloom_params, bloom_probe
+
+    bench_text = benchmark.select_columns([text_col])
+
+    def _count(t: pa.Table) -> pa.Table:
+        gh, _ = _gram_hashes(t.column(text_col), n)
+        return pa.table({"c": pa.array([len(np.unique(gh))], pa.int64())})
+
+    # Sizing pass: per-batch-distinct gram count (an upper bound on the
+    # true distinct count — oversizes m slightly, never undersizes fpr).
+    n_bench = sum(
+        b.column("c").to_numpy().sum()
+        for b in bench_text.map_batches(_count, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+    )
+    m_bits, k = bloom_params(int(n_bench), fpr)
+
+    def _fold(t: pa.Table) -> pa.Table:
+        gh, _ = _gram_hashes(t.column(text_col), n)
+        bm = bloom_fold(np.unique(gh), m_bits, k)
+        return pa.table({"bm": pa.array([bm.tobytes()], pa.binary())})
+
+    bitmap = np.zeros(m_bits // 8, dtype=np.uint8)
+    for b in bench_text.map_batches(
+        _fold, batch_format="pyarrow", batch_size=65536
+    ).iter_batches(batch_format="pyarrow"):
+        for buf in b.column("bm").to_pylist():
+            np.bitwise_or(bitmap, np.frombuffer(buf, dtype=np.uint8), out=bitmap)
+    ref = ray.put(bitmap)
+
+    def _probe(t: pa.Table) -> pa.Table:
+        bm = ray.get(ref)  # zero-copy plasma numpy
+        gh, ridx = _gram_hashes(t.column(text_col), n)
+        cnt = np.zeros(t.num_rows, np.int64)
+        if len(gh):
+            key = pd.DataFrame({"i": ridx, "g": gh}).drop_duplicates()
+            hits = bloom_probe(key["g"].to_numpy(), bm, k)
+            np.add.at(cnt, key["i"].to_numpy()[hits], 1)
+        return pa.table({
+            id_col: t.column(id_col),
+            "n_flagged": pa.array(cnt),
+            "contaminated": pa.array(cnt > 0),
+        })
+
+    return corpus.select_columns([id_col, text_col]).map_batches(
+        _probe, batch_format="pyarrow"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Grouped exact quantiles
 # ---------------------------------------------------------------------------

@@ -39,7 +39,7 @@ def hash_join(
     suffix: str = "_right",
     num_partitions: Optional[int] = None,
 ) -> Dataset:
-    """Distributed hash join (inner or left) on equality keys.
+    """Distributed hash join (inner/left/semi/anti) on equality keys.
 
     Both sides are tagged and ride ONE exchange hash-partitioned on the
     key; each partition splits by tag and runs pandas ``merge``. Right
@@ -47,15 +47,24 @@ def hash_join(
     never match (SQL semantics — pandas merge would match NaN to NaN,
     so null-keyed right rows are dropped and null-keyed left rows are
     preserved only under ``how='left'``).
+
+    ``how='semi'`` / ``how='anti'`` return left rows with ≥1 / 0 key
+    matches on the right (SQL ``EXISTS`` / ``NOT EXISTS`` with equality
+    predicates: a NULL left key matches nothing, so it is dropped by
+    semi and KEPT by anti). Only the right side's keys ride the
+    exchange — projected and per-batch deduplicated map-side, so the
+    shuffled right volume is O(distinct keys), not O(rows).
     """
-    if how not in ("inner", "left"):
-        raise ValueError(f"hash_join supports inner/left, got {how!r}")
+    if how not in ("inner", "left", "semi", "anti"):
+        raise ValueError(f"hash_join supports inner/left/semi/anti, got {how!r}")
     on = [on] if isinstance(on, str) else list(on)
     if num_partitions is None:
         num_partitions = auto_partitions()
 
     lschema, rschema = left.schema(), right.schema()
     lcols = lschema.names
+    if how in ("semi", "anti"):
+        return _semi_anti_join(left, right, on, how, num_partitions, lcols)
     rcols = [c for c in rschema.names if c not in on]
     ltypes = dict(zip(lschema.names, lschema.types))
     rtypes = dict(zip(rschema.names, rschema.types))
@@ -114,6 +123,56 @@ def hash_join(
         map_format="pyarrow",
     )
     return joined
+
+
+def _semi_anti_join(
+    left: Dataset,
+    right: Dataset,
+    on: List[str],
+    how: str,
+    num_partitions: int,
+    lcols: List[str],
+) -> Dataset:
+    """Semi/anti join body: left rows + right DISTINCT keys share one
+    exchange on the key; each partition probes with an indicator merge.
+    Output schema = the left schema, unchanged."""
+    lschema = left.schema()
+    out_types = dict(zip(lschema.names, lschema.types))
+    keys = ["__k_" + k for k in on]
+
+    def _ltag(t: pa.Table) -> pa.Table:
+        arrays = list(t.columns) + [t.column(k) for k in on]
+        arrays.append(pa.array(["l"] * t.num_rows, pa.string()))
+        return pa.Table.from_arrays(arrays, names=lcols + keys + [_SIDE])
+
+    def _rtag(t: pa.Table) -> pa.Table:
+        # Keys only, per-batch distinct, non-null (NULL never matches) —
+        # map-side combine so the shuffled right side is O(distinct keys).
+        sub = t.select(on).drop_null().group_by(on).aggregate([])
+        arrays = [pa.nulls(sub.num_rows, out_types[c]) for c in lcols]
+        arrays += [sub.column(k).cast(out_types[k]) for k in on]
+        arrays.append(pa.array(["r"] * sub.num_rows, pa.string()))
+        return pa.Table.from_arrays(arrays, names=lcols + keys + [_SIDE])
+
+    lt = left.map_batches(_ltag, batch_format="pyarrow")
+    rt = right.map_batches(_rtag, batch_format="pyarrow")
+
+    def _probe(df: pd.DataFrame) -> pa.Table:
+        ldf = df[df[_SIDE] == "l"]
+        rk = df.loc[df[_SIDE] == "r", keys].drop_duplicates()
+        probed = ldf[lcols + keys].merge(rk, on=keys, how="left", indicator=True)
+        # NaN left keys never match NaN right keys here: rk is non-null
+        # by construction, so they land in 'left_only' (correct for both
+        # EXISTS and NOT EXISTS semantics).
+        mask = probed["_merge"] == "both"
+        out = probed[mask if how == "semi" else ~mask]
+        arrays = [pa.array(out[c], type=out_types[c], from_pandas=True) for c in lcols]
+        return pa.Table.from_arrays(arrays, names=lcols)
+
+    return grouped_apply(
+        lt.union(rt), keys, _probe, num_partitions=num_partitions,
+        map_format="pyarrow",
+    )
 
 
 def broadcast_join(

@@ -90,6 +90,43 @@ def approx_distinct(ds: Dataset, col: str, b: int = 12) -> float:
     return hll_estimate(merged)
 
 
+def bloom_params(n_items: int, fpr: float = 1e-3) -> tuple[int, int]:
+    """(m_bits, k) for a Bloom filter sized to ``n_items`` at ``fpr``.
+    m is rounded up to a multiple of 64; k = ln2 · m/n."""
+    n = max(1, n_items)
+    m = int(np.ceil(-n * np.log(fpr) / (np.log(2) ** 2)))
+    m = max(64, (m + 63) // 64 * 64)
+    k = max(1, int(round(m / n * np.log(2))))
+    return m, k
+
+
+def _bloom_positions(h: np.ndarray, m_bits: int, k: int) -> np.ndarray:
+    """k bit positions per uint64 hash via double hashing
+    (h1 + i·h2) mod m — one (k, n) vectorized grid, no per-item loop."""
+    h1 = h % np.uint64(m_bits)
+    h2 = (h >> np.uint64(33)) | np.uint64(1)  # odd → full-period stride
+    i = np.arange(k, dtype=np.uint64)[:, None]
+    return ((h1[None, :] + i * h2[None, :]) % np.uint64(m_bits)).astype(np.int64)
+
+
+def bloom_fold(h: np.ndarray, m_bits: int, k: int) -> np.ndarray:
+    """Fold uint64 hashes into an m_bits/8-byte bitmap (uint8)."""
+    bitmap = np.zeros(m_bits // 8, dtype=np.uint8)
+    if len(h):
+        pos = _bloom_positions(h, m_bits, k).ravel()
+        np.bitwise_or.at(bitmap, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
+    return bitmap
+
+
+def bloom_probe(h: np.ndarray, bitmap: np.ndarray, k: int) -> np.ndarray:
+    """Boolean membership per hash: all k bits set."""
+    if len(h) == 0:
+        return np.zeros(0, dtype=bool)
+    pos = _bloom_positions(h, len(bitmap) * 8, k)
+    bits = (bitmap[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1
+    return bits.all(axis=0)
+
+
 def approx_quantiles(
     ds: Dataset, col: str, qs=(0.5, 0.9, 0.99), bins: int = 4096
 ) -> pd.DataFrame:

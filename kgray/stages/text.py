@@ -55,6 +55,27 @@ def bpe_token_count_batch(
     return t.append_column(out_col, n.cast(pa.int64()))
 
 
+def normalize_batch(
+    t: pa.Table, text_col: str = "text", out_col: str = "text_norm"
+) -> pa.Table:
+    """Canonical pre-dedup text normalization (CCNet-style fold):
+    lowercase → accents/diacritics stripped (NFD, combining marks
+    dropped) → whitespace runs collapsed to one space → edge spaces
+    trimmed. Five vectorized Arrow kernels per batch (utf8proc + RE2),
+    byte-identical to DuckDB's ``strip_accents(lower(...))`` chain.
+    Accent-strip rather than NFC because Arrow's ``utf8_normalize``
+    (pyarrow 16) does not recompose — NFC of a decomposed sequence
+    comes back decomposed — while decomposition + ``\\p{Mn}`` removal
+    is exact on both engines (verified incl. ligatures, Greek tonos,
+    ø/đ non-decomposables, and pre-decomposed NFD input)."""
+    s = pc.utf8_lower(t.column(text_col))
+    s = pc.utf8_normalize(s, form="NFD")
+    s = pc.replace_substring_regex(s, r"\p{Mn}+", "")
+    s = pc.replace_substring_regex(s, r"\s+", " ")
+    s = pc.utf8_trim(s, " ")
+    return t.append_column(out_col, s)
+
+
 def quality_batch(t: pa.Table, text_col: str = "text") -> pa.Table:
     text = t.column(text_col)
     n_chars = pc.utf8_length(text).cast(pa.float64())

@@ -90,3 +90,32 @@ def test_grouped_distinct_count_null_rules(ray_session):
     out = out.set_index("g").sort_index()
     assert out.loc["a", "n_distinct"] == 2
     assert out.loc["b", "n_distinct"] == 0
+
+
+def test_semi_join_null_and_dup_semantics(ray_session):
+    # EXISTS: k=1 matches (once, despite right fan-out); NULL left key
+    # matches nothing; k=9 on the right has no left counterpart.
+    out = hash_join(_left(), ray.data.from_items(_right_rows()),
+                    on="k", how="semi", num_partitions=4).to_pandas()
+    assert sorted(out["lv"].tolist()) == [10]
+    assert set(out.columns) == {"k", "lv"}
+
+
+def test_anti_join_keeps_null_left_keys(ray_session):
+    # NOT EXISTS with an equality predicate: NULL = x is never true, so
+    # the NULL-keyed left row survives the anti join.
+    out = hash_join(_left(), ray.data.from_items(_right_rows()),
+                    on="k", how="anti", num_partitions=4).to_pandas()
+    assert sorted(out["lv"].tolist()) == [20, 30, 40]
+    assert out.loc[out["lv"] == 30, "k"].isna().all()
+
+
+def test_semi_anti_partition_left(ray_session):
+    # semi ∪ anti = left, disjoint — regardless of partitioning.
+    left = ray.data.from_items([{"k": i % 7, "lv": i} for i in range(100)])
+    right = ray.data.from_items([{"k": k} for k in (0, 2, 4)])
+    semi = hash_join(left, right, on="k", how="semi", num_partitions=3).to_pandas()
+    anti = hash_join(left, right, on="k", how="anti", num_partitions=3).to_pandas()
+    assert len(semi) + len(anti) == 100
+    assert set(semi["lv"]).isdisjoint(set(anti["lv"]))
+    assert set(semi["k"]) == {0, 2, 4}

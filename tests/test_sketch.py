@@ -67,3 +67,34 @@ def test_approx_quantiles_constant_column(ray_session):
     out = approx_quantiles(ds, "v", qs=(0.5,), bins=64)
     # zero range → width falls back to 1.0; estimate within one bin.
     assert abs(out["value"].iloc[0] - 5.0) <= out["max_err"].iloc[0] + 1e-9
+
+
+def test_bloom_no_false_negatives_and_fpr():
+    import numpy as np
+
+    from kgray.stages.sketch import bloom_fold, bloom_params, bloom_probe
+
+    rng = np.random.default_rng(7)
+    members = rng.integers(0, 2**63, 20_000, dtype=np.uint64)
+    m, k = bloom_params(len(members), fpr=1e-3)
+    bm = bloom_fold(members, m, k)
+    assert bloom_probe(members, bm, k).all()  # zero false negatives
+    probes = rng.integers(0, 2**63, 50_000, dtype=np.uint64)
+    fresh = probes[~np.isin(probes, members)]
+    fp = bloom_probe(fresh, bm, k).mean()
+    assert fp <= 5e-3, fp  # ~1e-3 nominal; 5x slack
+
+
+def test_bloom_partials_merge_by_or():
+    import numpy as np
+
+    from kgray.stages.sketch import bloom_fold, bloom_params, bloom_probe
+
+    rng = np.random.default_rng(11)
+    a = rng.integers(0, 2**63, 5_000, dtype=np.uint64)
+    b = rng.integers(0, 2**63, 5_000, dtype=np.uint64)
+    m, k = bloom_params(10_000, fpr=1e-4)
+    merged = np.bitwise_or(bloom_fold(a, m, k), bloom_fold(b, m, k))
+    whole = bloom_fold(np.concatenate([a, b]), m, k)
+    assert np.array_equal(merged, whole)
+    assert bloom_probe(np.concatenate([a, b]), merged, k).all()

@@ -166,3 +166,35 @@ def test_gopher_rules_edges():
     assert out.loc["symbols", "r_symbol_ratio"] == 0  # 20/56 > 0.1
     assert out.loc["no_alpha", "r_alpha_words"] == 0  # 2/38 < 0.8
     assert out.loc["empty", "keep"] == 0 and out.loc["empty", "r_word_count"] == 0
+
+
+def test_normalize_batch_matches_duckdb_on_unicode():
+    # The normalize kernel chain must agree with the SQL oracle chain
+    # byte-for-byte on non-ASCII input: Unicode lowercase, accent strip
+    # (NFD + \p{Mn} removal vs DuckDB strip_accents), RE2 \s collapse,
+    # ASCII-space trim — including pre-decomposed (NFD) input.
+    import duckdb
+    import pyarrow as pa
+
+    from kgray.stages.text import normalize_batch
+
+    cases = [
+        "Café  au   LAIT",        # NFD e + combining acute
+        "\tTabs\nand\r\nnewlines  ",
+        "ÉLÄN vs élan",
+        "ΣΟΦΌΣ",                        # Greek sigma lowering + tonos strip
+        "naïve façade søster 日本語 Ångström",
+        "\u0065\u0301lan vs \u00e9lan",   # decomposed vs precomposed é
+        "  already clean  ",
+        "",
+    ]
+    t = pa.table({"text": pa.array(cases)})
+    got = normalize_batch(t).column("text_norm").to_pylist()
+    want = [
+        duckdb.sql(
+            "SELECT trim(regexp_replace(strip_accents(lower(?)), '\\s+', ' ', 'g'), ' ')",
+            params=[s],
+        ).fetchone()[0]
+        for s in cases
+    ]
+    assert got == want
