@@ -97,6 +97,7 @@ BENCH_QUERIES = [
     "running_total",
     "normalize_text",
     "decontaminate_bloom",
+    "approx_topk_freq",
 ]
 
 

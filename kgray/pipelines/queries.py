@@ -2079,6 +2079,36 @@ def q_decontaminate_bloom(sf_dir: str):
     return bloom_t.sort_by("doc_id")
 
 
+def q_approx_topk_freq(sf_dir: str):
+    """SELF-ASSERTING (rows-only): Count-Min-sketch corpus frequencies
+    for the exact top-20 tokens. The CMS guarantee is checked in-query
+    against the exact counts from the topk exchange: every estimate
+    ≥ exact (CMS never undercounts) and overshoot ≤ eps·N with eps=1e-4
+    (N = total corpus tokens, computed exactly in the same pass as the
+    probe list). The sketch is the 100-TB path for point frequencies:
+    a constant d×w grid per map task merged by SUM — no per-token
+    exchange at all."""
+    from kgray.stages.corpus import topk_tokens
+    from kgray.stages.sketch import approx_token_counts
+
+    ds = _docs(sf_dir, ["text"])
+    exact = topk_tokens(ds, k=20).to_pandas()
+    eps = 1e-4
+    est = approx_token_counts(ds, exact["tok"].tolist(), eps=eps, delta=1e-3)
+    merged = exact.rename(columns={"tok": "token", "n": "n_exact"}).merge(
+        est, on="token"
+    )
+    n_total = int(
+        q_token_count(sf_dir).to_pandas()["n_tokens"].sum()
+    )
+    over = merged["n_est"] - merged["n_exact"]
+    assert (over >= 0).all(), merged[over < 0]
+    assert (over <= max(5, int(eps * n_total) + 1)).all(), (n_total, merged)
+    merged["n_est"] = merged["n_est"].astype("int64")
+    merged["n_exact"] = merged["n_exact"].astype("int64")
+    return merged[["token", "n_exact", "n_est"]].sort_values("token").reset_index(drop=True)
+
+
 QUERIES = {
     "kgx_node_merge": q_kgx_node_merge,
     "kgx_edge_dedup": q_kgx_edge_dedup,
@@ -2144,6 +2174,7 @@ QUERIES = {
     "running_total": q_running_total,
     "normalize_text": q_normalize_text,
     "decontaminate_bloom": q_decontaminate_bloom,
+    "approx_topk_freq": q_approx_topk_freq,
 }
 
 ORACLES = {

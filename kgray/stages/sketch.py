@@ -127,6 +127,83 @@ def bloom_probe(h: np.ndarray, bitmap: np.ndarray, k: int) -> np.ndarray:
     return bits.all(axis=0)
 
 
+def count_min_params(eps: float = 1e-4, delta: float = 1e-3) -> tuple[int, int]:
+    """(width, depth) for a Count-Min sketch with additive error
+    ≤ eps·N at probability ≥ 1−delta: w = ⌈e/eps⌉, d = ⌈ln(1/delta)⌉."""
+    w = int(np.ceil(np.e / eps))
+    d = max(1, int(np.ceil(np.log(1.0 / delta))))
+    return w, d
+
+
+def count_min_fold(h: np.ndarray, counts: np.ndarray, w: int, d: int) -> np.ndarray:
+    """Fold uint64 hashes (with multiplicity ``counts``) into a (d, w)
+    int64 Count-Min grid. Rows merge by elementwise SUM (associative +
+    commutative) — the frequency member of the mergeable-sketch family
+    (HLL: max, bloom: or, histogram: sum)."""
+    cms = np.zeros((d, w), dtype=np.int64)
+    if len(h):
+        h1 = h % np.uint64(w)
+        h2 = (h >> np.uint64(33)) | np.uint64(1)
+        for r in range(d):
+            idx = ((h1 + np.uint64(r) * h2) % np.uint64(w)).astype(np.int64)
+            np.add.at(cms[r], idx, counts)
+    return cms
+
+
+def count_min_query(h: np.ndarray, cms: np.ndarray) -> np.ndarray:
+    """Point-frequency estimates: min over the d rows. Never
+    underestimates; overestimates by ≤ eps·N w.p. ≥ 1−delta."""
+    d, w = cms.shape
+    if len(h) == 0:
+        return np.zeros(0, np.int64)
+    h1 = h % np.uint64(w)
+    h2 = (h >> np.uint64(33)) | np.uint64(1)
+    est = np.full(len(h), np.iinfo(np.int64).max)
+    for r in range(d):
+        idx = ((h1 + np.uint64(r) * h2) % np.uint64(w)).astype(np.int64)
+        est = np.minimum(est, cms[r][idx])
+    return est
+
+
+def approx_token_counts(
+    ds: Dataset, probe_tokens, text_col: str = "text",
+    eps: float = 1e-4, delta: float = 1e-3,
+) -> pd.DataFrame:
+    """Approximate corpus-wide frequencies of ``probe_tokens`` via a
+    Count-Min sketch: one map pass folds each batch's token hashes into
+    a (d, w) grid; grids merge by elementwise sum — constant
+    d·w·8 bytes per map task, no shuffle (the exact counterpart,
+    `corpus.topk_tokens`, exchanges one row per distinct token).
+    Returns (token, n_est) with n_est ≥ true count, ≤ true + eps·N
+    w.p. ≥ 1−delta per probe."""
+    from kgray.stages.corpus import flat_words
+
+    w, d = count_min_params(eps, delta)
+
+    def _h(arr: pa.Array) -> np.ndarray:
+        return pd.util.hash_pandas_object(
+            pd.Series(arr.to_pandas()), index=False
+        ).to_numpy().astype(np.uint64)
+
+    def _fold(t: pa.Table) -> pa.Table:
+        flat, _ = flat_words(t.column(text_col))
+        # batch-local combine: count duplicates before folding
+        vc = pd.Series(_h(flat)).value_counts()
+        cms = count_min_fold(vc.index.to_numpy(np.uint64), vc.to_numpy(), w, d)
+        return pa.table({"cms": pa.array([cms.tobytes()], pa.binary())})
+
+    total = np.zeros((d, w), dtype=np.int64)
+    for b in ds.map_batches(_fold, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for buf in b.column("cms").to_pylist():
+            total += np.frombuffer(buf, dtype=np.int64).reshape(d, w)
+
+    ph = _h(pa.array(list(probe_tokens)))
+    est = count_min_query(ph, total)
+    return pd.DataFrame({"token": list(probe_tokens), "n_est": est.astype(np.int64)})
+
+
 def approx_quantiles(
     ds: Dataset, col: str, qs=(0.5, 0.9, 0.99), bins: int = 4096
 ) -> pd.DataFrame:

@@ -98,3 +98,30 @@ def test_bloom_partials_merge_by_or():
     whole = bloom_fold(np.concatenate([a, b]), m, k)
     assert np.array_equal(merged, whole)
     assert bloom_probe(np.concatenate([a, b]), merged, k).all()
+
+
+def test_count_min_never_undercounts_and_merges():
+    import numpy as np
+    import pandas as pd
+
+    from kgray.stages.sketch import count_min_fold, count_min_params, count_min_query
+
+    rng = np.random.default_rng(3)
+    # Zipf-ish multiset of 50k draws over 5k distinct keys.
+    keys = rng.zipf(1.5, 50_000) % 5_000
+    h = pd.util.hash_pandas_object(pd.Series(keys), index=False).to_numpy().astype(np.uint64)
+    w, d = count_min_params(eps=1e-3, delta=1e-3)
+    half = len(h) // 2
+    vc1 = pd.Series(h[:half]).value_counts()
+    vc2 = pd.Series(h[half:]).value_counts()
+    merged = count_min_fold(vc1.index.to_numpy(np.uint64), vc1.to_numpy(), w, d) + \
+        count_min_fold(vc2.index.to_numpy(np.uint64), vc2.to_numpy(), w, d)
+    whole_vc = pd.Series(h).value_counts()
+    whole = count_min_fold(whole_vc.index.to_numpy(np.uint64), whole_vc.to_numpy(), w, d)
+    assert np.array_equal(merged, whole)  # partials merge by sum
+    est = count_min_query(whole_vc.index.to_numpy(np.uint64), whole)
+    true = whole_vc.to_numpy()
+    assert (est >= true).all()
+    # eps*N additive bound (allow the delta failure fraction)
+    frac_bad = ((est - true) > 1e-3 * len(h)).mean()
+    assert frac_bad <= 1e-2, frac_bad
