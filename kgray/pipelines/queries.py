@@ -2109,6 +2109,53 @@ def q_approx_topk_freq(sf_dir: str):
     return merged[["token", "n_exact", "n_est"]].sort_values("token").reset_index(drop=True)
 
 
+def q_pagerank(sf_dir: str):
+    """SELF-ASSERTING (rows-only): distributed PageRank over the
+    customer→supplier graph (lineitem ⋈ orders; supplier ids offset
+    into their own namespace). Per iteration nothing shuffles: ranks
+    broadcast zero-copy, per-batch dense contribution partials merge by
+    sum. Asserted in-query against an exact dense-numpy PageRank on the
+    same edge list (identical model) to 1e-9, plus Σrank = 1."""
+    from kgray.stages.graph import pagerank, pagerank_dense_reference
+    from kgray.stages.relational import hash_join
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_suppkey"]
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    ).map_batches(
+        lambda t: t.rename_columns(["l_orderkey", "o_custkey"]), batch_format="pyarrow"
+    )
+
+    def _edge(t: pa.Table) -> pa.Table:
+        # customer → supplier; suppliers shifted into a disjoint id space
+        return pa.table({
+            "src": t.column("o_custkey"),
+            "dst": pc.add(t.column("l_suppkey"), 10_000_000),
+        })
+
+    edges = hash_join(li, orders, on="l_orderkey", how="inner").map_batches(
+        _edge, batch_format="pyarrow"
+    )
+    ranks, _iters = pagerank(edges, damping=0.85, max_iters=200, tol=1e-10)
+
+    # Exact dense oracle over the same (small at bench scale) edge list.
+    et = pa.concat_tables(
+        [b for b in edges.iter_batches(batch_format="pyarrow")]
+    )
+    ref = pagerank_dense_reference(
+        et.column("src").to_numpy(), et.column("dst").to_numpy(),
+        damping=0.85, max_iters=200, tol=1e-10,
+    )
+    got = ranks.to_pandas().set_index("node")["rank"]
+    assert abs(got.sum() - 1.0) < 1e-9, got.sum()
+    assert np.abs(got - ref.reindex(got.index)).max() < 1e-9
+    out = ranks.to_pandas()
+    out["rank"] = np.round(out["rank"], 12)
+    return out.sort_values("node").reset_index(drop=True)
+
+
 QUERIES = {
     "kgx_node_merge": q_kgx_node_merge,
     "kgx_edge_dedup": q_kgx_edge_dedup,
@@ -2175,6 +2222,7 @@ QUERIES = {
     "normalize_text": q_normalize_text,
     "decontaminate_bloom": q_decontaminate_bloom,
     "approx_topk_freq": q_approx_topk_freq,
+    "pagerank": q_pagerank,
 }
 
 ORACLES = {

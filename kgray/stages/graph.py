@@ -1,0 +1,161 @@
+"""Iterative graph algorithms over edge Datasets: PageRank.
+
+Connected components (the other iterative op) lives in
+``stages/canonical.py``; PageRank shares its scale discipline but a
+different data-movement shape. Per iteration nothing shuffles at all:
+the rank vector is ``ray.put`` ONCE (zero-copy numpy in plasma, one
+physical copy per node — the same broadcast pattern as the entity
+linker state and the CC label map), each map task folds its edge
+batch's contributions into a DENSE length-N partial vector with one
+``np.add.at``, and partials merge by elementwise SUM on the driver —
+the mergeable-sketch pattern (cf. ``stages/sketch.py``) applied to a
+vector instead of a grid. Cost per iteration: one streaming pass over
+the (materialized-once) edge list + O(N) per task for the partial.
+
+Scale bound: the node count N must fit a worker's heap twice
+(rank vector + partial), i.e. N ≲ 500M at 8 bytes — the documented
+broadcast limit, enforced loudly. Beyond that a rank-exchange variant
+(edges joined with ranks on src, groupby dst) is the join-based path,
+exactly like `construct`'s giant-KB back half vs its broadcast front;
+it trades 2 shuffles/iteration for unbounded N.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+from ray.data import Dataset
+
+
+def pagerank(
+    edges: Dataset,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    max_iters: int = 50,
+    tol: float = 1e-10,
+    broadcast_limit: int = 100_000_000,
+) -> Tuple[pa.Table, int]:
+    """PageRank over a directed edge Dataset → (Table(node, rank), iters).
+
+    Standard random-surfer model: duplicate edges count as parallel
+    edges (a node linking twice contributes twice), dangling mass is
+    redistributed uniformly, ranks sum to 1. Terminates at L1 delta
+    < ``tol`` or raises at ``max_iters`` (a non-converged rank vector
+    is silently wrong for downstream consumers — same loud-failure
+    policy as ``connected_components_distributed``).
+    """
+    if max_iters < 1:
+        raise ValueError(f"max_iters must be >= 1, got {max_iters}")
+
+    # Materialize once: the edge list is re-scanned every iteration and
+    # may carry join-heavy lineage (see canonical.py:108 for why).
+    e = edges.select_columns([src, dst]).materialize()
+
+    # ---- node index + out-degree: one streaming pass --------------------
+    # Node ids must be integers on this (broadcast) path: the rank
+    # vector is indexed by searchsorted over a fixed-width id array.
+    def _ends(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        # per-batch out-degree partials (map-side combine)
+        vc = t.column(src).combine_chunks().value_counts()
+        du = _pc.unique(t.column(dst)).cast(pa.int64())
+        return pa.table({
+            "node": pa.concat_arrays([vc.field("values").cast(pa.int64()), du]),
+            "outdeg": pa.concat_arrays(
+                [vc.field("counts"), pa.nulls(len(du), pa.int64())]
+            ),
+        })
+
+    node_parts = [
+        b for b in e.map_batches(_ends, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+    ]
+    if not node_parts:
+        return pa.table({"node": pa.array([], pa.int64()),
+                         "rank": pa.array([], pa.float64())}), 0
+    nd = pa.concat_tables(node_parts).to_pandas()
+    deg = nd.groupby("node", sort=True)["outdeg"].sum().astype(np.int64)
+    nodes = deg.index.to_numpy(np.int64)  # sorted → searchsorted probes
+    outdeg = deg.to_numpy()
+    n = len(nodes)
+    if n == 0:
+        return pa.table({"node": pa.array([], pa.int64()),
+                         "rank": pa.array([], pa.float64())}), 0
+    if n > broadcast_limit:
+        raise ValueError(
+            f"pagerank broadcast path: {n} nodes exceeds broadcast_limit="
+            f"{broadcast_limit}; use a rank-exchange variant for graphs "
+            "whose node set outgrows a worker's heap."
+        )
+    nodes_ref = ray.put(nodes)
+
+    # ---- power iteration: one shuffle-free pass per round ----------------
+    dangling = outdeg == 0
+    ranks = np.full(n, 1.0 / n)
+    it = 0
+    for it in range(1, max_iters + 1):
+        # Pre-divide by out-degree so the map side is a pure gather+add.
+        w = np.where(dangling, 0.0, ranks / np.maximum(outdeg, 1))
+        w_ref = ray.put(w)
+
+        def _contrib(t: pa.Table) -> pa.Table:
+            idx = ray.get(nodes_ref)  # zero-copy plasma
+            wv = ray.get(w_ref)
+            si = np.searchsorted(idx, t.column(src).to_numpy())
+            di = np.searchsorted(idx, t.column(dst).to_numpy())
+            part = np.zeros(len(idx))
+            np.add.at(part, di, wv[si])
+            return pa.table({"part": pa.array([part.tobytes()], pa.binary())})
+
+        sums = np.zeros(n)
+        for b in e.map_batches(
+            _contrib, batch_format="pyarrow", batch_size=65536
+        ).iter_batches(batch_format="pyarrow"):
+            for buf in b.column("part").to_pylist():
+                sums += np.frombuffer(buf)
+        dangling_mass = float(ranks[dangling].sum())
+        new_ranks = (1.0 - damping) / n + damping * (sums + dangling_mass / n)
+        delta = float(np.abs(new_ranks - ranks).sum())
+        ranks = new_ranks
+        if delta < tol:
+            break
+    else:
+        raise RuntimeError(
+            f"pagerank did not converge in {max_iters} iterations "
+            f"(last L1 delta {delta:.3e} >= tol {tol:.1e}); raise max_iters."
+        )
+    return pa.table({"node": pa.array(nodes), "rank": pa.array(ranks)}), it
+
+
+def pagerank_dense_reference(
+    src: np.ndarray, dst: np.ndarray, damping: float = 0.85,
+    max_iters: int = 50, tol: float = 1e-10,
+) -> "pd.Series":
+    """Exact dense-numpy PageRank over an in-memory edge list — the
+    oracle for the distributed operator (identical model: parallel
+    edges, uniform dangling redistribution, L1/tol termination)."""
+    nodes = np.unique(np.concatenate([src, dst]))
+    n = len(nodes)
+    si = np.searchsorted(nodes, src)
+    di = np.searchsorted(nodes, dst)
+    outdeg = np.bincount(si, minlength=n)
+    dangling = outdeg == 0
+    ranks = np.full(n, 1.0 / n)
+    for _ in range(max_iters):
+        w = np.where(dangling, 0.0, ranks / np.maximum(outdeg, 1))
+        sums = np.zeros(n)
+        np.add.at(sums, di, w[si])
+        new_ranks = (1 - damping) / n + damping * (sums + ranks[dangling].sum() / n)
+        if np.abs(new_ranks - ranks).sum() < tol:
+            ranks = new_ranks
+            break
+        ranks = new_ranks
+    return pd.Series(ranks, index=nodes)
