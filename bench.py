@@ -169,6 +169,19 @@ def run_bench() -> dict:
         "docs_per_sec": round(n_pages / headline, 1),
         "phases": phase,
     }
+    # Host-speed calibration stamp: a fixed no-Ray workload (7 plain
+    # processes caged to 8 cores — directly comparable to the
+    # probe_wall_lo history in SCALING.json) timed in the same window
+    # as this bench run. This shared VM's speed swings 1.3-1.9x across
+    # host windows (BASELINE.md round-3), so absolute bench numbers are
+    # comparable across rounds only relative to this stamp.
+    if not os.environ.get("GRAFT_SKIP_QUERIES"):
+        try:
+            sl, st = _calibration_inputs()
+            result["host_probe_wall_sec"] = round(_probe_fleet_wall(sl, st, 8), 3)
+            result["host_probe_workers"] = [7, 8]
+        except Exception as e:  # calibration must never fail the bench
+            result["host_probe_err"] = str(e)
     # Carry the latest two-parallelism scaling measurement (raw + no-Ray
     # hardware probe + probe-normalized efficiency) in the default bench
     # artifact — produced by `bench.py --scaling`, persisted in-repo.
@@ -211,14 +224,36 @@ def _probe_worker(slice_path: str, state_dir: str) -> None:
     print(json.dumps({"wall": time.perf_counter() - t0}))
 
 
-def _probe_slice(pages_path: str, aliases_path: str, n_rows: int = 80_000) -> tuple:
+def _calibration_inputs() -> tuple:
+    """Self-contained host-calibration inputs: a dedicated deterministic
+    80k-page corpus (fixed seed, fixed size — identical bytes on every
+    machine and every round, independent of $GRAFT_SF_DIR and of which
+    bench corpora happen to exist). Distinct from the scaling probe's
+    slice (which shares the scaling corpus's larger alias KB): the two
+    stamps are each internally comparable across runs, not to each
+    other."""
+    from kgray.sources.pages import write_corpus
+
+    d = "/tmp/kgray_bench/cal_corpus"
+    marker = os.path.join(d, "_done")
+    if not os.path.exists(marker):
+        write_corpus(d, 80_000, seed=42, n_files=1)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return _probe_slice(f"{d}/pages", f"{d}/aliases.parquet",
+                        out_dir="/tmp/kgray_bench/probe_cal")
+
+
+def _probe_slice(
+    pages_path: str, aliases_path: str, n_rows: int = 80_000,
+    out_dir: str = "/tmp/kgray_bench/probe",
+) -> tuple:
     """Materialize the probe's fixed inputs once: a slice of the bench
     corpus + the linker/canonical state arrays (mmap-shared by all
     probe workers)."""
     import numpy as np
     import pyarrow.parquet as pq
 
-    out_dir = "/tmp/kgray_bench/probe"
     slice_out = os.path.join(out_dir, "slice.parquet")
     state_dir = os.path.join(out_dir, "state")
     if os.path.exists(os.path.join(out_dir, "_done")):
@@ -259,33 +294,35 @@ def run_probe(lo: int = 8, hi: int = 32) -> dict:
     return _probe_fleets(slice_path, state_dir, lo, hi)
 
 
+def _probe_fleet_wall(slice_path: str, state_dir: str, ncores: int) -> float:
+    """Mean per-process wall of an (ncores-1)-process no-Ray fleet
+    running the fixed probe workload caged to ncores cores."""
+    nworkers = max(2, ncores - 1)
+    cmd = [
+        sys.executable,
+        os.path.join(_REPO, "bench.py"),
+        "--probe-worker",
+        slice_path,
+        state_dir,
+    ]
+    if shutil.which("taskset"):
+        cmd = ["taskset", "-c", f"0-{ncores - 1}"] + cmd
+    # One warm run to fault the slice into page cache before timing.
+    subprocess.run(cmd, capture_output=True, text=True, check=True)
+    procs = [
+        subprocess.Popen(cmd, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True)
+        for _ in range(nworkers)
+    ]
+    walls = []
+    for p in procs:
+        out, _ = p.communicate()
+        walls.append(json.loads(out.strip().splitlines()[-1])["wall"])
+    return sum(walls) / len(walls)
+
+
 def _probe_fleets(slice_path: str, state_dir: str, lo: int, hi: int) -> dict:
-
-    def fleet(ncores: int) -> float:
-        nworkers = max(2, ncores - 1)
-        cmd = [
-            sys.executable,
-            os.path.join(_REPO, "bench.py"),
-            "--probe-worker",
-            slice_path,
-            state_dir,
-        ]
-        if shutil.which("taskset"):
-            cmd = ["taskset", "-c", f"0-{ncores - 1}"] + cmd
-        # One warm run to fault the slice into page cache before timing.
-        subprocess.run(cmd, capture_output=True, text=True, check=True)
-        procs = [
-            subprocess.Popen(cmd, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True)
-            for _ in range(nworkers)
-        ]
-        walls = []
-        for p in procs:
-            out, _ = p.communicate()
-            walls.append(json.loads(out.strip().splitlines()[-1])["wall"])
-        return sum(walls) / len(walls)
-
-    w_lo = fleet(lo)
-    w_hi = fleet(hi)
+    w_lo = _probe_fleet_wall(slice_path, state_dir, lo)
+    w_hi = _probe_fleet_wall(slice_path, state_dir, hi)
     slowdown = w_hi / w_lo
     return {
         "probe_workers": [lo - 1, hi - 1],

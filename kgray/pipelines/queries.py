@@ -2109,6 +2109,32 @@ def q_approx_topk_freq(sf_dir: str):
     return merged[["token", "n_exact", "n_est"]].sort_values("token").reset_index(drop=True)
 
 
+def q_rollup(sf_dir: str):
+    """GROUP BY ROLLUP (status, priority) over orders: count + sum at
+    every rollup level from ONE exchange — coarser levels derived from
+    the finest aggregate, not re-shuffled."""
+    from kgray.kernels.hashagg import stable_round
+    from kgray.stages.relational import rollup_aggregate
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderstatus", "o_orderpriority", "o_totalprice"],
+    )
+    t = rollup_aggregate(ds, ["o_orderstatus", "o_orderpriority"], "o_totalprice")
+    return t.set_column(
+        t.column_names.index("sum_value"), "sum_value",
+        stable_round(t.column("sum_value"), 2),
+    )
+
+
+SQL_ROLLUP = """
+SELECT o_orderstatus, o_orderpriority,
+  CAST(COUNT(*) AS BIGINT) AS n_rows,
+  ROUND(SUM(o_totalprice), 2) AS sum_value
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
 def q_pagerank(sf_dir: str):
     """SELF-ASSERTING (rows-only): distributed PageRank over the
     customer→supplier graph (lineitem ⋈ orders; supplier ids offset
@@ -2223,6 +2249,7 @@ QUERIES = {
     "decontaminate_bloom": q_decontaminate_bloom,
     "approx_topk_freq": q_approx_topk_freq,
     "pagerank": q_pagerank,
+    "rollup": q_rollup,
 }
 
 ORACLES = {
@@ -2281,6 +2308,7 @@ ORACLES = {
     "anti_join": SQL_ANTI_JOIN,
     "running_total": SQL_RUNNING_TOTAL,
     "normalize_text": SQL_NORMALIZE_TEXT,
+    "rollup": SQL_ROLLUP,
     # rows-only (non-SQL-expressible): ann_lsh (LSH recall is
     # probabilistic), construct_kg / extract_text (self-checking
     # against generator goldens), multimodal_features (decode stub)

@@ -278,3 +278,68 @@ def grouped_distinct_count(
     pruned = ds.select_columns(sub)
     return grouped_apply(pruned, group_cols, _count,
                          num_partitions=num_partitions, map_side=_dedup)
+
+
+def rollup_aggregate(
+    ds: Dataset,
+    group_cols: Sequence[str],
+    value_col: str,
+    num_partitions: Optional[int] = None,
+) -> pa.Table:
+    """SQL ``GROUP BY ROLLUP (a, b, …)``: COUNT(*) + SUM(value) at every
+    rollup level, higher levels NULL-filled (plus the grand total).
+
+    One exchange total: the finest level aggregates through the usual
+    hash exchange with a map-side combiner; every coarser level is then
+    derived FROM the finest aggregate (sums of sums, sums of counts) —
+    a table of O(distinct finest groups) rows, so the rollup costs the
+    same shuffle as a plain GROUP BY regardless of how many levels it
+    emits. Scale bound: the finest aggregate must fit the driver (the
+    standard rollup assumption — a rollup whose finest level is
+    data-sized is just the input).
+    """
+    group_cols = list(group_cols)
+    if num_partitions is None:
+        num_partitions = auto_partitions()
+
+    def _combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(group_cols, sort=False, dropna=False)[value_col]
+        out = g.agg(["count", "sum"]).reset_index()
+        return out.rename(columns={"count": "n_rows", "sum": "sum_value"})
+
+    def _map_side(df: pd.DataFrame) -> pd.DataFrame:
+        return _combine(df)
+
+    def _reduce(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(group_cols, sort=False, dropna=False)
+        out = g.agg(n_rows=("n_rows", "sum"), sum_value=("sum_value", "sum")).reset_index()
+        return out
+
+    pruned = ds.select_columns(group_cols + [value_col])
+    finest = grouped_apply(pruned, group_cols, _reduce,
+                           num_partitions=num_partitions, map_side=_map_side)
+    ft = pa.concat_tables(
+        [b for b in finest.iter_batches(batch_format="pyarrow")]
+        or [pa.table({c: pa.array([], pa.string()) for c in group_cols}
+                     | {"n_rows": pa.array([], pa.int64()),
+                        "sum_value": pa.array([], pa.float64())})]
+    ).to_pandas()
+
+    levels = [ft]
+    cur = ft
+    for k in range(len(group_cols) - 1, -1, -1):
+        keep = group_cols[:k]
+        if keep:
+            agg = cur.groupby(keep, sort=False, dropna=False).agg(
+                n_rows=("n_rows", "sum"), sum_value=("sum_value", "sum")
+            ).reset_index()
+        else:
+            agg = pd.DataFrame({"n_rows": [cur["n_rows"].sum()],
+                                "sum_value": [cur["sum_value"].sum()]})
+        for c in group_cols[k:]:
+            agg[c] = None
+        levels.append(agg[group_cols + ["n_rows", "sum_value"]])
+        cur = agg
+    out = pd.concat(levels, ignore_index=True)
+    out["n_rows"] = out["n_rows"].astype(np.int64)
+    return pa.Table.from_pandas(out, preserve_index=False)

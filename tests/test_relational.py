@@ -119,3 +119,29 @@ def test_semi_anti_partition_left(ray_session):
     assert len(semi) + len(anti) == 100
     assert set(semi["lv"]).isdisjoint(set(anti["lv"]))
     assert set(semi["k"]) == {0, 2, 4}
+
+
+def test_rollup_three_levels_vs_duckdb(ray_session):
+    import duckdb
+
+    from kgray.stages.relational import rollup_aggregate
+
+    rows = [{"a": f"a{i % 2}", "b": f"b{i % 3}", "c": f"c{i % 2}", "v": float(i)}
+            for i in range(60)]
+    got = rollup_aggregate(
+        ray.data.from_items(rows), ["a", "b", "c"], "v", num_partitions=4
+    ).to_pandas()
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(rows))
+    want = con.execute(
+        "SELECT a, b, c, CAST(COUNT(*) AS BIGINT) AS n_rows, SUM(v) AS sum_value "
+        "FROM t GROUP BY ROLLUP (a, b, c)"
+    ).df()
+    key = ["a", "b", "c"]
+    got = got.sort_values(key, na_position="last").reset_index(drop=True)
+    want = want.sort_values(key, na_position="last").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[key + ["n_rows", "sum_value"]].fillna("~"),
+        want[key + ["n_rows", "sum_value"]].fillna("~"),
+        check_dtype=False,
+    )
