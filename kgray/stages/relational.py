@@ -31,6 +31,24 @@ from kgray.kernels.hashagg import auto_partitions, grouped_apply
 _SIDE = "__join_side"
 
 
+def _arrow_type(t) -> pa.DataType:
+    """Normalize a Dataset.schema() type to an Arrow DataType: Ray
+    reports pandas-backed blocks with numpy/pandas-extension dtypes
+    (e.g. Int64Dtype), which are not valid Arrow cast targets."""
+    if isinstance(t, pa.DataType):
+        return t
+    try:
+        return pa.from_numpy_dtype(t)
+    except (TypeError, pa.lib.ArrowNotImplementedError):
+        return pa.Table.from_pandas(
+            pd.DataFrame({"x": pd.Series([], dtype=t)})
+        ).schema.field("x").type
+
+
+def _arrow_types(schema) -> dict:
+    return {n: _arrow_type(t) for n, t in zip(schema.names, schema.types)}
+
+
 def hash_join(
     left: Dataset,
     right: Dataset,
@@ -66,8 +84,8 @@ def hash_join(
     if how in ("semi", "anti"):
         return _semi_anti_join(left, right, on, how, num_partitions, lcols)
     rcols = [c for c in rschema.names if c not in on]
-    ltypes = dict(zip(lschema.names, lschema.types))
-    rtypes = dict(zip(rschema.names, rschema.types))
+    ltypes = _arrow_types(lschema)
+    rtypes = _arrow_types(rschema)
     rename = {c: (c + suffix if c in lcols else c) for c in rcols}
     out_cols = lcols + [rename[c] for c in rcols]
     out_types = {**{c: ltypes[c] for c in lcols},
@@ -137,7 +155,7 @@ def _semi_anti_join(
     exchange on the key; each partition probes with an indicator merge.
     Output schema = the left schema, unchanged."""
     lschema = left.schema()
-    out_types = dict(zip(lschema.names, lschema.types))
+    out_types = _arrow_types(lschema)
     keys = ["__k_" + k for k in on]
 
     def _ltag(t: pa.Table) -> pa.Table:
