@@ -422,15 +422,57 @@ def run_scaling() -> dict:
     # the least-contended sample of the same job. Both legs get the
     # same treatment, so the ratio stays fair.
     reps = int(os.environ.get("GRAFT_SCALING_REPS", "2"))
+
+    # Calibration gating (window-D lesson, BASELINE.md): the host's
+    # speed can swing 3× WITHIN one run, so every leg is stamped with
+    # the fixed no-Ray calibration workload immediately before and
+    # after. A leg whose two stamps disagree by >15% saw the weather
+    # change mid-leg — its wall time measures the hypervisor, not the
+    # pipeline. The gated efficiency is formed from the lo/hi legs that
+    # are (a) self-consistent and (b) closest to EACH OTHER in stamped
+    # host speed, so both legs ran on comparably-fast hardware.
+    cal_sl, cal_st = _calibration_inputs()
+
+    def cal() -> float:
+        return round(_probe_fleet_wall(cal_sl, cal_st, 8), 3)
+
+    legs = []
+
+    def gated(ncpu: int, fn) -> dict:
+        c0 = cal()
+        res = fn(ncpu)
+        c1 = cal()
+        leg = {
+            "ncpu": ncpu,
+            "wall": res.get("value", res.get("wall")),
+            "cal_before": c0,
+            "cal_after": c1,
+            "cal_mean": round((c0 + c1) / 2, 3),
+            "consistent": abs(c0 - c1) / min(c0, c1) <= 0.15,
+            "res": res,
+        }
+        legs.append(leg)
+        return res
+
     # Interleave the legs ([lo, hi, lo, hi, ...]) so a drifting host
     # window cannot systematically favor whichever leg ran last.
     r_los, r_his = [], []
     for _ in range(reps):
-        r_los.append(run_at(lo))
-        r_his.append(run_at(hi))
+        r_los.append(gated(lo, run_at))
+        r_his.append(gated(hi, run_at))
     r_lo = min(r_los, key=lambda r: r["value"])
     r_hi = min(r_his, key=lambda r: r["value"])
     eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+
+    # Gated estimate: best cal-matched self-consistent pair.
+    good_lo = [g for g in legs if g["ncpu"] == lo and g["consistent"]]
+    good_hi = [g for g in legs if g["ncpu"] == hi and g["consistent"]]
+    gated_pair = None
+    if good_lo and good_hi:
+        gated_pair = min(
+            ((a, b) for a in good_lo for b in good_hi),
+            key=lambda p: abs(p[0]["cal_mean"] - p[1]["cal_mean"]),
+        )
     probe = run_probe(lo, hi)
 
     # In-Ray perfectly-parallel control (same caging discipline).
@@ -478,7 +520,17 @@ def run_scaling() -> dict:
         # shared box — the multi-node-comparable number (each real node
         # has its own memory subsystem; see BASELINE.md).
         "efficiency_probe_normalized": round(min(1.0, eff / probe["probe_ceiling"]), 3),
+        # Per-leg calibration stamps + the gated (weather-robust) ratio.
+        "legs": [{k: v for k, v in g.items() if k != "res"} for g in legs],
     }
+    if gated_pair is not None:
+        a, b = gated_pair
+        result["value_gated"] = round((a["wall"] / b["wall"]) / (hi / lo), 3)
+        result["gated_cal_mismatch"] = round(
+            abs(a["cal_mean"] - b["cal_mean"]) / min(a["cal_mean"], b["cal_mean"]), 3
+        )
+    else:
+        result["value_gated"] = None  # no self-consistent pair this window
     # Window history: this VM's hypervisor steal swings the probe
     # ceiling 0.52–0.89 across host windows (measured), so single-window
     # raw numbers are not comparable run-to-run. Keep every window's
