@@ -35,8 +35,49 @@ from typing import Callable, List, Optional, Sequence
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import ray.data
 from ray.data import Dataset
+
+
+def arrow_type(t) -> pa.DataType:
+    """Normalize a Dataset.schema() column type to an Arrow DataType.
+
+    Ray reports pandas-backed blocks with numpy/pandas-extension dtypes;
+    pandas extension dtypes (e.g. ``Int64Dtype``) are resolved through an
+    empty-Series Arrow conversion. ``None`` is rejected loudly —
+    ``pa.from_numpy_dtype(None)`` would silently yield float64 (numpy's
+    default dtype) and corrupt hash-partition keys downstream.
+    """
+    if isinstance(t, pa.DataType):
+        return t
+    if t is None:
+        raise TypeError(
+            "column type is None (Ray's Schema.types drops dtypes it cannot "
+            "convert) — resolve types via arrow_types(), which reads the "
+            "underlying block schema"
+        )
+    try:
+        return pa.from_numpy_dtype(t)
+    except (TypeError, pa.lib.ArrowNotImplementedError):
+        return pa.Table.from_pandas(
+            pd.DataFrame({"x": pd.Series([], dtype=t)})
+        ).schema.field("x").type
+
+
+def arrow_types(schema) -> dict:
+    """``{column: pa.DataType}`` for a ``Dataset.schema()``.
+
+    Prefers ``schema.base_schema`` (the raw block schema): for
+    pandas-backed datasets Ray's ``Schema.types`` replaces extension
+    dtypes it cannot convert (``Int64Dtype`` etc.) with ``None``, while
+    the block schema retains them.
+    """
+    types = schema.types
+    base = getattr(schema, "base_schema", None)
+    if base is not None and not isinstance(base, pa.Schema):
+        types = base.types
+    return {n: arrow_type(t) for n, t in zip(schema.names, types)}
 
 
 def auto_partitions(
@@ -64,18 +105,70 @@ def auto_partitions(
     return max(floor, -(-int(input_bytes or 0) // target_bytes))
 
 
+_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _hash_key_array(col) -> np.ndarray:
+    """uint64 partition hash of ONE key column, stable across the
+    physical representations a logical column takes batch to batch.
+
+    The raw ``hash_pandas_object(batch[key])`` form is a correctness
+    trap: an int64 column converts to pandas as float64-NaN in batches
+    that happen to contain a NULL and stays int64 in batches that don't
+    — equal keys then hash to DIFFERENT partitions and the reduce side
+    silently misses matches. Numeric/temporal keys therefore hash
+    through a canonical float64 image (a hash collision from the
+    2^53 mantissa only affects partition balance — the reduce side
+    regroups exactly); strings/objects hash through pandas object
+    hashing, whose dtype cannot drift.
+    """
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if isinstance(col, pd.Series):
+        if col.dtype == object or isinstance(col.dtype, pd.CategoricalDtype):
+            return pd.util.hash_pandas_object(col, index=False).to_numpy()
+        try:
+            col = pa.Array.from_pandas(col)
+        except (pa.ArrowInvalid, pa.ArrowTypeError, pa.ArrowNotImplementedError):
+            return pd.util.hash_pandas_object(col, index=False).to_numpy()
+    t = col.type
+    if pa.types.is_dictionary(t):
+        col = col.cast(t.value_type)
+        t = col.type
+    if pa.types.is_boolean(t):
+        col = col.cast(pa.int8())
+        t = col.type
+    if pa.types.is_integer(t) or pa.types.is_floating(t) or pa.types.is_temporal(t):
+        vals = col.to_numpy(zero_copy_only=False)
+        if vals.dtype.kind in "mM":  # datetime64/timedelta64 (NaT = int64 min)
+            vals = vals.view("int64").astype(np.float64)
+        else:
+            vals = vals.astype(np.float64, copy=False)
+        nan = np.isnan(vals)
+        if nan.any():  # normalize NaN bit patterns (NULL fill is np.nan)
+            vals = np.where(nan, np.nan, vals)
+        return pd.util.hash_array(vals)
+    return pd.util.hash_pandas_object(
+        pd.Series(col.to_numpy(zero_copy_only=False)), index=False
+    ).to_numpy()
+
+
+def _key_hash(cols) -> np.ndarray:
+    """Mix per-column hashes with distinct odd multipliers — no row-wise
+    string concatenation (uint64 wraparound is the intended mixing)."""
+    h = _hash_key_array(cols[0])
+    for i, c in enumerate(cols[1:], start=1):
+        h = h * _MIX + _hash_key_array(c) + np.uint64(i)
+    return h
+
+
 def add_partition_column(
     df: pd.DataFrame, keys: Sequence[str], num_partitions: int, col: str = "__part"
 ) -> pd.DataFrame:
-    """Deterministic vectorized key-hash partition id.
-
-    Multi-key: hash each column independently (C kernel) and mix with
-    distinct odd multipliers — no row-wise string concatenation."""
+    """Deterministic vectorized key-hash partition id (representation-
+    stable: see :func:`_hash_key_array`)."""
     keys = list(keys)
-    h = pd.util.hash_pandas_object(df[keys[0]], index=False).to_numpy()
-    for i, k in enumerate(keys[1:], start=1):
-        hk = pd.util.hash_pandas_object(df[k], index=False).to_numpy()
-        h = h * np.uint64(0x9E3779B97F4A7C15) + hk + np.uint64(i)
+    h = _key_hash([df[k] for k in keys])
     df = df.copy(deep=False)
     df[col] = (h % np.uint64(num_partitions)).astype("int32")
     return df
@@ -84,19 +177,12 @@ def add_partition_column(
 def add_partition_column_arrow(
     t: "pa.Table", keys: Sequence[str], num_partitions: int, col: str = "__part"
 ) -> "pa.Table":
-    """Arrow-block variant of :func:`add_partition_column`: the key
-    columns are hashed through the same pandas C kernel, but the block
+    """Arrow-block variant of :func:`add_partition_column`: the block
     stays a (zero-copy) Arrow table — no pandas conversion of the value
     columns, and no NaN-driven int→float upcast that makes union
     branches disagree on block schema."""
-    import pyarrow as pa
-
     keys = list(keys)
-    kdf = t.select(keys).to_pandas()
-    h = pd.util.hash_pandas_object(kdf[keys[0]], index=False).to_numpy()
-    for i, k in enumerate(keys[1:], start=1):
-        hk = pd.util.hash_pandas_object(kdf[k], index=False).to_numpy()
-        h = h * np.uint64(0x9E3779B97F4A7C15) + hk + np.uint64(i)
+    h = _key_hash([t.column(k) for k in keys])
     part = (h % np.uint64(num_partitions)).astype("int32")
     if col in t.column_names:
         t = t.drop_columns([col])

@@ -27,7 +27,7 @@ import pyarrow as pa
 import ray.data
 from ray.data import Dataset
 
-from kgray.kernels.hashagg import auto_partitions, grouped_apply
+from kgray.kernels.hashagg import arrow_types, auto_partitions, grouped_apply
 
 _TAG = "__asof_side"
 
@@ -75,8 +75,8 @@ def asof_join(
     # real type from whichever side defines it.
     lschema, rschema = left.schema(), right.schema()
     lcols = lschema.names
-    types = {n: t for n, t in zip(rschema.names, rschema.types)}
-    types.update({n: t for n, t in zip(lschema.names, lschema.types)})
+    types = arrow_types(rschema)
+    types.update(arrow_types(lschema))
     all_cols = list(dict.fromkeys(lcols + [by, on] + rcols)) + [_TAG]
     types[_TAG] = pa.string()
 
@@ -188,8 +188,8 @@ def range_join(
         return out
 
     lschema, rschema = left.schema(), right.schema()
-    rtypes = {n: t for n, t in zip(rschema.names, rschema.types)}
-    types = {n: t for n, t in zip(lschema.names, lschema.types)}
+    rtypes = arrow_types(rschema)
+    types = arrow_types(lschema)
     types[lo_col] = rtypes[lo_col]
     types[hi_col] = rtypes[hi_col]
     types.update({oc: rtypes[c] for oc, c in zip(out_rcols, rcols)})

@@ -26,27 +26,10 @@ import ray
 import ray.data
 from ray.data import Dataset
 
+from kgray.kernels.hashagg import arrow_types as _arrow_types
 from kgray.kernels.hashagg import auto_partitions, grouped_apply
 
 _SIDE = "__join_side"
-
-
-def _arrow_type(t) -> pa.DataType:
-    """Normalize a Dataset.schema() type to an Arrow DataType: Ray
-    reports pandas-backed blocks with numpy/pandas-extension dtypes
-    (e.g. Int64Dtype), which are not valid Arrow cast targets."""
-    if isinstance(t, pa.DataType):
-        return t
-    try:
-        return pa.from_numpy_dtype(t)
-    except (TypeError, pa.lib.ArrowNotImplementedError):
-        return pa.Table.from_pandas(
-            pd.DataFrame({"x": pd.Series([], dtype=t)})
-        ).schema.field("x").type
-
-
-def _arrow_types(schema) -> dict:
-    return {n: _arrow_type(t) for n, t in zip(schema.names, schema.types)}
 
 
 def hash_join(

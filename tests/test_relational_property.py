@@ -89,3 +89,21 @@ def test_rollup_matches_duckdb(ray_session, df):
     ga = got[key].fillna("~").sort_values(key).reset_index(drop=True)
     wa = want[key].fillna("~").sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(ga, wa, check_dtype=False)
+
+
+def test_semi_anti_nullable_int64_keys(ray_session):
+    """Regression: pandas nullable Int64 keys — Ray's Schema.types drops
+    the extension dtype (None), and pa.from_numpy_dtype(None) is float64,
+    so the right side's keys used to hash into different partitions than
+    the left's int64 keys (semi returned empty, anti returned everything)."""
+    left = pd.DataFrame({"k": pd.array([1, 2, None], dtype="Int64"),
+                         "lv": np.arange(3, dtype=np.int64)})
+    right = pd.DataFrame({"k": pd.array([1, None], dtype="Int64"),
+                          "rv": np.arange(2, dtype=np.int64)})
+    semi = hash_join(ray.data.from_pandas(left), ray.data.from_pandas(right),
+                     on="k", how="semi", num_partitions=3).to_pandas()
+    anti = hash_join(ray.data.from_pandas(left), ray.data.from_pandas(right),
+                     on="k", how="anti", num_partitions=3).to_pandas()
+    assert _rows(semi[["k", "lv"]]) == [(1.0, 0.0)]
+    # NULL left keys match nothing -> kept by anti (NOT EXISTS semantics).
+    assert _rows(anti[["k", "lv"]]) == [(-1.0, 2.0), (2.0, 1.0)]
