@@ -98,6 +98,13 @@ BENCH_QUERIES = [
     "normalize_text",
     "decontaminate_bloom",
     "approx_topk_freq",
+    "lead_lag",
+    "pivot_status",
+    "boilerplate",
+    "dsir",
+    "pca",
+    "outlier_filter",
+    "value_rank",
 ]
 
 

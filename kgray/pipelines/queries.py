@@ -2182,6 +2182,253 @@ def q_pagerank(sf_dir: str):
     return out.sort_values("node").reset_index(drop=True)
 
 
+def q_lead_lag(sf_dir: str):
+    """Per-key LAG features — previous event's value and the gap to it
+    in microseconds, per user ordered by (ts, event_id). The lookback
+    member of the window family (running_total is the cumulative one):
+    one user-keyed exchange, per-partition mergesort + vectorized
+    ``shift`` — a user's history lives in exactly one partition, so the
+    LAG is exact without any cross-partition boundary exchange."""
+    import pandas as pd
+
+    from kgray.kernels.hashagg import auto_partitions, grouped_apply
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    )
+
+    def _lag(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        g = part.groupby("user_id", sort=False)
+        part["prev_value"] = g["value"].shift()
+        gap = (part["ts"] - g["ts"].shift()).dt.total_seconds() * 1e6
+        # float64 (NaN for each user's first event): a nullable-int
+        # column arrives as float64 from the SQL side too, so both
+        # representations agree bit-for-bit under the value hash.
+        part["gap_us"] = np.round(gap)
+        return part[["event_id", "user_id", "prev_value", "gap_us"]]
+
+    return grouped_apply(
+        ds, ["user_id"], _lag,
+        num_partitions=auto_partitions(files=[f"{sf_dir}/events.parquet"]),
+    )
+
+
+SQL_LEAD_LAG = """
+SELECT event_id, user_id,
+  LAG(value) OVER w AS prev_value,
+  date_diff('microsecond', LAG(ts) OVER w, ts) AS gap_us
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def q_pivot_status(sf_dir: str):
+    """Wide (pivoted) aggregate: per order priority, one COLUMN per
+    order status carrying its count and revenue. Map side combines each
+    batch to ≤ |priorities|×|statuses| partial rows (a few dozen), so
+    the exchange is constant-size no matter the corpus; the reduce
+    pivots per-partition (a priority lives in one partition). The
+    status domain is pinned up front (TPC-H's F/O/P) — at 100 TB an
+    unknown-domain pivot needs a distinct-values pass first, which
+    `grouped_distinct_count` provides."""
+    import pandas as pd
+
+    from kgray.kernels.hashagg import grouped_apply
+
+    STATUSES = ["F", "O", "P"]
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderpriority", "o_orderstatus", "o_totalprice"],
+    )
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby(["o_orderpriority", "o_orderstatus"], sort=False)
+               .agg(n=("o_totalprice", "size"), price=("o_totalprice", "sum")))
+        return g.reset_index()
+
+    def _pivot(df: pd.DataFrame) -> pd.DataFrame:
+        import pyarrow as pa_
+
+        from kgray.kernels.hashagg import stable_round
+
+        g = (df.groupby(["o_orderpriority", "o_orderstatus"], sort=False)
+               .agg(n=("n", "sum"), price=("price", "sum")).reset_index())
+        out = {"o_orderpriority": sorted(g["o_orderpriority"].unique())}
+        base = pd.DataFrame(out).set_index("o_orderpriority")
+        for s in STATUSES:
+            sub = g[g["o_orderstatus"] == s].set_index("o_orderpriority")
+            base[f"n_{s}"] = sub["n"].reindex(base.index).fillna(0).astype(np.int64)
+            price = sub["price"].reindex(base.index).fillna(0.0).to_numpy(np.float64)
+            base[f"price_{s}"] = stable_round(
+                pa_.array(price, pa_.float64()), 2).to_numpy(zero_copy_only=False)
+        return base.reset_index()
+
+    partials = ds.map_batches(_partial, batch_format="pandas")
+    return grouped_apply(partials, ["o_orderpriority"], _pivot, num_partitions=4)
+
+
+SQL_PIVOT_STATUS = """
+SELECT o_orderpriority,
+  CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_F,
+  ROUND(COALESCE(SUM(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 0), 2) AS price_F,
+  CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_O,
+  ROUND(COALESCE(SUM(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 0), 2) AS price_O,
+  CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS n_P,
+  ROUND(COALESCE(SUM(o_totalprice) FILTER (WHERE o_orderstatus = 'P'), 0), 2) AS price_P
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def q_boilerplate(sf_dir: str):
+    """C4/CCNet-style boilerplate removal: drop every occurrence of any
+    20-word chunk appearing in ≥3 distinct documents, reassemble."""
+    from kgray.stages.corpus import boilerplate_filter
+
+    return boilerplate_filter(_docs(sf_dir, ["doc_id", "text"]),
+                              min_docs=3, chunk_words=20)
+
+
+SQL_BOILERPLATE = """
+WITH words AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM documents),
+chunks AS (
+  SELECT doc_id, i AS pos, array_to_string(w[(i-1)*20+1:least(i*20, len(w))], ' ') AS chunk
+  FROM words, UNNEST(generate_series(1, CAST(ceil(len(w)/20.0) AS BIGINT))) t(i)
+  WHERE len(w) > 0
+),
+freq AS (SELECT chunk, COUNT(DISTINCT doc_id) AS df FROM chunks GROUP BY 1),
+flagged AS (SELECT c.*, f.df < 3 AS keep FROM chunks c JOIN freq f USING (chunk))
+SELECT d.doc_id,
+  COALESCE(string_agg(CASE WHEN keep THEN chunk END, ' ' ORDER BY pos), '') AS text,
+  CAST(COUNT(*) FILTER (WHERE keep) AS BIGINT) AS n_kept,
+  CAST(COUNT(*) FILTER (WHERE NOT keep) AS BIGINT) AS n_dropped
+FROM documents d LEFT JOIN flagged r USING (doc_id) GROUP BY d.doc_id
+"""
+
+
+def q_dsir(sf_dir: str):
+    """DSIR-style importance weight vs the English slice as the target
+    domain: mean per-token log-ratio of smoothed unigram models
+    (target / raw), vocab = raw-corpus top-1000."""
+    import pyarrow.compute as pc_
+
+    from kgray.stages.corpus import dsir_score
+
+    ds = _docs(sf_dir, ["doc_id", "text", "lang"]).map_batches(
+        lambda t: t.append_column("is_target", pc_.equal(t.column("lang"), "en")),
+        batch_format="pyarrow",
+    )
+    return dsir_score(ds, target_mask_col="is_target", vocab_size=1000)
+
+
+SQL_DSIR = """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS tok FROM documents
+), tgt AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+cnt AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY 1),
+v AS (SELECT tok, c FROM cnt ORDER BY c DESC, tok ASC LIMIT 1000),
+tc AS (SELECT tok, COUNT(*) AS ct FROM toks JOIN tgt USING (doc_id) GROUP BY 1),
+nr AS (SELECT COUNT(*) AS n FROM toks),
+nt AS (SELECT COUNT(*) AS n FROM toks JOIN tgt USING (doc_id))
+SELECT t.doc_id,
+  ROUND(AVG(
+    ln((CASE WHEN v.tok IS NOT NULL THEN COALESCE(tc.ct, 0) ELSE 0 END + 1.0)
+       / (nt.n + 1001.0))
+    - ln((COALESCE(v.c, 0) + 1.0) / (nr.n + 1001.0))
+  ), 6) AS dsir_score
+FROM toks t LEFT JOIN v USING (tok) LEFT JOIN tc
+  ON v.tok = tc.tok CROSS JOIN nr CROSS JOIN nt
+GROUP BY t.doc_id
+"""
+
+
+def q_pca(sf_dir: str):
+    """Distributed exact PCA of the embeddings table (top-8 components
+    from O(d²) sufficient-statistic partials; map-only projection).
+
+    Self-checking before returning rows: the projections' sample
+    covariance must equal diag(top-k eigenvalues) — the defining
+    invariant of a PCA basis — to 1e-6 relative, and the captured
+    variance must not exceed the total."""
+    from kgray.stages.decomp import pca_fit, pca_project
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    mean, comps, vals, total_var = pca_fit(ds, k=8)
+    if not 0.0 < vals.sum() <= total_var * (1 + 1e-9):
+        raise AssertionError(f"PCA variance accounting broken: {vals.sum()} vs {total_var}")
+    out = pca_project(ds, k=8, round_digits=6)
+    # Verify the PCA invariant distributively: the projections' sample
+    # covariance (same O(d²) sufficient-statistic partials — nothing
+    # materializes on the driver) must equal diag(eigvals).
+    def _as_vec(t):
+        import pyarrow as pa_
+        cols = [t.column(f"pc{j}") for j in range(8)]
+        n = len(t)
+        flat = np.empty(n * 8, np.float32)
+        for j, c in enumerate(cols):
+            flat[j::8] = c.to_numpy(zero_copy_only=False)
+        return pa_.table({
+            "vec_id": t.column("vec_id"),
+            "embedding": pa_.FixedSizeListArray.from_arrays(pa_.array(flat), 8).cast(
+                pa_.list_(pa_.float32())),
+        })
+
+    _, _, pvals, ptotal = pca_fit(out.map_batches(_as_vec, batch_format="pyarrow"), k=8)
+    err = np.abs(np.sort(pvals)[::-1] - np.sort(vals)[::-1]).max() / max(vals.max(), 1e-12)
+    if err > 1e-4:
+        raise AssertionError(f"projection covariance deviates from eigvals: {err}")
+    return out
+
+
+def q_outlier_filter(sf_dir: str):
+    """Per-language p99 length-outlier flag: exact grouped discrete
+    quantile (one (group,value)-pair exchange) broadcast as a threshold
+    map; the corpus itself is flagged map-only."""
+    from kgray.stages.corpus import quantile_outlier_flag
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    )
+    return quantile_outlier_flag(ds, "lang", "n_chars", q=0.99)
+
+
+SQL_OUTLIER_FILTER = """
+WITH ranked AS (
+  SELECT lang, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
+         COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM documents
+),
+thr AS (
+  SELECT lang, n_chars AS p99 FROM ranked
+  WHERE rn = GREATEST(CAST(ceil(0.99 * n) AS BIGINT), 1)
+)
+SELECT d.doc_id, d.lang, d.n_chars, d.n_chars > t.p99 AS is_outlier
+FROM documents d JOIN thr t USING (lang)
+"""
+
+
+def q_value_rank(sf_dir: str):
+    """Exact global rank + NTILE(10) by (n_chars, doc_id) — a global
+    sort without a sort: value-histogram fold (O(distinct), no shuffle)
+    → broadcast offsets → one value-keyed exchange with local id-sort."""
+    from kgray.stages.split import value_rank
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+    return value_rank(ds, "n_chars", "doc_id", ntiles=10)
+
+
+SQL_VALUE_RANK = """
+SELECT doc_id, n_chars,
+  CAST(ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) - 1 AS BIGINT) AS rnk,
+  CAST(NTILE(10) OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS tile
+FROM documents
+"""
+
+
 QUERIES = {
     "kgx_node_merge": q_kgx_node_merge,
     "kgx_edge_dedup": q_kgx_edge_dedup,
@@ -2250,6 +2497,13 @@ QUERIES = {
     "approx_topk_freq": q_approx_topk_freq,
     "pagerank": q_pagerank,
     "rollup": q_rollup,
+    "lead_lag": q_lead_lag,
+    "pivot_status": q_pivot_status,
+    "boilerplate": q_boilerplate,
+    "dsir": q_dsir,
+    "pca": q_pca,
+    "outlier_filter": q_outlier_filter,
+    "value_rank": q_value_rank,
 }
 
 ORACLES = {
@@ -2309,6 +2563,12 @@ ORACLES = {
     "running_total": SQL_RUNNING_TOTAL,
     "normalize_text": SQL_NORMALIZE_TEXT,
     "rollup": SQL_ROLLUP,
+    "lead_lag": SQL_LEAD_LAG,
+    "pivot_status": SQL_PIVOT_STATUS,
+    "boilerplate": SQL_BOILERPLATE,
+    "dsir": SQL_DSIR,
+    "outlier_filter": SQL_OUTLIER_FILTER,
+    "value_rank": SQL_VALUE_RANK,
     # rows-only (non-SQL-expressible): ann_lsh (LSH recall is
     # probabilistic), construct_kg / extract_text (self-checking
     # against generator goldens), multimodal_features (decode stub)

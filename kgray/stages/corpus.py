@@ -197,37 +197,47 @@ def chunk_dedup(
     )
     flagged = grouped_apply(exploded, ["chunk"], _first_wins,
                             num_partitions=num_partitions)
+    deduped = grouped_apply(
+        flagged, [id_col],
+        lambda df: _reassemble_kept(df, id_col, text_col),
+        num_partitions=num_partitions,
+    )
+    return deduped.union(_empty_doc_rows(ds, id_col, text_col))
 
-    def _reassemble(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values([id_col, "pos"], kind="mergesort")
-        kept = df[df["__keep"]]
-        gk = kept.groupby(id_col, sort=False)
-        # Vectorized join of kept chunks per doc via Arrow binary_join.
-        sizes = gk.size()
-        offs = np.concatenate([[0], np.cumsum(sizes.to_numpy())]).astype(np.int64)
-        lst = pa.ListArray.from_arrays(
-            pa.array(offs, type=pa.int32()), pa.array(kept["chunk"].to_numpy(), pa.string())
-        )
-        texts = pc.binary_join(lst, pa.scalar(" ")).to_pandas()
-        n_tot = df.groupby(id_col, sort=False).size()
-        out = pd.DataFrame({id_col: sizes.index, text_col: texts.to_numpy(),
-                            "n_kept": sizes.to_numpy().astype(np.int64)})
-        # Docs whose every chunk was dropped:
-        dropped_only = n_tot.index.difference(sizes.index)
-        if len(dropped_only):
-            out = pd.concat([out, pd.DataFrame({
-                id_col: dropped_only, text_col: "", "n_kept": np.int64(0)})],
-                ignore_index=True)
-        out = out.merge(n_tot.rename("n_total").reset_index(), on=id_col)
-        out["n_dropped"] = (out.pop("n_total") - out["n_kept"]).astype(np.int64)
-        return out
 
-    deduped = grouped_apply(flagged, [id_col], _reassemble,
-                            num_partitions=num_partitions)
+def _reassemble_kept(df: pd.DataFrame, id_col: str, text_col: str) -> pd.DataFrame:
+    """Rebuild each document from its ``__keep``-flagged chunks in
+    ``pos`` order (shared reduce side of :func:`chunk_dedup` and
+    :func:`boilerplate_filter`). Vectorized join via ``binary_join``."""
+    df = df.sort_values([id_col, "pos"], kind="mergesort")
+    kept = df[df["__keep"]]
+    gk = kept.groupby(id_col, sort=False)
+    # Vectorized join of kept chunks per doc via Arrow binary_join.
+    sizes = gk.size()
+    offs = np.concatenate([[0], np.cumsum(sizes.to_numpy())]).astype(np.int64)
+    lst = pa.ListArray.from_arrays(
+        pa.array(offs, type=pa.int32()), pa.array(kept["chunk"].to_numpy(), pa.string())
+    )
+    texts = pc.binary_join(lst, pa.scalar(" ")).to_pandas()
+    n_tot = df.groupby(id_col, sort=False).size()
+    out = pd.DataFrame({id_col: sizes.index, text_col: texts.to_numpy(),
+                        "n_kept": sizes.to_numpy().astype(np.int64)})
+    # Docs whose every chunk was dropped:
+    dropped_only = n_tot.index.difference(sizes.index)
+    if len(dropped_only):
+        out = pd.concat([out, pd.DataFrame({
+            id_col: dropped_only, text_col: "", "n_kept": np.int64(0)})],
+            ignore_index=True)
+    out = out.merge(n_tot.rename("n_total").reset_index(), on=id_col)
+    out["n_dropped"] = (out.pop("n_total") - out["n_kept"]).astype(np.int64)
+    return out
 
-    # Documents with zero chunks (empty/whitespace text) never explode;
-    # re-attach them with empty output. At scale this side table is the
-    # (rare) empty docs only — filtered at the read, unioned at the end.
+
+def _empty_doc_rows(ds: Dataset, id_col: str, text_col: str) -> Dataset:
+    """Documents with zero chunks (empty/whitespace text) never explode;
+    re-attach them with empty output. At scale this side table is the
+    (rare) empty docs only — filtered at the read, unioned at the end."""
+
     def _empties(t: pa.Table) -> pa.Table:
         n = pc.count_substring_regex(pc.coalesce(t.column(text_col), pa.scalar("")), r"\S+")
         mask = pc.equal(n, 0)
@@ -237,8 +247,8 @@ def chunk_dedup(
                          text_col: pa.array([""] * len(sub), pa.string()),
                          "n_kept": z, "n_dropped": z})
 
-    empties = ds.select_columns([id_col, text_col]).map_batches(_empties, batch_format="pyarrow")
-    return deduped.union(empties)
+    return ds.select_columns([id_col, text_col]).map_batches(
+        _empties, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -649,3 +659,210 @@ def unigram_nll(
         })
 
     return ds.map_batches(_score, batch_format="pyarrow")
+
+
+def boilerplate_filter(
+    ds: Dataset,
+    min_docs: int = 3,
+    chunk_words: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: Optional[int] = None,
+) -> Dataset:
+    """Corpus-frequency boilerplate removal (the C4/CCNet companion to
+    :func:`chunk_dedup`): drop EVERY occurrence of any ``chunk_words``-
+    word chunk that appears in ``min_docs`` or more DISTINCT documents
+    (navigation bars, cookie banners, license footers), then reassemble
+    each document from its surviving chunks in order.
+
+    Differs from :func:`chunk_dedup` (first occurrence wins) in the keep
+    rule only: a boilerplate chunk is removed everywhere INCLUDING its
+    first occurrence, while a chunk repeated within one document
+    survives intact (document frequency 1).
+
+    Output: ``(id_col, text_col, n_kept, n_dropped)`` — one row per
+    input document.
+
+    Scale shape: identical to :func:`chunk_dedup` — two hash exchanges
+    (by chunk text, then by doc id); the chunk-keyed reduce computes a
+    per-chunk distinct-doc count with one sort + one ``duplicated``
+    scan, so the exchange carries each chunk occurrence exactly once
+    and nothing is re-shipped for the frequency pass.
+    """
+    if num_partitions is None:
+        num_partitions = auto_partitions()
+
+    def _explode(t: pa.Table) -> pa.Table:
+        chunks, doc_idx, pos = chunk_strings(t.column(text_col), chunk_words)
+        ids = t.column(id_col).combine_chunks().take(pa.array(doc_idx))
+        return pa.table({id_col: ids, "pos": pa.array(pos), "chunk": chunks})
+
+    def _flag_frequent(df: pd.DataFrame) -> pd.DataFrame:
+        # Distinct-doc count per chunk without a nunique() hash pass:
+        # sort by (chunk, id), count first-(chunk,id) occurrences per
+        # chunk, broadcast the keep decision back to every occurrence.
+        df = df.sort_values(["chunk", id_col], kind="mergesort")
+        first_pair = ~df[["chunk", id_col]].duplicated().to_numpy()
+        grp = (~df["chunk"].duplicated()).to_numpy().cumsum() - 1
+        doc_freq = np.bincount(grp[first_pair], minlength=grp[-1] + 1 if len(grp) else 0)
+        df["__keep"] = doc_freq[grp] < min_docs
+        return df
+
+    exploded = ds.select_columns([id_col, text_col]).map_batches(
+        _explode, batch_format="pyarrow"
+    )
+    flagged = grouped_apply(exploded, ["chunk"], _flag_frequent,
+                            num_partitions=num_partitions)
+    rebuilt = grouped_apply(
+        flagged, [id_col],
+        lambda df: _reassemble_kept(df, id_col, text_col),
+        num_partitions=num_partitions,
+    )
+    return rebuilt.union(_empty_doc_rows(ds, id_col, text_col))
+
+
+def dsir_score(
+    ds: Dataset,
+    target_mask_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 1000,
+    num_partitions: Optional[int] = None,
+) -> Dataset:
+    """DSIR-style importance weight for data selection (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"):
+    per-document mean log-likelihood RATIO between a smoothed unigram
+    model of the TARGET slice and one of the RAW corpus. Documents that
+    look like the target domain score high; resampling by this weight
+    (e.g. keep top-q) is the DSIR selection step. DSIR uses hashed
+    bigram features; the unigram form keeps the identical pipeline
+    shape — two corpus-statistics passes → broadcast models → one
+    map-only scoring pass — with a SQL-checkable model.
+
+    Pinned definition (mirrors :func:`unigram_nll` conventions):
+    vocabulary = top-``vocab_size`` tokens of the RAW corpus by
+    (count desc, token asc); ``p(tok|model) = (c+1)/(N + vocab_size+1)``
+    with c = 0 for out-of-vocabulary tokens in BOTH models (target
+    counts are vocab-restricted); ``score = mean(ln p_target −
+    ln p_raw)`` over the doc's tokens, rounded to 6; token-less docs
+    are dropped.
+
+    ``target_mask_col`` is a boolean column marking the target-domain
+    rows (computed upstream — e.g. ``lang == 'en'`` or a benchmark id
+    set); both models come from the same single corpus pass family.
+
+    Scale shape: the raw vocab rides :func:`topk_tokens`' combined
+    exchange; target counts for the V vocab tokens are map-side
+    ``value_counts`` filtered against the broadcast vocab and reduced
+    as tiny (≤V-row) partials — the corpus text never shuffles, and the
+    scoring pass is map-only against two broadcast count maps.
+    """
+    top = topk_tokens(ds, k=vocab_size, text_col=text_col,
+                      num_partitions=num_partitions)
+    vocab_toks = top.column("tok").to_pylist()
+    raw_counts = dict(zip(vocab_toks, top.column("n").to_pylist()))
+    vset_ref = ray.put(set(vocab_toks))
+
+    # One pass: total raw tokens, total target tokens, and per-vocab-token
+    # target counts (each batch emits ≤V+2 combined rows).
+    def _partials(t: pa.Table) -> pa.Table:
+        vset = ray.get(vset_ref) if isinstance(vset_ref, ray.ObjectRef) else vset_ref
+        flat, off = flat_words(t.column(text_col))
+        mask = t.column(target_mask_col).to_numpy(zero_copy_only=False).astype(bool)
+        counts = off[1:] - off[:-1]
+        n_raw = len(flat)
+        n_tgt = int(counts[mask].sum())
+        tgt_rows = np.repeat(mask, counts)
+        vc = pd.Series(flat.to_pandas())[tgt_rows].value_counts()
+        vc = vc[vc.index.isin(vset)]
+        return pa.table({
+            "tok": pa.array(["\x00N_RAW", "\x00N_TGT"] + vc.index.tolist(), pa.string()),
+            "n": pa.array([n_raw, n_tgt] + vc.to_numpy().tolist(), pa.int64()),
+        })
+
+    tgt_counts: Dict[str, int] = {}
+    n_raw_total = n_tgt_total = 0
+    parts = ds.select_columns([id_col, text_col, target_mask_col]).map_batches(
+        _partials, batch_format="pyarrow")
+    for b in parts.iter_batches(batch_format="pyarrow"):
+        for tok, n in zip(b.column("tok").to_pylist(), b.column("n").to_pylist()):
+            if tok == "\x00N_RAW":
+                n_raw_total += n
+            elif tok == "\x00N_TGT":
+                n_tgt_total += n
+            else:
+                tgt_counts[tok] = tgt_counts.get(tok, 0) + n
+
+    denom_raw = float(n_raw_total + vocab_size + 1)
+    denom_tgt = float(n_tgt_total + vocab_size + 1)
+    # log((c_t+1)/denom_t) - log((c_r+1)/denom_r) per vocab token; OOV
+    # tokens use c=0 in both models.
+    llr = {tok: float(np.log((tgt_counts.get(tok, 0) + 1.0) / denom_tgt)
+                      - np.log((raw_counts[tok] + 1.0) / denom_raw))
+           for tok in vocab_toks}
+    oov = float(np.log(1.0 / denom_tgt) - np.log(1.0 / denom_raw))
+    lref = ray.put(llr)
+
+    def _score(t: pa.Table) -> pa.Table:
+        from kgray.kernels.hashagg import stable_round
+
+        lmap = ray.get(lref) if isinstance(lref, ray.ObjectRef) else lref
+        flat, off = flat_words(t.column(text_col))
+        v = pd.Series(flat.to_pandas()).map(lmap).fillna(oov).to_numpy(np.float64)
+        cum = np.concatenate([[0.0], np.cumsum(v)])
+        counts = np.diff(off)
+        keep = counts > 0
+        sums = cum[off[1:]] - cum[off[:-1]]
+        score = sums[keep] / counts[keep]
+        return pa.table({
+            id_col: t.column(id_col).filter(pa.array(keep)),
+            "dsir_score": stable_round(pa.array(score, type=pa.float64()), 6),
+        })
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        _score, batch_format="pyarrow")
+
+
+def quantile_outlier_flag(
+    ds: Dataset,
+    group_col: str,
+    value_col: str,
+    q: float = 0.99,
+    id_col: str = "doc_id",
+    num_partitions: Optional[int] = None,
+) -> Dataset:
+    """Per-group quantile-threshold outlier flag: mark every row whose
+    ``value_col`` exceeds its group's discrete ``q``-quantile (the
+    standard "drop documents longer than their language's p99" curation
+    rule). Composes :func:`group_quantiles` (exact, one exchange over
+    (group, value) pairs only) with a broadcast threshold map and a
+    map-only flag pass — the corpus itself never shuffles.
+
+    Output: ``(id_col, group_col, value_col, is_outlier)``.
+
+    The threshold table is one row per group — broadcast via ``ray.put``
+    under the same small-side contract as every other lookup here.
+    """
+    qcol = f"p{int(q * 100)}"
+    qt = group_quantiles(ds.select_columns([group_col, value_col]),
+                         group_col, value_col, qs=(q,),
+                         num_partitions=num_partitions)
+    thr: Dict = {}
+    for b in qt.iter_batches(batch_format="pyarrow"):
+        for g, v in zip(b.column(group_col).to_pylist(), b.column(qcol).to_pylist()):
+            thr[g] = v
+    tref = ray.put(thr)
+
+    def _flag(t: pa.Table) -> pa.Table:
+        m = ray.get(tref) if isinstance(tref, ray.ObjectRef) else tref
+        lim = pd.Series(t.column(group_col).to_pylist()).map(m).to_numpy(np.float64)
+        vals = t.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            id_col: t.column(id_col),
+            group_col: t.column(group_col),
+            value_col: t.column(value_col),
+            "is_outlier": pa.array(vals > lim),
+        })
+
+    return ds.select_columns([id_col, group_col, value_col]).map_batches(
+        _flag, batch_format="pyarrow")

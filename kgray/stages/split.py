@@ -200,3 +200,93 @@ def shuffle_rank(
 
     nparts = num_partitions or auto_partitions(hashed.size_bytes())
     return grouped_apply(hashed, ["__bucket"], _rank, num_partitions=nparts)
+
+
+def value_rank(
+    ds: Dataset,
+    value_col: str,
+    id_col: str,
+    rank_col: str = "rnk",
+    ntiles: int | None = None,
+    tile_col: str = "tile",
+    num_partitions=None,
+) -> Dataset:
+    """Exact global 0-based rank by ``(value_col, id_col)`` ascending —
+    ``ROW_NUMBER() - 1`` — plus optional SQL-exact ``NTILE(ntiles)``
+    bucketing, without a global sort.
+
+    Scale shape (:func:`shuffle_rank`'s histogram trick, range-keyed):
+
+    1. one map pass folds per-batch VALUE histograms to the driver —
+       O(distinct values), not O(rows), and no shuffle. This is the
+       documented boundary: exact value-rank this way requires the
+       value's distinct-count to fit driver memory (lengths, scores,
+       counts, dates — yes; unique floats — use a sampled range
+       partition instead);
+    2. cumsum offsets broadcast back (one ``ray.put``);
+    3. ONE value-keyed exchange; each partition holds whole value
+       groups, sorts each by id, and emits ``offset[value] + local``.
+
+    NTILE follows SQL semantics exactly: the first ``n % k`` tiles get
+    ``n // k + 1`` rows, the rest ``n // k`` (1-based tile ids).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from kgray.kernels.hashagg import auto_partitions, grouped_apply
+
+    src = ds.select_columns([id_col, value_col])
+
+    def _hist(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        vc = pc.value_counts(t.column(value_col).combine_chunks())
+        if len(vc) == 0:
+            return pa.table({"v": pa.array([], t.column(value_col).type),
+                             "c": pa.array([], pa.int64())})
+        return pa.table({"v": vc.field("values"), "c": vc.field("counts")})
+
+    counts: dict = {}
+    for b in src.map_batches(_hist, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"):
+        for v, c in zip(b.column("v").to_pylist(), b.column("c").to_pylist()):
+            counts[v] = counts.get(v, 0) + c
+    vals = sorted(counts)
+    n_total = int(sum(counts.values()))
+    cum = np.concatenate([[0], np.cumsum([counts[v] for v in vals])[:-1]]).astype(np.int64)
+    offset_map = dict(zip(vals, cum.tolist()))
+    oref = ray.put(offset_map)
+
+    if ntiles:
+        size, rem = divmod(n_total, ntiles)
+        big_span = rem * (size + 1)
+
+        def _tile(r: "np.ndarray") -> "np.ndarray":
+            big = r < big_span
+            t = np.where(big, r // max(size + 1, 1) + 1,
+                         rem + (r - big_span) // max(size, 1) + 1)
+            return t.astype(np.int64)
+
+    def _rank(df: "pd.DataFrame") -> "pd.DataFrame":
+        off = ray.get(oref) if isinstance(oref, ray.ObjectRef) else oref
+        df = df.sort_values([value_col, id_col], kind="mergesort")
+        v = df[value_col].to_numpy()
+        starts = np.concatenate([[0], 1 + np.flatnonzero(v[1:] != v[:-1])]) \
+            if len(v) else np.zeros(0, np.int64)
+        grp_first = np.zeros(len(v), dtype=np.int64)
+        if len(v):
+            grp_first[starts] = 1
+            grp = grp_first.cumsum() - 1
+            local = np.arange(len(v), dtype=np.int64) - starts[grp]
+            base = df[value_col].map(off).to_numpy(np.int64)
+            rnk = base + local
+        else:
+            rnk = np.zeros(0, np.int64)
+        out = pd.DataFrame({id_col: df[id_col].to_numpy(),
+                            value_col: v, rank_col: rnk})
+        if ntiles:
+            out[tile_col] = _tile(rnk)
+        return out
+
+    nparts = num_partitions or auto_partitions(src.size_bytes())
+    return grouped_apply(src, [value_col], _rank, num_partitions=nparts)

@@ -189,3 +189,69 @@ def test_unigram_nll_hand_computed(ray_session):
     exp2 = -(math.log(3 / 8) + math.log(1 / 8)) / 2
     assert abs(out.loc[1, "nll"] - round(exp1, 6)) < 1e-9
     assert abs(out.loc[2, "nll"] - round(exp2, 6)) < 1e-9
+
+
+def test_boilerplate_filter_drops_frequent_chunks(ray_session):
+    from kgray.stages.corpus import boilerplate_filter
+
+    # "b1 b2" appears in 3 distinct docs (one of them twice) -> dropped
+    # everywhere; "u1 u2" repeated WITHIN doc 3 (doc freq 1) -> kept.
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3, 4],
+        "text": [
+            "b1 b2 k1 k2",
+            "b1 b2 k3 k4",
+            "b1 b2 b1 b2",
+            "u1 u2 u1 u2",
+            "",
+        ],
+    })
+    out = (
+        boilerplate_filter(ray.data.from_pandas(docs), min_docs=3,
+                           chunk_words=2, num_partitions=3)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert out["text"].tolist() == ["k1 k2", "k3 k4", "", "u1 u2 u1 u2", ""]
+    assert out["n_kept"].tolist() == [1, 1, 0, 2, 0]
+    assert out["n_dropped"].tolist() == [1, 1, 2, 0, 0]
+
+
+def test_dsir_score_prefers_target_like_docs(ray_session):
+    from kgray.stages.corpus import dsir_score
+
+    # Target docs say "good"; raw background says "noise". A fresh doc
+    # full of "good" must outscore one full of "noise".
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3, 4, 5],
+        "text": ["good good good", "good good", "noise noise noise",
+                 "noise noise", "good good good good", "noise noise noise noise"],
+        "is_target": [True, True, False, False, False, False],
+    })
+    out = (
+        dsir_score(ray.data.from_pandas(docs), target_mask_col="is_target",
+                   vocab_size=10, num_partitions=2)
+        .to_pandas().set_index("doc_id")["dsir_score"]
+    )
+    assert out[4] > out[5]
+    assert out[0] == out[4] and out[2] == out[5]  # single-token docs: same mean
+
+
+def test_quantile_outlier_flag(ray_session):
+    from kgray.stages.corpus import quantile_outlier_flag
+
+    df = pd.DataFrame({
+        "doc_id": range(12),
+        "lang": ["en"] * 10 + ["fr"] * 2,
+        "n_chars": [1, 2, 3, 4, 5, 6, 7, 8, 9, 100, 5, 50],
+    })
+    out = (
+        quantile_outlier_flag(ray.data.from_pandas(df), "lang", "n_chars",
+                              q=0.5, num_partitions=2)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    # en p50 (discrete, ceil(.5*10)=5th value) = 5 -> values >5 flagged.
+    assert out["is_outlier"].tolist() == [
+        False, False, False, False, False, True, True, True, True, True,
+        # fr p50 = 5 -> 50 flagged
+        False, True,
+    ]

@@ -3,6 +3,7 @@ pandas oracle kernels on random KGX-shaped inputs (the reference has no
 property tests — SURVEY §5 — so this is strictly stronger coverage)."""
 
 import duckdb
+import numpy as np
 import pandas as pd
 import pytest
 import ray.data
@@ -179,3 +180,26 @@ def test_provenance_merge_matches_general_kernel(rows):
         )
 
     assert norm(got) == norm(want)
+
+
+def test_value_rank_matches_row_number(ray_session):
+    import duckdb
+    import ray.data
+
+    from kgray.stages.split import value_rank
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({
+        "id": np.arange(200, dtype=np.int64),
+        "v": rng.integers(0, 12, 200),  # heavy ties
+    })
+    got = (
+        value_rank(ray.data.from_pandas(df), "v", "id", ntiles=7, num_partitions=3)
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    )
+    want = duckdb.sql(
+        """SELECT id, v, ROW_NUMBER() OVER (ORDER BY v, id) - 1 AS rnk,
+                  NTILE(7) OVER (ORDER BY v, id) AS tile FROM df"""
+    ).df().sort_values("id").reset_index(drop=True)
+    assert got["rnk"].tolist() == want["rnk"].tolist()
+    assert got["tile"].tolist() == want["tile"].tolist()
