@@ -105,6 +105,9 @@ BENCH_QUERIES = [
     "pca",
     "outlier_filter",
     "value_rank",
+    "group_sample",
+    "zscore",
+    "funnel",
 ]
 
 

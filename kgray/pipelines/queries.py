@@ -2429,6 +2429,107 @@ FROM documents
 """
 
 
+def q_group_sample(sf_dir: str):
+    """Deterministic k-per-group sample: order within each group by a
+    content hash of the id (epoch-stable, cluster-size-independent —
+    the same md5 convention as holdout_split/shuffle_rank) and keep the
+    first 5. Rides top_n_per_group's candidate-pruning exchange: each
+    batch pre-truncates to its own per-group top-5 before the shuffle."""
+    import hashlib
+
+    from kgray.stages.relational import top_n_per_group
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+
+    def _hash(t):
+        import pyarrow as pa_
+        # doc ids are unique (the table key): one md5 per distinct id —
+        # the documented md5-for-oracle-parity convention.
+        h = [hashlib.md5(str(i).encode()).hexdigest()
+             for i in t.column("doc_id").to_pylist()]
+        return t.append_column("__h", pa_.array(h, pa_.string()))
+
+    out = top_n_per_group(
+        ds.map_batches(_hash, batch_format="pyarrow"),
+        "lang", "__h", n=5, ascending=True, tie_cols=["doc_id"],
+    )
+    return out.select_columns(["doc_id", "lang"])
+
+
+SQL_GROUP_SAMPLE = """
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents) WHERE rn <= 5
+"""
+
+
+def q_zscore(sf_dir: str):
+    """Per-language length standardization: O(groups) moment partials
+    fold on the driver, broadcast, map-only scoring (integer input →
+    float64 moments are exact, matching the SQL window form)."""
+    from kgray.stages.relational import grouped_zscore
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    )
+    return grouped_zscore(ds, "lang", "n_chars", id_cols="doc_id")
+
+
+SQL_ZSCORE = """
+SELECT doc_id, lang, n_chars,
+  ROUND((n_chars - AVG(n_chars) OVER (PARTITION BY lang))
+        / STDDEV_SAMP(n_chars) OVER (PARTITION BY lang), 6) AS z
+FROM documents
+"""
+
+
+def q_funnel(sf_dir: str):
+    """Sequential funnel per user (view → click → purchase, each stage
+    strictly after the previous one's earliest completion): one
+    user-keyed exchange; per-partition vectorized stage-min joins (a
+    user's history is co-resident, so the funnel is exact)."""
+    import pandas as pd
+
+    from kgray.kernels.hashagg import auto_partitions, grouped_apply
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "event_type"]
+    )
+
+    def _funnel(part: pd.DataFrame) -> pd.DataFrame:
+        v = (part[part["event_type"] == "view"]
+             .groupby("user_id")["ts"].min().rename("t1").reset_index())
+        d = part.merge(v, on="user_id")
+        c = (d[(d["event_type"] == "click") & (d["ts"] > d["t1"])]
+             .groupby("user_id")["ts"].min().rename("t2").reset_index())
+        d2 = d.merge(c, on="user_id", how="left")
+        p = (d2[(d2["event_type"] == "purchase") & (d2["ts"] > d2["t2"])]
+             .groupby("user_id")["ts"].min().rename("t3").reset_index())
+        return (v.merge(c, on="user_id", how="left")
+                 .merge(p, on="user_id", how="left"))
+
+    return grouped_apply(
+        ds, ["user_id"], _funnel,
+        num_partitions=auto_partitions(files=[f"{sf_dir}/events.parquet"]),
+    )
+
+
+SQL_FUNNEL = """
+WITH a AS (SELECT user_id, MIN(ts) AS t1 FROM events
+           WHERE event_type = 'view' GROUP BY 1),
+b AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e JOIN a USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > a.t1 GROUP BY 1),
+c AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e JOIN b USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > b.t2 GROUP BY 1)
+SELECT a.user_id, t1, t2, t3
+FROM a LEFT JOIN b USING (user_id) LEFT JOIN c USING (user_id)
+"""
+
+
 QUERIES = {
     "kgx_node_merge": q_kgx_node_merge,
     "kgx_edge_dedup": q_kgx_edge_dedup,
@@ -2504,6 +2605,9 @@ QUERIES = {
     "pca": q_pca,
     "outlier_filter": q_outlier_filter,
     "value_rank": q_value_rank,
+    "group_sample": q_group_sample,
+    "zscore": q_zscore,
+    "funnel": q_funnel,
 }
 
 ORACLES = {
@@ -2569,6 +2673,9 @@ ORACLES = {
     "dsir": SQL_DSIR,
     "outlier_filter": SQL_OUTLIER_FILTER,
     "value_rank": SQL_VALUE_RANK,
+    "group_sample": SQL_GROUP_SAMPLE,
+    "zscore": SQL_ZSCORE,
+    "funnel": SQL_FUNNEL,
     # rows-only (non-SQL-expressible): ann_lsh (LSH recall is
     # probabilistic), construct_kg / extract_text (self-checking
     # against generator goldens), multimodal_features (decode stub)

@@ -344,3 +344,64 @@ def rollup_aggregate(
     out = pd.concat(levels, ignore_index=True)
     out["n_rows"] = out["n_rows"].astype(np.int64)
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def grouped_zscore(
+    ds: Dataset,
+    group_cols: Sequence[str] | str,
+    value_col: str,
+    id_cols: Sequence[str] | str,
+    out_col: str = "z",
+    round_digits: int = 6,
+) -> Dataset:
+    """Per-group standardization: ``z = (x − mean_g) / stddev_samp_g``
+    (NULL for groups with fewer than two rows, SQL semantics).
+
+    Scale shape: one map pass folds per-group ``(n, Σx, Σx²)`` partials
+    to the driver — O(groups), not O(rows), no shuffle — the moment
+    table broadcasts via ``ray.put``, and scoring is map-only. For
+    integer inputs the moments are exact in float64, so the result
+    matches the SQL window form bit-for-bit before the shared ROUND.
+    """
+    import pyarrow as pa
+
+    from kgray.kernels.hashagg import stable_round
+
+    group_cols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    id_cols = [id_cols] if isinstance(id_cols, str) else list(id_cols)
+
+    def _moments(df: pd.DataFrame) -> pd.DataFrame:
+        x = df[value_col].astype(np.float64)
+        g = df.assign(__x=x, __xx=x * x).groupby(group_cols, sort=False)
+        out = g.agg(n=("__x", "size"), s=("__x", "sum"), ss=("__xx", "sum"))
+        return out.reset_index()
+
+    stats: dict = {}
+    parts = ds.select_columns(group_cols + [value_col]).map_batches(
+        _moments, batch_format="pandas")
+    for b in parts.iter_batches(batch_format="pandas"):
+        for row in b.itertuples(index=False):
+            key = tuple(getattr(row, c) for c in group_cols)
+            n, s, ss = stats.get(key, (0, 0.0, 0.0))
+            stats[key] = (n + row.n, s + row.s, ss + row.ss)
+    rows = []
+    for key, (n, s, ss) in stats.items():
+        mean = s / n
+        var = (ss - n * mean * mean) / (n - 1) if n > 1 else None
+        sd = float(np.sqrt(var)) if var is not None and var > 0 else np.nan
+        rows.append((*key, mean, sd))
+    model_df = pd.DataFrame(rows, columns=group_cols + ["__mean", "__sd"])
+    mref = ray.put(model_df)
+
+    def _score(df: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(mref) if isinstance(mref, ray.ObjectRef) else mref
+        j = df.merge(m, on=group_cols, how="left")  # C hash join, no row loop
+        z = (j[value_col].to_numpy(np.float64) - j["__mean"].to_numpy(np.float64)) \
+            / j["__sd"].to_numpy(np.float64)
+        out = j[id_cols + group_cols + [value_col]].copy(deep=False)
+        out[out_col] = stable_round(
+            pa.array(z, pa.float64()), round_digits).to_numpy(zero_copy_only=False)
+        return out
+
+    return ds.select_columns(id_cols + group_cols + [value_col]).map_batches(
+        _score, batch_format="pandas")
