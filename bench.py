@@ -108,6 +108,7 @@ BENCH_QUERIES = [
     "group_sample",
     "zscore",
     "funnel",
+    "curate_corpus",
 ]
 
 

@@ -2530,6 +2530,36 @@ FROM a LEFT JOIN b USING (user_id) LEFT JOIN c USING (user_id)
 """
 
 
+def q_curate_corpus(sf_dir: str):
+    """Composed flagship: the full web-curation chain (langid → Gopher
+    rules → boilerplate removal → exact dedup → MinHash near-dedup →
+    token count) as one lazy Dataset.
+
+    Self-checking before returning rows: stage survivor counts must be
+    monotone non-increasing, the output must contain no exact-duplicate
+    texts, and every output doc must have tokens."""
+    import hashlib
+
+    from kgray.pipelines.curate import curate_corpus
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    out, counters = curate_corpus(ds, lang="en", count_stages=True)
+
+    order = ["input", "after_langid", "after_quality", "after_boilerplate",
+             "after_exact_dedup", "after_near_dedup", "output"]
+    seq = [counters[k] for k in order if k in counters]
+    if any(b > a for a, b in zip(seq, seq[1:])):
+        raise AssertionError(f"curation counters not monotone: {counters}")
+
+    t = out.to_pandas()
+    digests = {hashlib.md5(x.encode()).hexdigest() for x in t["text"]}
+    if len(digests) != len(t):
+        raise AssertionError("exact duplicates survived curation")
+    if (t["n_tokens"] <= 0).any():
+        raise AssertionError("token-less document survived curation")
+    return t.sort_values("doc_id").reset_index(drop=True)
+
+
 QUERIES = {
     "kgx_node_merge": q_kgx_node_merge,
     "kgx_edge_dedup": q_kgx_edge_dedup,
@@ -2608,6 +2638,7 @@ QUERIES = {
     "group_sample": q_group_sample,
     "zscore": q_zscore,
     "funnel": q_funnel,
+    "curate_corpus": q_curate_corpus,
 }
 
 ORACLES = {
