@@ -2560,6 +2560,43 @@ def q_curate_corpus(sf_dir: str):
     return t.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_cross_dedup(sf_dir: str):
+    """Cross-corpus near-dedup: flag corpus docs (doc_id % 10 != 0)
+    whose true 3-gram Jaccard vs ANY reference doc (the % 10 == 0
+    slice) reaches 0.7 — dedup-a-new-crawl-against-the-training-set."""
+    from kgray.stages.dedup import cross_minhash_flag
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    corpus = docs.filter(expr="doc_id % 10 != 0")
+    reference = docs.filter(expr="doc_id % 10 == 0")
+    return cross_minhash_flag(corpus, reference, threshold=0.7)
+
+
+SQL_CROSS_DEDUP = """
+WITH words AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+  FROM words, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+  WHERE len(w) >= 3
+), counts AS (
+  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS m
+  FROM sh a JOIN sh b ON a.s = b.s
+  WHERE a.doc_id % 10 != 0 AND b.doc_id % 10 = 0
+  GROUP BY 1, 2
+), hits AS (
+  SELECT DISTINCT id_a AS doc_id
+  FROM inter JOIN counts ca ON ca.doc_id = id_a JOIN counts cb ON cb.doc_id = id_b
+  WHERE m * 1.0 / (ca.n + cb.n - m) >= 0.7
+)
+SELECT d.doc_id, (h.doc_id IS NOT NULL) AS is_dup
+FROM documents d LEFT JOIN hits h USING (doc_id)
+WHERE d.doc_id % 10 != 0
+"""
+
+
 QUERIES = {
     "kgx_node_merge": q_kgx_node_merge,
     "kgx_edge_dedup": q_kgx_edge_dedup,
@@ -2639,6 +2676,7 @@ QUERIES = {
     "zscore": q_zscore,
     "funnel": q_funnel,
     "curate_corpus": q_curate_corpus,
+    "cross_dedup": q_cross_dedup,
 }
 
 ORACLES = {
@@ -2707,6 +2745,7 @@ ORACLES = {
     "group_sample": SQL_GROUP_SAMPLE,
     "zscore": SQL_ZSCORE,
     "funnel": SQL_FUNNEL,
+    "cross_dedup": SQL_CROSS_DEDUP,
     # rows-only (non-SQL-expressible): ann_lsh (LSH recall is
     # probabilistic), construct_kg / extract_text (self-checking
     # against generator goldens), multimodal_features (decode stub)

@@ -747,3 +747,62 @@ def embedding_near_dup(
         return pa.table({"id_a": pa.array(qa), "id_b": pa.array(qb)})
 
     return ds.map_batches(_scan, batch_format="pyarrow", batch_size=1024)
+
+
+def cross_minhash_flag(
+    corpus: Dataset,
+    reference: Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    flag_col: str = "is_dup",
+    **kw,
+) -> Dataset:
+    """Cross-corpus near-dup flagging: mark every ``corpus`` document
+    whose true shingle Jaccard with ANY ``reference`` document reaches
+    ``threshold`` (deduplicating a fresh crawl against an existing
+    training set — the near-dup analog of ``decontaminate``'s exact
+    n-gram overlap).
+
+    Implementation: side-tag the ids (``c|``/``r|`` string prefixes),
+    union, run the standard banded MinHash + exact-verify pipeline once
+    over the union, and keep only CROSS-side verified pairs. Reusing
+    :func:`minhash_lsh_pairs` whole means within-side candidate pairs
+    are also generated and verified — wasted verify work bounded by the
+    corpora's own near-dup rates; a dedicated cross-side bucket filter
+    inside pair generation is the optimization if a profile ever shows
+    it binding. The verified cross-pair list is the documented small
+    side (same contract as :func:`minhash_lsh_dedup`); the corpus is
+    flagged map-only against the broadcast hit set.
+
+    Output: every corpus row as ``(id_col, flag_col)``.
+    """
+
+    def _tag(prefix: str):
+        def _f(t: pa.Table) -> pa.Table:
+            tagged = pc.binary_join_element_wise(
+                pa.scalar(prefix), pc.cast(t.column(id_col), pa.string()), "|")
+            return pa.table({id_col: tagged, text_col: t.column(text_col)})
+        return _f
+
+    union = corpus.select_columns([id_col, text_col]).map_batches(
+        _tag("c"), batch_format="pyarrow"
+    ).union(reference.select_columns([id_col, text_col]).map_batches(
+        _tag("r"), batch_format="pyarrow"))
+
+    pairs = minhash_lsh_pairs(union, text_col=text_col, id_col=id_col,
+                              threshold=threshold, **kw)
+    # 'c|' < 'r|' lexicographically, so a cross pair is exactly
+    # (id_a startswith c|, id_b startswith r|).
+    hit_ids: set = set()
+    for r in pairs.take_all():
+        if r["id_a"].startswith("c|") and r["id_b"].startswith("r|"):
+            hit_ids.add(r["id_a"][2:])
+    href = ray.put(pa.array(sorted(hit_ids), type=pa.string()))
+
+    def _flag(t: pa.Table) -> pa.Table:
+        h = ray.get(href) if isinstance(href, ray.ObjectRef) else href
+        mask = pc.is_in(pc.cast(t.column(id_col), pa.string()), value_set=h)
+        return pa.table({id_col: t.column(id_col), flag_col: mask})
+
+    return corpus.select_columns([id_col]).map_batches(_flag, batch_format="pyarrow")
