@@ -2566,9 +2566,16 @@ def q_cross_dedup(sf_dir: str):
     slice) reaches 0.7 — dedup-a-new-crawl-against-the-training-set."""
     from kgray.stages.dedup import cross_minhash_flag
 
+    def _slice(want_ref: bool):
+        def _f(t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+            is_ref = pa.array(ids % 10 == 0)
+            return t.filter(is_ref if want_ref else pc.invert(is_ref))
+        return _f
+
     docs = _docs(sf_dir, ["doc_id", "text"])
-    corpus = docs.filter(expr="doc_id % 10 != 0")
-    reference = docs.filter(expr="doc_id % 10 == 0")
+    corpus = docs.map_batches(_slice(False), batch_format="pyarrow")
+    reference = docs.map_batches(_slice(True), batch_format="pyarrow")
     return cross_minhash_flag(corpus, reference, threshold=0.7)
 
 
