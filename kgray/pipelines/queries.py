@@ -2604,6 +2604,135 @@ WHERE d.doc_id % 10 != 0
 """
 
 
+def q_moving_average(sf_dir: str):
+    """ROWS-frame moving average (window 3) of event value per user,
+    ordered by (ts, event_id): one auto-sized hash exchange on user,
+    per-partition shift-and-add frame sums — no pandas rolling-update
+    drift, no row loops."""
+    from kgray.stages.analytics import grouped_moving_avg
+
+    ds = _events(sf_dir, ["user_id", "ts", "event_id", "value"])
+    return grouped_moving_avg(
+        ds, key="user_id", order_cols=["ts", "event_id"], value_col="value",
+        window=3, out_col="mavg", round_digits=4,
+    )
+
+
+SQL_MOVING_AVERAGE = """
+SELECT user_id, ts, event_id, value,
+  ROUND(AVG(value) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mavg
+FROM events
+"""
+
+
+def q_daily_active(sf_dir: str):
+    """Daily active users + event volume: map-side (day, user) combine
+    shrinks the exchange to O(days x users) rows before the per-day
+    exact distinct count."""
+    from kgray.stages.analytics import daily_active_users
+
+    return daily_active_users(_events(sf_dir, ["ts", "user_id"]))
+
+
+SQL_DAILY_ACTIVE = """
+SELECT CAST(epoch(date_trunc('day', ts)) / 86400 AS BIGINT) AS day,
+  COUNT(DISTINCT user_id) AS n_users,
+  COUNT(*) AS n_events
+FROM events GROUP BY 1
+"""
+
+
+def q_retention_cohorts(sf_dir: str):
+    """Cohort retention triangle: first-active-day cohort x age distinct
+    user counts — two combiner-fronted exchanges, distinct applied at
+    (user, day) granularity before anything moves."""
+    from kgray.stages.analytics import retention_cohorts
+
+    return retention_cohorts(_events(sf_dir, ["ts", "user_id"]))
+
+
+SQL_RETENTION_COHORTS = """
+WITH e AS (
+  SELECT DISTINCT user_id,
+    CAST(epoch(date_trunc('day', ts)) / 86400 AS BIGINT) AS day
+  FROM events
+), f AS (
+  SELECT user_id, MIN(day) AS cohort FROM e GROUP BY 1
+)
+SELECT cohort, day - cohort AS age, COUNT(*) AS n_users
+FROM e JOIN f USING (user_id) GROUP BY 1, 2
+"""
+
+
+def q_mode_per_group(sf_dir: str):
+    """Most frequent event_type per user (ties -> lexicographically
+    smallest), counts combined map-side so the exchange moves distinct
+    (user, type) pairs only."""
+    from kgray.stages.analytics import mode_per_group
+
+    return mode_per_group(_events(sf_dir, ["user_id", "event_type"]),
+                          key="user_id", value_col="event_type")
+
+
+SQL_MODE_PER_GROUP = """
+WITH c AS (
+  SELECT user_id, event_type, COUNT(*) AS n FROM events GROUP BY 1, 2
+), r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY n DESC, event_type) AS rn
+  FROM c
+)
+SELECT user_id, event_type AS mode_value, CAST(n AS BIGINT) AS n_rows
+FROM r WHERE rn = 1
+"""
+
+
+def q_cube_agg(sf_dir: str):
+    """GROUP BY CUBE (returnflag, linestatus) over lineitem: all four
+    grouping subsets from ONE exchange — coarser subsets derived from
+    the finest aggregate like ROLLUP, never re-shuffled."""
+    from kgray.stages.relational import cube_aggregate
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity"],
+    )
+    t = cube_aggregate(ds, ["l_returnflag", "l_linestatus"], "l_quantity")
+    return t.set_column(
+        t.column_names.index("sum_value"), "sum_value",
+        stable_round(t.column("sum_value"), 2),
+    )
+
+
+SQL_CUBE_AGG = """
+SELECT l_returnflag, l_linestatus,
+  CAST(COUNT(*) AS BIGINT) AS n_rows,
+  ROUND(SUM(l_quantity), 2) AS sum_value
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def q_grouped_corr(sf_dir: str):
+    """Pearson corr(quantity, extendedprice) per returnflag from
+    algebraic partials — O(groups) driver fold, zero shuffles; agrees
+    with DuckDB's streaming corr() to ~1e-16 (shared ROUND 6)."""
+    from kgray.stages.relational import grouped_corr
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+    )
+    return grouped_corr(ds, "l_returnflag", "l_quantity", "l_extendedprice")
+
+
+SQL_GROUPED_CORR = """
+SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+  ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_xy
+FROM lineitem GROUP BY 1
+"""
+
+
 QUERIES = {
     "kgx_node_merge": q_kgx_node_merge,
     "kgx_edge_dedup": q_kgx_edge_dedup,
@@ -2684,6 +2813,12 @@ QUERIES = {
     "funnel": q_funnel,
     "curate_corpus": q_curate_corpus,
     "cross_dedup": q_cross_dedup,
+    "moving_average": q_moving_average,
+    "daily_active": q_daily_active,
+    "retention_cohorts": q_retention_cohorts,
+    "mode_per_group": q_mode_per_group,
+    "cube_agg": q_cube_agg,
+    "grouped_corr": q_grouped_corr,
 }
 
 ORACLES = {
@@ -2753,6 +2888,12 @@ ORACLES = {
     "zscore": SQL_ZSCORE,
     "funnel": SQL_FUNNEL,
     "cross_dedup": SQL_CROSS_DEDUP,
+    "moving_average": SQL_MOVING_AVERAGE,
+    "daily_active": SQL_DAILY_ACTIVE,
+    "retention_cohorts": SQL_RETENTION_COHORTS,
+    "mode_per_group": SQL_MODE_PER_GROUP,
+    "cube_agg": SQL_CUBE_AGG,
+    "grouped_corr": SQL_GROUPED_CORR,
     # rows-only (non-SQL-expressible): ann_lsh (LSH recall is
     # probabilistic), construct_kg / extract_text (self-checking
     # against generator goldens), multimodal_features (decode stub)

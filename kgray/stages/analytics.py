@@ -1,0 +1,239 @@
+"""Event-stream analytics operators: windowed-frame moving average,
+daily-active-users, retention cohorts, per-group mode.
+
+These are the sequential/behavioral analytics a web-scale event table
+needs next to the window family already in ``pipelines/queries.py``
+(sessionize / gap / tumbling / sliding / funnel / lead-lag). Shared
+scale shape: ONE hash exchange on the entity key (every row of a user
+lands in one partition), vectorized pandas/numpy inside the partition,
+partial aggregation (combiners) on the map side wherever the reduce is
+algebraic — no driver-side row loops, no full materialization.
+
+Reference anchor: the reference engine exposes its analytics through
+SQL over DuckDB (kg-microbe-merge `duckdb_utils.py` query builders);
+here each is a first-class distributed operator with the identical SQL
+kept as the oracle.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ray.data import Dataset
+
+from kgray.kernels.hashagg import auto_partitions, grouped_apply, stable_round
+
+__all__ = [
+    "grouped_moving_avg",
+    "daily_active_users",
+    "retention_cohorts",
+    "mode_per_group",
+]
+
+_US_PER_DAY = 86_400_000_000
+
+
+def _epoch_days(ts: pd.Series) -> np.ndarray:
+    """timestamp[us] → int64 epoch days (floor), vectorized."""
+    return (ts.to_numpy().view("int64") // _US_PER_DAY).astype(np.int64)
+
+
+def grouped_moving_avg(
+    ds: Dataset,
+    key: str,
+    order_cols: Sequence[str],
+    value_col: str,
+    window: int = 3,
+    out_col: str = "mavg",
+    round_digits: int = 4,
+    num_partitions: Optional[int] = None,
+) -> Dataset:
+    """ROWS-frame moving average: SQL ``AVG(value) OVER (PARTITION BY
+    key ORDER BY order_cols ROWS BETWEEN window-1 PRECEDING AND CURRENT
+    ROW)`` — the per-entity feature every sequential / time-series
+    training set wants (short-horizon behavior smoothing).
+
+    Scale shape: one hash exchange on ``key`` (auto-sized), then a
+    per-partition mergesort + shift-and-add — the frame sum is built
+    from ``window`` explicitly shifted copies added in a FIXED order
+    (matching the oracle's in-order frame sum to the last bit for small
+    windows) rather than pandas' online rolling update, so the shared
+    ROUND is deterministic. O(window) temporaries per partition;
+    ``window`` is a constant, never data-sized.
+    """
+    order_cols = list(order_cols)
+    if num_partitions is None:
+        num_partitions = auto_partitions()
+
+    def _score(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key, *order_cols], kind="mergesort").reset_index(drop=True)
+        v = df[value_col].to_numpy(np.float64)
+        gid = df[key].to_numpy()
+        # group-change boundary: rows before a boundary must not leak
+        # into the next group's frame.
+        new_grp = np.empty(len(df), dtype=bool)
+        if len(df):
+            new_grp[0] = True
+            new_grp[1:] = gid[1:] != gid[:-1]
+        pos = np.arange(len(df)) - np.maximum.accumulate(
+            np.where(new_grp, np.arange(len(df)), 0)
+        )
+        s = v.copy()
+        cnt = np.ones(len(df), dtype=np.int64)
+        for k in range(1, window):
+            shifted = np.empty_like(v)
+            shifted[:k] = 0.0
+            shifted[k:] = v[:-k]
+            valid = pos >= k
+            s = np.where(valid, s + shifted, s)
+            cnt = np.where(valid, cnt + 1, cnt)
+        out = df[[key, *order_cols, value_col]].copy(deep=False)
+        out[out_col] = stable_round(
+            pa.array(s / cnt, pa.float64()), round_digits
+        ).to_numpy(zero_copy_only=False)
+        return out
+
+    pruned = ds.select_columns([key, *order_cols, value_col])
+    return grouped_apply(pruned, [key], _score, num_partitions=num_partitions)
+
+
+def daily_active_users(
+    ds: Dataset,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    num_partitions: Optional[int] = None,
+) -> Dataset:
+    """DAU: per UTC day, distinct active users + total events.
+
+    Scale shape: map side combines each batch to one row per (day,
+    user) carrying a partial event count — the exchange then moves
+    O(days × users) rows, not O(events); the reduce per day is an
+    exact nunique + sum. Day is an int64 epoch-day so the oracle
+    comparison is representation-free.
+    """
+    if num_partitions is None:
+        num_partitions = auto_partitions()
+
+    def _combine(df: pd.DataFrame) -> pd.DataFrame:
+        day = _epoch_days(df[ts_col])
+        g = (
+            pd.DataFrame({"day": day, user_col: df[user_col]})
+            .groupby(["day", user_col], sort=False)
+            .size()
+            .rename("n")
+            .reset_index()
+        )
+        return g
+
+    def _reduce(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("day", sort=False)
+        out = g.agg(
+            n_users=(user_col, "nunique"), n_events=("n", "sum")
+        ).reset_index()
+        out["n_events"] = out["n_events"].astype(np.int64)
+        return out
+
+    pruned = ds.select_columns([ts_col, user_col])
+    return grouped_apply(
+        pruned, ["day"], _reduce, num_partitions=num_partitions, map_side=_combine
+    )
+
+
+def retention_cohorts(
+    ds: Dataset,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    num_partitions: Optional[int] = None,
+) -> Dataset:
+    """Cohort retention triangle: users bucketed by first-active day
+    (cohort), counted distinct at each age = day − cohort — the classic
+    growth-analytics output.
+
+    Scale shape: exchange 1 hash-partitions distinct (user, day) rows
+    by user (map side pre-distincts per batch), the per-user cohort is
+    a vectorized min inside the partition, and the (cohort, age, user)
+    rows it emits are already distinct per user — so exchange 2 is a
+    plain partial-combined count, never a distinct over raw events.
+    """
+    if num_partitions is None:
+        num_partitions = auto_partitions()
+
+    def _days(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({user_col: df[user_col], "day": _epoch_days(df[ts_col])})
+        return out.drop_duplicates()
+
+    def _ages(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates()  # across-batch duplicates of (user, day)
+        cohort = df.groupby(user_col, sort=False)["day"].transform("min")
+        return pd.DataFrame(
+            {
+                "cohort": cohort.to_numpy(np.int64),
+                "age": (df["day"] - cohort).to_numpy(np.int64),
+            }
+        )
+
+    pruned = ds.select_columns([ts_col, user_col])
+    per_user = grouped_apply(
+        pruned, [user_col], _ages, num_partitions=num_partitions, map_side=_days
+    )
+
+    def _count_combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["cohort", "age"], sort=False).size().rename("n").reset_index()
+        return g
+
+    def _count_reduce(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["cohort", "age"], sort=False)["n"].sum().rename("n_users").reset_index()
+        out["n_users"] = out["n_users"].astype(np.int64)
+        return out
+
+    return grouped_apply(
+        per_user,
+        ["cohort", "age"],
+        _count_reduce,
+        num_partitions=num_partitions,
+        map_side=_count_combine,
+    )
+
+
+def mode_per_group(
+    ds: Dataset,
+    key: str,
+    value_col: str,
+    num_partitions: Optional[int] = None,
+) -> Dataset:
+    """Per-key mode (most frequent value; ties broken by smallest
+    value) with its count — SQL's ``ROW_NUMBER() OVER (ORDER BY n DESC,
+    value)`` idiom as a combinable aggregate.
+
+    Scale shape: counts are algebraic, so the map side combines each
+    batch to (key, value, partial n) and the exchange moves O(distinct
+    pairs); the reduce sums then takes the first row per key of a
+    (n DESC, value ASC) mergesort — vectorized ``drop_duplicates``,
+    no per-key loop.
+    """
+    if num_partitions is None:
+        num_partitions = auto_partitions()
+
+    def _combine(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby([key, value_col], sort=False).size().rename("n").reset_index()
+        )
+
+    def _reduce(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby([key, value_col], sort=False)["n"].sum().reset_index()
+        g = g.sort_values(
+            ["n", value_col], ascending=[False, True], kind="mergesort"
+        ).sort_values([key], kind="mergesort")
+        out = g.drop_duplicates(subset=[key], keep="first").reset_index(drop=True)
+        out = out.rename(columns={value_col: "mode_value", "n": "n_rows"})
+        out["n_rows"] = out["n_rows"].astype(np.int64)
+        return out
+
+    pruned = ds.select_columns([key, value_col])
+    return grouped_apply(
+        pruned, [key], _reduce, num_partitions=num_partitions, map_side=_combine
+    )
