@@ -2733,6 +2733,58 @@ FROM lineitem GROUP BY 1
 """
 
 
+def q_topk_bigrams(sf_dir: str):
+    """Corpus top-20 word bigrams: grams built from offset-shifted views
+    of the flat word array (no per-row Python), combined map-side,
+    exact per-partition top-k."""
+    from kgray.stages.corpus import topk_ngrams
+
+    return topk_ngrams(_docs(sf_dir, ["text"]), n=2, k=20)
+
+
+SQL_TOPK_BIGRAMS = """
+WITH words AS (SELECT regexp_extract_all(text, '\\S+') AS w FROM documents),
+grams AS (
+  SELECT w[i] || ' ' || w[i+1] AS gram
+  FROM words, UNNEST(generate_series(1, len(w) - 1)) t(i)
+  WHERE len(w) >= 2
+)
+SELECT gram, COUNT(*) AS n FROM grams GROUP BY 1 ORDER BY n DESC, gram LIMIT 20
+"""
+
+
+def q_keyword_search(sf_dir: str):
+    """Conjunctive token search (docs containing ALL of three terms):
+    pure map-side scan, one match_substring kernel per term per batch,
+    nothing shuffles."""
+    from kgray.stages.corpus import keyword_search
+
+    return keyword_search(_docs(sf_dir, ["doc_id", "text"]),
+                          terms=["hash", "merge", "window"])
+
+
+SQL_KEYWORD_SEARCH = """
+SELECT doc_id, text FROM documents
+WHERE ' ' || text || ' ' LIKE '% hash %'
+  AND ' ' || text || ' ' LIKE '% merge %'
+  AND ' ' || text || ' ' LIKE '% window %'
+"""
+
+
+def q_length_histogram(sf_dir: str):
+    """Document-length histogram (width-32 buckets of n_chars):
+    map-side bucket value_counts, O(buckets) exchange rows per block."""
+    from kgray.stages.corpus import length_histogram
+
+    return length_histogram(_docs(sf_dir, ["n_chars"]), "n_chars", width=32)
+
+
+SQL_LENGTH_HISTOGRAM = """
+SELECT (n_chars // 32) * 32 AS bucket, CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM documents GROUP BY 1
+"""
+
+
 QUERIES = {
     "kgx_node_merge": q_kgx_node_merge,
     "kgx_edge_dedup": q_kgx_edge_dedup,
@@ -2819,6 +2871,9 @@ QUERIES = {
     "mode_per_group": q_mode_per_group,
     "cube_agg": q_cube_agg,
     "grouped_corr": q_grouped_corr,
+    "topk_bigrams": q_topk_bigrams,
+    "keyword_search": q_keyword_search,
+    "length_histogram": q_length_histogram,
 }
 
 ORACLES = {
@@ -2894,6 +2949,9 @@ ORACLES = {
     "mode_per_group": SQL_MODE_PER_GROUP,
     "cube_agg": SQL_CUBE_AGG,
     "grouped_corr": SQL_GROUPED_CORR,
+    "topk_bigrams": SQL_TOPK_BIGRAMS,
+    "keyword_search": SQL_KEYWORD_SEARCH,
+    "length_histogram": SQL_LENGTH_HISTOGRAM,
     # rows-only (non-SQL-expressible): ann_lsh (LSH recall is
     # probabilistic), construct_kg / extract_text (self-checking
     # against generator goldens), multimodal_features (decode stub)

@@ -866,3 +866,131 @@ def quantile_outlier_flag(
 
     return ds.select_columns([id_col, group_col, value_col]).map_batches(
         _flag, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Top-k n-gram heavy hitters
+# ---------------------------------------------------------------------------
+
+def ngram_strings(text: pa.ChunkedArray | pa.Array, n: int) -> pa.Array:
+    """All word n-grams of a string column as space-joined strings,
+    fully vectorized: one split kernel, then n-1 element-wise binary
+    joins over offset-shifted views of the flat word array (grams never
+    cross a document boundary). No per-row Python."""
+    flat, off = flat_words(text)
+    n_words = off[1:] - off[:-1]
+    n_grams = np.maximum(n_words - (n - 1), 0)
+    total = int(n_grams.sum())
+    if total == 0:
+        return pa.array([], pa.string())
+    doc_idx = np.repeat(np.arange(len(n_words), dtype=np.int64), n_grams)
+    first = np.concatenate([[0], np.cumsum(n_grams)])[:-1]
+    pos = np.arange(total, dtype=np.int64) - np.repeat(first, n_grams)
+    start = off[:-1][doc_idx] + pos  # word index of each gram's first word
+    parts = [flat.take(pa.array(start + j)) for j in range(n)]
+    sep = pa.scalar(" ")
+    out = parts[0]
+    for p in parts[1:]:
+        out = pc.binary_join_element_wise(out, p, sep)
+    return out
+
+
+def topk_ngrams(ds: Dataset, n: int = 2, k: int = 20, text_col: str = "text",
+                num_partitions: Optional[int] = None) -> pa.Table:
+    """Global top-k most frequent word n-grams (count desc, gram asc) —
+    the collocation statistic (phrase mining, tokenizer-merge corpora).
+
+    Same scale shape as :func:`topk_tokens`: per-batch value_counts
+    combine before the exchange (only distinct grams move), grams hash
+    to exactly one partition so per-partition top-k is exact, and P·k
+    candidate rows reach the driver.
+    """
+    if num_partitions is None:
+        num_partitions = auto_partitions()
+
+    def _count(t: pa.Table) -> pa.Table:
+        grams = ngram_strings(t.column(text_col), n)
+        vc = pc.value_counts(grams)
+        if len(vc) == 0:
+            return pa.table({"gram": pa.array([], pa.string()), "n": pa.array([], pa.int64())})
+        return pa.table({"gram": vc.field("values"), "n": vc.field("counts")})
+
+    def _combine(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("gram", as_index=False, sort=False)["n"].sum()
+
+    def _reduce(df: pd.DataFrame) -> pd.DataFrame:
+        agg = df.groupby("gram", as_index=False, sort=False)["n"].sum()
+        agg = agg.sort_values(["n", "gram"], ascending=[False, True], kind="mergesort")
+        return agg.head(k)
+
+    counted = ds.map_batches(_count, batch_format="pyarrow")
+    partial = grouped_apply(counted, ["gram"], _reduce, num_partitions=num_partitions,
+                            map_side=_combine)
+    top = partial.to_pandas().sort_values(["n", "gram"], ascending=[False, True],
+                                          kind="mergesort").head(k)
+    return pa.Table.from_pandas(top.reset_index(drop=True), preserve_index=False)
+
+
+# ---------------------------------------------------------------------------
+# Conjunctive keyword search
+# ---------------------------------------------------------------------------
+
+def keyword_search(ds: Dataset, terms: Sequence[str], id_col: str = "doc_id",
+                   text_col: str = "text") -> Dataset:
+    """Documents whose whitespace token stream contains ALL of ``terms``
+    (exact token match, not substring) — the conjunctive boolean query
+    of a corpus search / targeted-subset extraction.
+
+    Scale shape: a pure map-side scan — per batch, the text is wrapped
+    in single spaces once and each term becomes ONE Arrow
+    ``match_substring`` kernel over the batch (`' term '`), ANDed
+    vectorized. No index is built and nothing shuffles; at 100 TB this
+    is the streaming full-scan path (an inverted index is only worth
+    materializing for repeated query workloads — see `tfidf_topk` for
+    the token-exchange machinery that would back one).
+    """
+    terms = list(terms)
+
+    def _scan(t: pa.Table) -> pa.Table:
+        wrapped = pc.binary_join_element_wise(
+            pa.scalar(" "), pc.coalesce(t.column(text_col), pa.scalar("")), pa.scalar(" "), ""
+        )
+        mask = None
+        for term in terms:
+            m = pc.match_substring(wrapped, f" {term} ")
+            mask = m if mask is None else pc.and_(mask, m)
+        return t.filter(mask) if mask is not None else t
+
+    return ds.select_columns([id_col, text_col]).map_batches(_scan, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Length histogram
+# ---------------------------------------------------------------------------
+
+def length_histogram(ds: Dataset, value_col: str, width: int,
+                     num_partitions: Optional[int] = None) -> Dataset:
+    """Fixed-width histogram of an integer column (bucket = floor(v /
+    width) * width → count) — the length/size profile every curation
+    run reports before choosing filter thresholds.
+
+    Scale shape: per-batch bucket value_counts combine map-side, so the
+    exchange carries O(buckets) rows per block regardless of input
+    rows; the reduce is a per-partition sum.
+    """
+    if num_partitions is None:
+        num_partitions = auto_partitions()
+
+    def _combine(df: pd.DataFrame) -> pd.DataFrame:
+        b = (df[value_col].to_numpy(np.int64) // width) * width
+        g = pd.DataFrame({"bucket": b}).groupby("bucket", sort=False).size()
+        return g.rename("n_rows").reset_index()
+
+    def _reduce(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("bucket", sort=False)["n_rows"].sum().reset_index()
+        out["n_rows"] = out["n_rows"].astype(np.int64)
+        return out
+
+    pruned = ds.select_columns([value_col])
+    return grouped_apply(pruned, ["bucket"], _reduce, num_partitions=num_partitions,
+                         map_side=_combine)
