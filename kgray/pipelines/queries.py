@@ -2785,6 +2785,58 @@ FROM documents GROUP BY 1
 """
 
 
+def q_knn_graph(sf_dir: str):
+    """Exact k-NN self-join over the embeddings table (top-5 cosine
+    neighbors per vector, self excluded): corpus broadcast once via
+    ray.put, queries stream, one matmul + one flattened lexsort per
+    batch. IVF-bucketed variant is the 100-TB path."""
+    from kgray.stages.similarity import knn_graph
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    return knn_graph(ds, k=5)
+
+
+SQL_KNN_GRAPH = """
+SELECT src_id, dst_id, rank FROM (
+  SELECT a.vec_id AS src_id, b.vec_id AS dst_id,
+    ROW_NUMBER() OVER (
+      PARTITION BY a.vec_id
+      ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC, b.vec_id
+    ) AS rank
+  FROM embeddings a, embeddings b
+  WHERE a.vec_id != b.vec_id
+) WHERE rank <= 5
+"""
+
+
+def q_degree_distribution(sf_dir: str):
+    """Degree distribution of the customer->supplier graph (same edge
+    derivation as pagerank): distinct-neighbor degree per customer,
+    node counts per degree — combiner-fronted both exchanges."""
+    from kgray.stages.graph import degree_distribution
+    from kgray.stages.relational import hash_join
+
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_orderkey", "l_suppkey"])
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_orderkey", "o_custkey"]).map_batches(
+        lambda t: t.rename_columns(["l_orderkey", "o_custkey"]), batch_format="pyarrow")
+    edges = hash_join(li, orders, on="l_orderkey", how="inner")
+    return degree_distribution(edges, src_col="o_custkey", dst_col="l_suppkey")
+
+
+SQL_DEGREE_DISTRIBUTION = """
+WITH e AS (
+  SELECT DISTINCT o_custkey, l_suppkey
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), d AS (
+  SELECT o_custkey, COUNT(*) AS degree FROM e GROUP BY 1
+)
+SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_nodes FROM d GROUP BY 1
+"""
+
+
 QUERIES = {
     "kgx_node_merge": q_kgx_node_merge,
     "kgx_edge_dedup": q_kgx_edge_dedup,
@@ -2874,6 +2926,8 @@ QUERIES = {
     "topk_bigrams": q_topk_bigrams,
     "keyword_search": q_keyword_search,
     "length_histogram": q_length_histogram,
+    "knn_graph": q_knn_graph,
+    "degree_distribution": q_degree_distribution,
 }
 
 ORACLES = {
@@ -2952,6 +3006,8 @@ ORACLES = {
     "topk_bigrams": SQL_TOPK_BIGRAMS,
     "keyword_search": SQL_KEYWORD_SEARCH,
     "length_histogram": SQL_LENGTH_HISTOGRAM,
+    "knn_graph": SQL_KNN_GRAPH,
+    "degree_distribution": SQL_DEGREE_DISTRIBUTION,
     # rows-only (non-SQL-expressible): ann_lsh (LSH recall is
     # probabilistic), construct_kg / extract_text (self-checking
     # against generator goldens), multimodal_features (decode stub)

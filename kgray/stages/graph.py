@@ -159,3 +159,50 @@ def pagerank_dense_reference(
             break
         ranks = new_ranks
     return pd.Series(ranks, index=nodes)
+
+
+def degree_distribution(
+    edges: Dataset,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    num_partitions=None,
+) -> Dataset:
+    """Out-degree distribution: distinct-neighbor degree per source
+    node, then node counts per degree — the first structural profile of
+    any graph build (skew detection BEFORE choosing join salts).
+
+    Scale shape: exchange 1 hash-partitions edges by src with a
+    map-side (src, dst) drop_duplicates combiner; the per-partition
+    reduce is a vectorized nunique emitting one (degree) row per node;
+    exchange 2 moves O(nodes-per-degree) combined counts only.
+    """
+    import pandas as pd
+
+    from kgray.kernels.hashagg import auto_partitions, grouped_apply
+
+    if num_partitions is None:
+        num_partitions = auto_partitions()
+
+    def _dedup(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(subset=[src_col, dst_col])
+
+    def _degree(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(subset=[src_col, dst_col])
+        g = df.groupby(src_col, sort=False)[dst_col].nunique().rename("degree")
+        return g.reset_index()[["degree"]]
+
+    per_node = grouped_apply(
+        edges.select_columns([src_col, dst_col]), [src_col], _degree,
+        num_partitions=num_partitions, map_side=_dedup,
+    )
+
+    def _combine(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("degree", sort=False).size().rename("n").reset_index()
+
+    def _reduce(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("degree", sort=False)["n"].sum().rename("n_nodes").reset_index()
+        out["n_nodes"] = out["n_nodes"].astype("int64")
+        return out
+
+    return grouped_apply(per_node, ["degree"], _reduce,
+                         num_partitions=num_partitions, map_side=_combine)

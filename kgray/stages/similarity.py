@@ -329,3 +329,62 @@ def lsh_bucketed_near_dup(
 
     pairs = grouped_apply(exploded, ["table", "bucket"], _pairs_partition, num_partitions=num_partitions)
     return distinct(pairs, ["id_a", "id_b"], num_partitions=max(2, num_partitions // 2))
+
+
+def knn_graph(
+    ds: Dataset,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    batch_size: int = 2048,
+) -> Dataset:
+    """Exact k-NN self-join over an embedding column: for every vector,
+    its top-k cosine neighbors among all OTHER vectors — the k-NN graph
+    behind SemDeDup-style clustering, graph-based label spreading and
+    retrieval-index evaluation. Output rows: (src_id, dst_id, rank),
+    rank 1..k by (similarity desc, dst_id asc).
+
+    Scale shape: the normalized corpus matrix broadcasts ONCE via
+    ``ray.put`` (zero-copy float64 in plasma) and the query side
+    STREAMS — each batch is one (B x N) matmul plus one flattened
+    lexsort, no per-row Python. Self-pairs are masked by id before
+    ranking. This brute-force path is exact and O(N^2) compute with
+    O(N) memory per worker: the documented 100-TB path is IVF-bucketed
+    (assign both sides to coarse centroids as in :func:`ann_topk_ivf`,
+    then run this kernel per cluster), which drops compute to
+    O(N^2 / n_clusters) at bounded recall loss.
+    """
+    mats, idl = [], []
+    for b in ds.select_columns([id_col, vec_col]).iter_batches(batch_format="pyarrow"):
+        mats.append(np.asarray(b.column(vec_col).to_pylist(), dtype=np.float64))
+        idl.append(b.column(id_col).to_numpy(zero_copy_only=False))
+    corpus = _normalize(np.concatenate(mats)) if mats else np.zeros((0, 1))
+    corpus_ids = np.concatenate(idl) if idl else np.zeros(0, np.int64)
+    cref = ray.put((corpus, corpus_ids))
+
+    def _scan(t: pa.Table) -> pa.Table:
+        cm, cids = ray.get(cref) if isinstance(cref, ray.ObjectRef) else cref
+        q = _normalize(np.asarray(t.column(vec_col).to_pylist(), dtype=np.float64))
+        qids = t.column(id_col).to_numpy(zero_copy_only=False)
+        sims = q @ cm.T  # (B, N)
+        sims[qids[:, None] == cids[None, :]] = -np.inf  # mask self
+        B, N = sims.shape
+        kk = min(k, max(0, N - 1))
+        if kk == 0 or B == 0:
+            return pa.table({"src_id": pa.array([], pa.int64()),
+                             "dst_id": pa.array([], pa.int64()),
+                             "rank": pa.array([], pa.int64())})
+        # Exact (sim desc, id asc) per-row order via ONE flattened
+        # lexsort — no per-row Python, ties handled exactly.
+        rows = np.repeat(np.arange(B, dtype=np.int64), N)
+        order = np.lexsort((np.tile(cids, B), -sims.ravel(), rows))
+        topk = order.reshape(B, N)[:, :kk]
+        dst = np.tile(cids, B)[topk.ravel()]  # global index -> corpus id
+        return pa.table({
+            "src_id": pa.array(np.repeat(qids, kk)),
+            "dst_id": pa.array(dst),
+            "rank": pa.array(np.tile(np.arange(1, kk + 1, dtype=np.int64), B)),
+        })
+
+    return ds.select_columns([id_col, vec_col]).map_batches(
+        _scan, batch_format="pyarrow", batch_size=batch_size)
