@@ -2837,6 +2837,114 @@ SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_nodes FROM d GROUP BY 1
 """
 
 
+def q_weighted_sample(sf_dir: str):
+    """Deterministic A-Res weighted sample (top-50 by u^(1/w), u from
+    md5(doc_id), w = n_chars): per-batch local top-k, driver merges
+    O(batches x k) candidates, nothing shuffles."""
+    from kgray.stages.split import weighted_sample
+
+    return weighted_sample(_docs(sf_dir, ["doc_id", "n_chars"]),
+                           id_col="doc_id", weight_col="n_chars", k=50)
+
+
+SQL_WEIGHTED_SAMPLE = """
+WITH keyed AS (
+  SELECT doc_id, n_chars,
+    POWER(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+          / 1152921504606846976.0, 1.0 / n_chars) AS key
+  FROM documents WHERE n_chars > 0
+)
+SELECT doc_id, n_chars FROM keyed ORDER BY key DESC, doc_id LIMIT 50
+"""
+
+
+def q_vocab_build(sf_dir: str):
+    """Tokenizer vocabulary: distinct tokens -> (count, contiguous
+    frequency-ranked token_id) via the combiner token exchange + the
+    negated-count histogram rank (no global sort)."""
+    from kgray.stages.corpus import vocab_build
+
+    out = vocab_build(_docs(sf_dir, ["text"]))
+    return out.select_columns(["tok", "n", "token_id"])
+
+
+SQL_VOCAB_BUILD = """
+WITH toks AS (SELECT unnest(regexp_extract_all(text, '\\S+')) AS tok FROM documents),
+c AS (SELECT tok, COUNT(*) AS n FROM toks GROUP BY 1)
+SELECT tok, CAST(n AS BIGINT) AS n,
+  CAST(ROW_NUMBER() OVER (ORDER BY n DESC, tok) - 1 AS BIGINT) AS token_id
+FROM c
+"""
+
+
+def q_linear_fit(sf_dir: str):
+    """Per-returnflag least-squares fit of extendedprice on quantity:
+    regr_slope/regr_intercept from algebraic partials, O(groups) driver
+    fold, zero shuffles."""
+    from kgray.stages.relational import grouped_linear_fit
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+    )
+    return grouped_linear_fit(ds, "l_returnflag", "l_quantity", "l_extendedprice")
+
+
+SQL_LINEAR_FIT = """
+SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+  ROUND(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+  ROUND(regr_intercept(l_extendedprice, l_quantity), 6) AS intercept
+FROM lineitem GROUP BY 1
+"""
+
+
+def q_triangle_count(sf_dir: str):
+    """Exact triangle count of the user co-occurrence graph (users
+    sharing an (event_type, hour) bucket): pair generation and the
+    wedge-join each ride one combiner-fronted exchange."""
+    import pandas as pd
+
+    from kgray.kernels.hashagg import grouped_apply
+    from kgray.stages.graph import triangle_count
+
+    ds = _events(sf_dir, ["user_id", "event_type", "ts"])
+
+    def _bucket(df: "pd.DataFrame") -> "pd.DataFrame":
+        hr = df["ts"].to_numpy().view("int64") // 3_600_000_000
+        out = pd.DataFrame(
+            {"user_id": df["user_id"], "event_type": df["event_type"], "hr": hr}
+        )
+        return out.drop_duplicates()
+
+    def _pairs(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.drop_duplicates()
+        m = df.merge(df, on=["event_type", "hr"])
+        m = m[m["user_id_x"] < m["user_id_y"]]
+        return pd.DataFrame(
+            {"src": m["user_id_x"].to_numpy(), "dst": m["user_id_y"].to_numpy()}
+        ).drop_duplicates()
+
+    edges = grouped_apply(ds, ["event_type", "hr"], _pairs, map_side=_bucket)
+    return triangle_count(edges, "src", "dst")
+
+
+SQL_TRIANGLE_COUNT = """
+WITH b AS (
+  SELECT DISTINCT user_id, event_type,
+    CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hr
+  FROM events
+), e AS (
+  SELECT DISTINCT x.user_id AS a, y.user_id AS b2
+  FROM b x JOIN b y ON x.event_type = y.event_type AND x.hr = y.hr
+  WHERE x.user_id < y.user_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM e e1
+JOIN e e2 ON e2.a = e1.a AND e2.b2 > e1.b2
+JOIN e e3 ON e3.a = e1.b2 AND e3.b2 = e2.b2
+"""
+
+
 QUERIES = {
     "kgx_node_merge": q_kgx_node_merge,
     "kgx_edge_dedup": q_kgx_edge_dedup,
@@ -2928,6 +3036,10 @@ QUERIES = {
     "length_histogram": q_length_histogram,
     "knn_graph": q_knn_graph,
     "degree_distribution": q_degree_distribution,
+    "weighted_sample": q_weighted_sample,
+    "vocab_build": q_vocab_build,
+    "linear_fit": q_linear_fit,
+    "triangle_count": q_triangle_count,
 }
 
 ORACLES = {
@@ -3008,6 +3120,10 @@ ORACLES = {
     "length_histogram": SQL_LENGTH_HISTOGRAM,
     "knn_graph": SQL_KNN_GRAPH,
     "degree_distribution": SQL_DEGREE_DISTRIBUTION,
+    "weighted_sample": SQL_WEIGHTED_SAMPLE,
+    "vocab_build": SQL_VOCAB_BUILD,
+    "linear_fit": SQL_LINEAR_FIT,
+    "triangle_count": SQL_TRIANGLE_COUNT,
     # rows-only (non-SQL-expressible): ann_lsh (LSH recall is
     # probabilistic), construct_kg / extract_text (self-checking
     # against generator goldens), multimodal_features (decode stub)

@@ -994,3 +994,57 @@ def length_histogram(ds: Dataset, value_col: str, width: int,
     pruned = ds.select_columns([value_col])
     return grouped_apply(pruned, ["bucket"], _reduce, num_partitions=num_partitions,
                          map_side=_combine)
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary build (token -> contiguous frequency-ranked id)
+# ---------------------------------------------------------------------------
+
+def vocab_build(ds: Dataset, text_col: str = "text",
+                num_partitions: Optional[int] = None) -> Dataset:
+    """Tokenizer-vocabulary construction: every distinct ``\\S+`` token
+    with its corpus count and a contiguous 0-based ``token_id`` assigned
+    by (count desc, token asc) — the word↔id table an LLM data pipeline
+    materializes before numericalizing.
+
+    Scale shape: counts ride the combiner-fronted token exchange (only
+    distinct tokens move); the global rank then reuses
+    :func:`kgray.stages.split.value_rank`'s histogram trick keyed on
+    the NEGATED count — the count histogram folds to the driver
+    (O(distinct counts), tiny by Zipf), offsets broadcast, ONE more
+    exchange emits ranks. No global sort, no driver token table.
+    """
+    from kgray.stages.split import value_rank
+
+    if num_partitions is None:
+        num_partitions = auto_partitions()
+
+    def _count(t: pa.Table) -> pa.Table:
+        flat, _ = flat_words(t.column(text_col))
+        vc = pc.value_counts(flat)
+        if len(vc) == 0:
+            return pa.table({"tok": pa.array([], pa.string()), "n": pa.array([], pa.int64())})
+        return pa.table({"tok": vc.field("values"), "n": vc.field("counts")})
+
+    def _combine(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("tok", as_index=False, sort=False)["n"].sum()
+
+    def _reduce(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("tok", as_index=False, sort=False)["n"].sum()
+        out["neg_n"] = -out["n"].astype(np.int64)
+        return out
+
+    counted = ds.map_batches(_count, batch_format="pyarrow")
+    totals = grouped_apply(counted, ["tok"], _reduce,
+                           num_partitions=num_partitions, map_side=_combine)
+    ranked = value_rank(totals, value_col="neg_n", id_col="tok",
+                        rank_col="token_id", num_partitions=num_partitions)
+
+    def _out(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "tok": t.column("tok"),
+            "n": pc.negate(t.column("neg_n")).cast(pa.int64()),
+            "token_id": t.column("token_id"),
+        })
+
+    return ranked.map_batches(_out, batch_format="pyarrow")

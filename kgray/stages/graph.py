@@ -206,3 +206,74 @@ def degree_distribution(
 
     return grouped_apply(per_node, ["degree"], _reduce,
                          num_partitions=num_partitions, map_side=_combine)
+
+
+def triangle_count(
+    edges: Dataset,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    num_partitions=None,
+) -> "pa.Table":
+    """Exact global triangle count of an undirected graph — the
+    clustering-structure statistic (community density, spam-graph
+    detection) — via the classic wedge-join in TWO exchanges.
+
+    1. Exchange 1 (keyed by the lower endpoint ``a``): edges
+       canonicalize to a<b map-side (self-loops dropped, per-batch
+       dedup combiner); a partition holds every edge of its ``a`` keys,
+       so the in-partition dedup is global. Each partition then emits
+       its edges tagged kind=0 plus every wedge (b, c), b<c, from each
+       a's neighbor set (vectorized self-merge, no Python loop) tagged
+       kind=1.
+    2. Exchange 2 (keyed by the (x, y) pair): a triangle {a<b<c} is
+       counted exactly once — its wedge (b, c) generated at ``a`` meets
+       its closing edge (b, c). Per-partition count partials fold to
+       the driver (O(partitions) ints).
+
+    Scale note: wedge volume is Σ_a C(deg(a), 2) — the standard bound.
+    For skewed graphs the known upgrade is degree-ordered orientation
+    (generate wedges at the LOWEST-degree endpoint), which caps wedge
+    volume by arboricity; this implementation uses id-orientation,
+    which is exact and fine for bounded-degree graphs.
+    """
+    import pandas as pd
+
+    from kgray.kernels.hashagg import auto_partitions, grouped_apply
+
+    if num_partitions is None:
+        num_partitions = auto_partitions()
+
+    def _canon(df: pd.DataFrame) -> pd.DataFrame:
+        s = df[src_col].to_numpy()
+        d = df[dst_col].to_numpy()
+        a = np.minimum(s, d)
+        b = np.maximum(s, d)
+        out = pd.DataFrame({"a": a, "b": b})
+        return out[out["a"] != out["b"]].drop_duplicates()
+
+    def _wedges(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates()
+        m = df.merge(df, on="a")  # C hash join: all neighbor pairs per a
+        w = m[m["b_x"] < m["b_y"]]
+        wedges = pd.DataFrame({"x": w["b_x"].to_numpy(), "y": w["b_y"].to_numpy()})
+        wedges["kind"] = np.int8(1)
+        es = pd.DataFrame({"x": df["a"].to_numpy(), "y": df["b"].to_numpy()})
+        es["kind"] = np.int8(0)
+        return pd.concat([es, wedges], ignore_index=True)
+
+    tagged = grouped_apply(
+        edges.select_columns([src_col, dst_col]), ["a"], _wedges,
+        num_partitions=num_partitions, map_side=_canon,
+    )
+
+    def _close(df: pd.DataFrame) -> pd.DataFrame:
+        es = df[df["kind"] == 0][["x", "y"]].drop_duplicates()
+        ws = df[df["kind"] == 1].groupby(["x", "y"], sort=False).size().rename("n").reset_index()
+        n = int(ws.merge(es, on=["x", "y"])["n"].sum())
+        return pd.DataFrame({"n": [n]})
+
+    partials = grouped_apply(tagged, ["x", "y"], _close, num_partitions=num_partitions)
+    total = 0
+    for b in partials.iter_batches(batch_format="pandas"):
+        total += int(b["n"].sum())
+    return pa.table({"n_triangles": pa.array([total], pa.int64())})

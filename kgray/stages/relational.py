@@ -526,3 +526,59 @@ def grouped_corr(
     from kgray.kernels.hashagg import stable_round
     return tbl.set_column(idx, out_col,
                           stable_round(tbl.column(out_col).cast(pa.float64()), round_digits))
+
+
+def grouped_linear_fit(
+    ds: Dataset,
+    group_cols: Sequence[str] | str,
+    x_col: str,
+    y_col: str,
+    round_digits: int = 6,
+) -> pa.Table:
+    """Per-group simple linear regression (least squares): SQL's
+    ``regr_slope(y, x)`` / ``regr_intercept(y, x)`` from the same
+    algebraic partials as :func:`grouped_corr` — the distributed
+    closed-form fit behind per-segment trend features.
+
+    Scale shape: one map pass folds per-group ``(n, Σx, Σy, Σx², Σxy)``
+    to the driver — O(groups), no shuffle; slope = (nΣxy − ΣxΣy) /
+    (nΣx² − (Σx)²), intercept = (Σy − slope·Σx)/n.
+    """
+    group_cols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+
+    def _partials(df: pd.DataFrame) -> pd.DataFrame:
+        x = df[x_col].to_numpy(np.float64)
+        y = df[y_col].to_numpy(np.float64)
+        d = df[group_cols].copy(deep=False)
+        d["__x"], d["__y"], d["__xx"], d["__xy"] = x, y, x * x, x * y
+        g = d.groupby(group_cols, sort=False)
+        return g.agg(
+            n=("__x", "size"), sx=("__x", "sum"), sy=("__y", "sum"),
+            sxx=("__xx", "sum"), sxy=("__xy", "sum"),
+        ).reset_index()
+
+    stats: dict = {}
+    parts = ds.select_columns(group_cols + [x_col, y_col]).map_batches(
+        _partials, batch_format="pandas")
+    for b in parts.iter_batches(batch_format="pandas"):
+        for row in b.itertuples(index=False):
+            key = tuple(getattr(row, c) for c in group_cols)
+            n, sx, sy, sxx, sxy = stats.get(key, (0, 0.0, 0.0, 0.0, 0.0))
+            stats[key] = (n + row.n, sx + row.sx, sy + row.sy,
+                          sxx + row.sxx, sxy + row.sxy)
+    rows = []
+    for key in sorted(stats):
+        n, sx, sy, sxx, sxy = stats[key]
+        den = n * sxx - sx * sx
+        slope = (n * sxy - sx * sy) / den if den != 0 else None
+        intercept = (sy - slope * sx) / n if slope is not None else None
+        rows.append((*key, n, slope, intercept))
+    out = pd.DataFrame(rows, columns=group_cols + ["n_rows", "slope", "intercept"])
+    out["n_rows"] = out["n_rows"].astype(np.int64)
+    tbl = pa.Table.from_pandas(out, preserve_index=False)
+    from kgray.kernels.hashagg import stable_round
+    for c in ("slope", "intercept"):
+        idx = tbl.column_names.index(c)
+        tbl = tbl.set_column(idx, c, stable_round(tbl.column(c).cast(pa.float64()),
+                                                  round_digits))
+    return tbl

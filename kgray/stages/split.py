@@ -290,3 +290,59 @@ def value_rank(
 
     nparts = num_partitions or auto_partitions(src.size_bytes())
     return grouped_apply(src, [value_col], _rank, num_partitions=nparts)
+
+
+def weighted_sample(
+    ds: Dataset,
+    id_col: str,
+    weight_col: str,
+    k: int = 50,
+    salt: str = "",
+) -> "pa.Table":
+    """Deterministic weighted sampling without replacement (A-Res /
+    Efraimidis-Spirakis): each row gets key ``u ** (1 / w)`` where ``u``
+    is a uniform from ``md5(salt + str(id))`` and ``w`` its weight; the
+    global top-k keys ARE a weighted sample without replacement — the
+    data-mixing primitive for importance-weighted corpus subsetting.
+
+    Deterministic (hash-seeded, cluster-size-independent, rerunnable)
+    and SQL-expressible, so the driver oracle pins it exactly. Scale
+    shape: top-k is a monoid — each batch reduces to its local top-k
+    vectorized (one argpartition), the driver merges O(batches x k)
+    candidate rows, and nothing shuffles. Rows with weight <= 0 are
+    excluded (their key is ill-defined), matching the oracle's WHERE.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def _local_topk(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_pylist()
+        w = t.column(weight_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        codes, uniques = pd.factorize(np.asarray(ids, dtype=object))
+        hv = np.fromiter(
+            (int(hashlib.md5((salt + str(i)).encode("utf-8")).hexdigest()[:15], 16)
+             for i in uniques.tolist()),
+            dtype=np.int64, count=len(uniques),
+        )
+        u = hv[np.clip(codes, 0, None)].astype(np.float64) / float(1 << 60)
+        pos = w > 0
+        safe_w = np.where(pos, w, 1.0)
+        key = np.where(pos, u ** (1.0 / safe_w), -1.0)
+        kk = min(k, int(pos.sum()))
+        if kk == 0:
+            return pa.table({id_col: pa.array([], t.column(id_col).type),
+                             weight_col: pa.array([], t.column(weight_col).type),
+                             "__key": pa.array([], pa.float64())})
+        idx = np.argpartition(-key, kk - 1)[:kk]
+        return pa.table({
+            id_col: t.column(id_col).take(pa.array(idx)),
+            weight_col: t.column(weight_col).take(pa.array(idx)),
+            "__key": pa.array(key[idx], pa.float64()),
+        })
+
+    cand = ds.select_columns([id_col, weight_col]).map_batches(
+        _local_topk, batch_format="pyarrow").to_pandas()
+    cand = cand.sort_values(["__key", id_col], ascending=[False, True],
+                            kind="mergesort").head(k)
+    return pa.Table.from_pandas(
+        cand.drop(columns="__key").reset_index(drop=True), preserve_index=False)
