@@ -109,6 +109,21 @@ BENCH_QUERIES = [
     "zscore",
     "funnel",
     "curate_corpus",
+    "moving_average",
+    "retention_cohorts",
+    "mode_per_group",
+    "cube_agg",
+    "grouped_corr",
+    "linear_fit",
+    "topk_bigrams",
+    "keyword_search",
+    "vocab_build",
+    "knn_graph",
+    "weighted_sample",
+    "daily_active",
+    "revenue_by_nation",
+    "event_trigrams",
+    "embedding_centroids",
 ]
 
 

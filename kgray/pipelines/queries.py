@@ -2945,6 +2945,129 @@ JOIN e e3 ON e3.a = e1.b2 AND e3.b2 = e2.b2
 """
 
 
+def q_revenue_by_nation(sf_dir: str):
+    """TPC-H Q5-shaped star join: revenue per ASIA nation for 1996
+    orders where the supplier sits in the customer's nation. Join
+    strategy mixes the two scale tools deliberately: region+nation and
+    supplier broadcast (small dims, ray.put once, probed zero-copy);
+    orders⋈customer and lineitem⋈orders ride key exchanges; the date
+    filter prunes orders BEFORE its exchange; the final aggregate is a
+    map-side partial + tiny groupby."""
+    from datetime import datetime
+
+    from kgray.stages.relational import broadcast_join, hash_join
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    region = pq.read_table(f"{sf_dir}/region.parquet")
+    asia = nation.join(region.filter(pc.equal(region.column("r_name"), "ASIA")),
+                       keys="n_regionkey", right_keys="r_regionkey",
+                       join_type="inner").select(["n_nationkey", "n_name"])
+    supplier = pq.read_table(f"{sf_dir}/supplier.parquet",
+                             columns=["s_suppkey", "s_nationkey"])
+
+    lo, hi = datetime(1996, 1, 1), datetime(1997, 1, 1)
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(
+        lambda t: t.filter(pc.and_(pc.greater_equal(t.column("o_orderdate"), pa.scalar(lo)),
+                                   pc.less(t.column("o_orderdate"), pa.scalar(hi))))
+        .select(["o_orderkey", "o_custkey"]),
+        batch_format="pyarrow",
+    )
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey", "c_nationkey"]).map_batches(
+        lambda t: t.rename_columns(["o_custkey", "c_nationkey"]), batch_format="pyarrow")
+    # customers in ASIA only (pre-filter via the broadcast dim)
+    cust = broadcast_join(cust, asia.rename_columns(["c_nationkey", "n_name"]),
+                          on="c_nationkey", how="inner")
+    ord_c = hash_join(orders, cust, on="o_custkey", how="inner").map_batches(
+        lambda t: t.select(["o_orderkey", "c_nationkey", "n_name"])
+        .rename_columns(["l_orderkey", "c_nationkey", "n_name"]),
+        batch_format="pyarrow")
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+    joined = hash_join(li, ord_c, on="l_orderkey", how="inner")
+    joined = broadcast_join(joined, supplier.rename_columns(["l_suppkey", "s_nationkey"]),
+                            on="l_suppkey", how="inner")
+
+    def _partial(t: pa.Table) -> pa.Table:
+        keep = pc.equal(t.column("c_nationkey"), t.column("s_nationkey"))
+        t = t.filter(keep)
+        rev = pc.multiply(t.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0), t.column("l_discount")))
+        df = pd.DataFrame({"n_name": t.column("n_name").to_pandas(),
+                           "rev": rev.to_numpy(zero_copy_only=False)})
+        return pa.Table.from_pandas(
+            df.groupby("n_name", sort=False)["rev"].sum().rename("revenue").reset_index(),
+            preserve_index=False)
+
+    import pandas as pd
+
+    out = (joined.map_batches(_partial, batch_format="pyarrow")
+           .groupby("n_name").aggregate(Sum("revenue", alias_name="revenue")))
+    return out.map_batches(
+        lambda t: t.set_column(t.column_names.index("revenue"), "revenue",
+                               stable_round(t.column("revenue"), 2)),
+        batch_format="pyarrow")
+
+
+SQL_REVENUE_BY_NATION = """
+SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA' AND c_nationkey = s_nationkey
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+
+
+def q_embedding_centroids(sf_dir: str):
+    """Per-label mean embedding (class centroids), flattened to (label,
+    dim, mean_val): O(labels x d) partial sums fold to the driver, no
+    shuffle, one division at the end."""
+    from kgray.stages.cluster import label_centroids
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["label", "embedding"])
+    return label_centroids(ds)
+
+
+SQL_EMBEDDING_CENTROIDS = """
+SELECT label, i AS dim, ROUND(AVG(embedding[i]), 6) AS mean_val
+FROM embeddings, UNNEST(generate_series(1, 64)) t(i)
+GROUP BY 1, 2
+"""
+
+
+def q_event_trigrams(sf_dir: str):
+    """Top-10 per-user event-type trigrams (time-ordered behavioral
+    n-grams): one user exchange + shifted-view gram build, counts ride
+    the combiner exchange with exact per-partition top-k."""
+    from kgray.stages.analytics import event_ngrams
+
+    return event_ngrams(_events(sf_dir, ["user_id", "ts", "event_id", "event_type"]),
+                        key="user_id", order_cols=["ts", "event_id"],
+                        value_col="event_type", n=3, k=10)
+
+
+SQL_EVENT_TRIGRAMS = """
+WITH s AS (
+  SELECT user_id, event_type,
+    LEAD(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e2,
+    LEAD(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e3
+  FROM events
+)
+SELECT event_type || '>' || e2 || '>' || e3 AS gram, COUNT(*) AS n
+FROM s WHERE e3 IS NOT NULL
+GROUP BY 1 ORDER BY n DESC, gram LIMIT 10
+"""
+
+
 QUERIES = {
     "kgx_node_merge": q_kgx_node_merge,
     "kgx_edge_dedup": q_kgx_edge_dedup,
@@ -3040,6 +3163,9 @@ QUERIES = {
     "vocab_build": q_vocab_build,
     "linear_fit": q_linear_fit,
     "triangle_count": q_triangle_count,
+    "revenue_by_nation": q_revenue_by_nation,
+    "embedding_centroids": q_embedding_centroids,
+    "event_trigrams": q_event_trigrams,
 }
 
 ORACLES = {
@@ -3124,6 +3250,9 @@ ORACLES = {
     "vocab_build": SQL_VOCAB_BUILD,
     "linear_fit": SQL_LINEAR_FIT,
     "triangle_count": SQL_TRIANGLE_COUNT,
+    "revenue_by_nation": SQL_REVENUE_BY_NATION,
+    "embedding_centroids": SQL_EMBEDDING_CENTROIDS,
+    "event_trigrams": SQL_EVENT_TRIGRAMS,
     # rows-only (non-SQL-expressible): ann_lsh (LSH recall is
     # probabilistic), construct_kg / extract_text (self-checking
     # against generator goldens), multimodal_features (decode stub)

@@ -237,3 +237,66 @@ def mode_per_group(
     return grouped_apply(
         pruned, [key], _reduce, num_partitions=num_partitions, map_side=_combine
     )
+
+
+def event_ngrams(
+    ds: Dataset,
+    key: str,
+    order_cols: Sequence[str],
+    value_col: str,
+    n: int = 3,
+    k: int = 10,
+    sep: str = ">",
+    num_partitions: Optional[int] = None,
+) -> pa.Table:
+    """Top-k most frequent length-``n`` event-type sequences per the
+    corpus (behavioral n-grams over each entity's time-ordered stream)
+    — the sequence-mining primitive behind next-action models and
+    funnel discovery. Ties break lexicographically.
+
+    Scale shape: one hash exchange on the entity key; inside each
+    partition the stream sorts once (mergesort) and the n-gram strings
+    come from n shifted views joined vectorized — grams never cross an
+    entity boundary. Counts then ride the same combiner-fronted
+    exchange + exact per-partition top-k as ``topk_tokens``.
+    """
+    order_cols = list(order_cols)
+    if num_partitions is None:
+        num_partitions = auto_partitions()
+
+    def _grams(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key, *order_cols], kind="mergesort").reset_index(drop=True)
+        vals = df[value_col].astype(str).to_numpy(dtype=object)
+        gid = df[key].to_numpy()
+        gram = vals.copy()
+        same = np.ones(len(df), dtype=bool)
+        for j in range(1, n):
+            shifted = np.empty_like(vals)
+            shifted[:-j] = vals[j:]
+            shifted[-j:] = ""
+            gid_ok = np.zeros(len(df), dtype=bool)
+            gid_ok[:-j] = gid[j:] == gid[:-j]
+            same &= gid_ok
+            gram = np.char.add(np.char.add(gram.astype(str), sep), shifted.astype(str))
+        g = pd.DataFrame({"gram": gram[same]})
+        return g.groupby("gram", sort=False).size().rename("n").reset_index()
+
+    per_entity = grouped_apply(
+        ds.select_columns([key, *order_cols, value_col]), [key], _grams,
+        num_partitions=num_partitions,
+    )
+
+    def _combine(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("gram", as_index=False, sort=False)["n"].sum()
+
+    def _reduce(df: pd.DataFrame) -> pd.DataFrame:
+        agg = df.groupby("gram", as_index=False, sort=False)["n"].sum()
+        agg = agg.sort_values(["n", "gram"], ascending=[False, True], kind="mergesort")
+        return agg.head(k)
+
+    partial = grouped_apply(per_entity, ["gram"], _reduce,
+                            num_partitions=num_partitions, map_side=_combine)
+    top = partial.to_pandas().sort_values(
+        ["n", "gram"], ascending=[False, True], kind="mergesort").head(k)
+    top["n"] = top["n"].astype(np.int64)
+    return pa.Table.from_pandas(top.reset_index(drop=True), preserve_index=False)

@@ -246,3 +246,63 @@ def semantic_dedup(
         return pd.concat(out) if out else pd.DataFrame({id_col: df[id_col].iloc[:0]})
 
     return grouped_apply(tagged, ["cluster"], _dedup_part, num_partitions=nparts)
+
+
+def label_centroids(
+    ds,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+):
+    """Per-label mean embedding (class centroids) — the prototype
+    vectors behind nearest-centroid classifiers, SemDeDup cluster
+    summaries and drift monitors. Output: one row per (label, dim)
+    with the mean value, 1-based ``dim`` (SQL array indexing).
+
+    Scale shape: each batch folds to one (d,) sum + count per label —
+    O(labels × d) driver state, no shuffle; dividing once at the end
+    keeps the float behavior identical to a single AVG.
+    """
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from kgray.kernels.hashagg import stable_round
+
+    def _partials(t: pa.Table) -> pa.Table:
+        vecs = np.asarray(t.column(vec_col).to_pylist(), dtype=np.float64)
+        labels = t.column(label_col).to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(uniq), vecs.shape[1] if vecs.ndim == 2 else 0))
+        np.add.at(sums, inv, vecs)
+        counts = np.bincount(inv, minlength=len(uniq))
+        return pa.table({
+            "label": pa.array(uniq),
+            "sum": pa.array(list(sums), type=pa.list_(pa.float64())),
+            "n": pa.array(counts, type=pa.int64()),
+        })
+
+    acc: dict = {}
+    for b in ds.select_columns([label_col, vec_col]).map_batches(
+            _partials, batch_format="pyarrow").iter_batches(batch_format="pyarrow"):
+        ls = b.column("label").to_pylist()
+        ss = b.column("sum").to_pylist()
+        ns = b.column("n").to_pylist()
+        for l, s, n in zip(ls, ss, ns):
+            if l in acc:
+                acc[l] = (acc[l][0] + np.asarray(s), acc[l][1] + n)
+            else:
+                acc[l] = (np.asarray(s, dtype=np.float64), n)
+    rows_label, rows_dim, rows_val = [], [], []
+    for l in sorted(acc):
+        s, n = acc[l]
+        m = s / n
+        rows_label.extend([l] * len(m))
+        rows_dim.extend(range(1, len(m) + 1))
+        rows_val.extend(m.tolist())
+    t = pa.table({
+        "label": pa.array(rows_label),
+        "dim": pa.array(rows_dim, type=pa.int64()),
+        "mean_val": pa.array(rows_val, type=pa.float64()),
+    })
+    return t.set_column(2, "mean_val", stable_round(t.column("mean_val"), round_digits))
