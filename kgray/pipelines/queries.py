@@ -3068,6 +3068,45 @@ GROUP BY 1 ORDER BY n DESC, gram LIMIT 10
 """
 
 
+def q_edit_distance_pairs(sf_dir: str):
+    """Fuzzy short-string self-join: pairs of 12-char document key
+    prefixes within Levenshtein distance 1, over the corpus keys plus
+    a deterministically mutated copy (char 6 substituted, ids +100000)
+    so true near-matches exist at every scale. Oracled by DuckDB's
+    exact ``levenshtein`` cross join."""
+    from kgray.stages.joins import edit_distance_pairs
+
+    def _keys(t: pa.Table) -> pa.Table:
+        long_enough = pc.greater_equal(pc.utf8_length(t.column("text")), 12)
+        t = t.filter(long_enough)
+        k = pc.utf8_lower(pc.utf8_slice_codeunits(t.column("text"), 0, 12))
+        mut = pc.binary_join_element_wise(
+            pc.utf8_slice_codeunits(k, 0, 5), "x", pc.utf8_slice_codeunits(k, 6, 12), ""
+        )
+        ids = t.column("doc_id")
+        return pa.concat_tables([
+            pa.table({"doc_id": ids, "k": k}),
+            pa.table({"doc_id": pc.add(ids, 100000), "k": mut}),
+        ])
+
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(_keys, batch_format="pyarrow")
+    return edit_distance_pairs(ds, text_col="k", id_col="doc_id")
+
+
+SQL_EDIT_DISTANCE_PAIRS = """
+WITH base AS (
+  SELECT doc_id, lower(substr(text, 1, 12)) AS k
+  FROM documents WHERE length(text) >= 12
+), allk AS (
+  SELECT doc_id, k FROM base
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, substr(k, 1, 5) || 'x' || substr(k, 7) AS k FROM base
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b
+FROM allk a JOIN allk b ON a.doc_id < b.doc_id AND levenshtein(a.k, b.k) <= 1
+"""
+
+
 QUERIES = {
     "kgx_node_merge": q_kgx_node_merge,
     "kgx_edge_dedup": q_kgx_edge_dedup,
@@ -3166,6 +3205,7 @@ QUERIES = {
     "revenue_by_nation": q_revenue_by_nation,
     "embedding_centroids": q_embedding_centroids,
     "event_trigrams": q_event_trigrams,
+    "edit_distance_pairs": q_edit_distance_pairs,
 }
 
 ORACLES = {
@@ -3253,6 +3293,7 @@ ORACLES = {
     "revenue_by_nation": SQL_REVENUE_BY_NATION,
     "embedding_centroids": SQL_EMBEDDING_CENTROIDS,
     "event_trigrams": SQL_EVENT_TRIGRAMS,
+    "edit_distance_pairs": SQL_EDIT_DISTANCE_PAIRS,
     # rows-only (non-SQL-expressible): ann_lsh (LSH recall is
     # probabilistic), construct_kg / extract_text (self-checking
     # against generator goldens), multimodal_features (decode stub)

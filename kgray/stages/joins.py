@@ -239,3 +239,159 @@ def range_join(
     return grouped_apply(
         tagged, ["__bucket"], _match, num_partitions=num_partitions, map_format="pyarrow"
     )
+
+def edit_distance_pairs(
+    ds: Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_postings: int = 2000,
+    num_partitions: Optional[int] = None,
+) -> Dataset:
+    """EXACT edit-distance-≤1 similarity self-join: every pair
+    ``(id_a < id_b)`` whose strings are within Levenshtein distance 1
+    (including exact duplicates). The short-string member of the
+    similarity-join family (entity names, codes, titles, URL slugs) —
+    the fuzzy-matching primitive the reference's CURIE-prefix matching
+    (reference duplicate_utils.py) stops short of.
+
+    Deletion-neighborhood blocking (SymSpell / FastSS shape, public):
+    each string emits its identity key plus every single-character-
+    deletion variant. Any pair with ed ≤ 1 shares at least one key
+    (substitution at i ⇒ equal del_i variants; insert/delete ⇒ the
+    longer string's deletion variant equals the shorter string), so the
+    block is COMPLETE; sharing a key is not sufficient ("ab"/"ba"), so
+    candidates are verified exactly.
+
+    Distributed shape:
+
+    1. map (vectorized): per deletion position ``p`` a pandas C-speed
+       ``str.slice(0,p) + str.slice(p+1)`` over the whole batch; all
+       variants hashed once with ``pd.util.hash_array`` → rows
+       ``(kh, id, s)``. O(L) key expansion — sized for short strings
+       (the operator's domain), NOT whole documents.
+    2. exchange on ``kh``: per-partition postings self-merge (id_a <
+       id_b), postings lists > ``max_postings`` skipped AND logged
+       (a hot key is a degenerate token), in-partition pair dedup,
+       then vectorized byte-matrix verification: equal-length pairs
+       count positional mismatches; length-diff-1 pairs check the
+       one-gap alignment via a prefix-mismatch index + shifted-suffix
+       compare. No per-pair Python DP.
+    3. exchange on ``(id_a, id_b)``: global pair distinct (the same
+       pair can surface under several keys in different partitions).
+
+    Partitioning assumption: one key-hash partition's postings fit a
+    worker's heap; ``num_partitions`` auto-sizes from input bytes.
+    """
+    import logging
+
+    logger = logging.getLogger(__name__)
+
+    if num_partitions is None:
+        num_partitions = auto_partitions()
+
+    def _emit(t: pa.Table) -> pa.Table:
+        s = t.column(text_col).to_pandas().astype(object)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        valid = s.notna().to_numpy()
+        s, ids = s[valid].reset_index(drop=True), ids[valid]
+        n = len(s)
+        id_type = t.column(id_col).type
+        if n == 0:
+            return pa.table(
+                {
+                    "kh": pa.array([], type=pa.uint64()),
+                    "id": pa.array([], type=id_type),
+                    "s": pa.array([], type=pa.string()),
+                }
+            )
+        lens = s.str.len().to_numpy()
+        variants = [s]  # identity key
+        rowsel = [np.arange(n)]
+        for p in range(int(lens.max())):
+            has = lens > p
+            if not has.any():
+                break
+            sp = s[has]
+            variants.append(sp.str.slice(0, p) + sp.str.slice(p + 1))
+            rowsel.append(np.flatnonzero(has))
+        flat = pd.concat(variants, ignore_index=True)
+        rows = np.concatenate(rowsel)
+        kh = pd.util.hash_array(flat.to_numpy())
+        return pa.table(
+            {
+                "kh": pa.array(kh),
+                "id": pa.array(ids[rows], type=id_type),
+                "s": pa.array(np.asarray(s, dtype=object)[rows], type=pa.string()),
+            }
+        )
+
+    posted = ds.select_columns([id_col, text_col]).map_batches(_emit, batch_format="pyarrow")
+
+    def _verify(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        """Vectorized ed≤1 check for two same-shape object arrays of
+        strings; returns a boolean mask. Strings are padded into fixed-
+        width little-endian uint32 codepoint matrices (NUL padding —
+        NUL inside a value would alias, documented)."""
+        if len(a) == 0:
+            return np.zeros(0, dtype=bool)
+        la = np.fromiter((len(x) for x in a), count=len(a), dtype=np.int64)
+        lb = np.fromiter((len(x) for x in b), count=len(b), dtype=np.int64)
+        ok = np.zeros(len(a), dtype=bool)
+        diff = la - lb
+        # Equal length: substitution — positional mismatches ≤ 1.
+        eqm = diff == 0
+        if eqm.any():
+            W = max(1, int(la[eqm].max()))
+            A = np.asarray(a[eqm], dtype=f"<U{W}").view(np.uint32).reshape(-1, W)
+            B = np.asarray(b[eqm], dtype=f"<U{W}").view(np.uint32).reshape(-1, W)
+            ok[eqm] = (A != B).sum(axis=1) <= 1
+        # Length differs by 1: one-gap alignment of the longer over the
+        # shorter. p = first mismatch; suffix must match shifted by 1.
+        for sign in (1, -1):
+            dm = diff == sign
+            if not dm.any():
+                continue
+            lo, sh = (a[dm], b[dm]) if sign == 1 else (b[dm], a[dm])
+            L = int(max(len(x) for x in lo))
+            Wl = max(1, L)
+            A = np.asarray(lo, dtype=f"<U{Wl}").view(np.uint32).reshape(-1, Wl)
+            B = np.asarray(sh, dtype=f"<U{Wl}").view(np.uint32).reshape(-1, Wl)
+            ne = A != B
+            p = np.where(ne.any(axis=1), ne.argmax(axis=1), Wl)
+            if Wl > 1:
+                eq_shift = A[:, 1:] == B[:, :-1]
+                cols = np.arange(Wl - 1)
+                ok[dm] = np.all(eq_shift | (cols[None, :] < p[:, None]), axis=1)
+            else:
+                ok[dm] = True
+        return ok
+
+    def _candidates(part: pd.DataFrame) -> pd.DataFrame:
+        cnt = part.groupby("kh")["kh"].transform("size")
+        over = cnt > max_postings
+        if over.any():
+            sizes = part.loc[over].groupby("kh")["kh"].size()
+            logger.warning(
+                "edit_distance_pairs: skipped %d oversized postings lists "
+                "(> %d entries; sizes %s) — pairs joined only by those keys are lost",
+                len(sizes), max_postings, sorted(sizes.tolist(), reverse=True)[:10],
+            )
+        part = part[(cnt >= 2) & ~over]
+        m = part.merge(part, on="kh", suffixes=("_a", "_b"))
+        m = m[m["id_a"] < m["id_b"]]
+        m = m.drop_duplicates(subset=["id_a", "id_b"])
+        if len(m) == 0:
+            return pd.DataFrame({"id_a": m["id_a"], "id_b": m["id_b"]})
+        keep = _verify(m["s_a"].to_numpy(), m["s_b"].to_numpy())
+        return m.loc[keep, ["id_a", "id_b"]]
+
+    cand = grouped_apply(posted, ["kh"], _candidates, num_partitions=num_partitions)
+
+    def _distinct(part: pd.DataFrame) -> pd.DataFrame:
+        return part.drop_duplicates(subset=["id_a", "id_b"])
+
+    return grouped_apply(
+        cand, ["id_a", "id_b"], _distinct,
+        num_partitions=max(2, num_partitions // 4),
+        map_side=_distinct,
+    )

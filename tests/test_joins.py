@@ -196,3 +196,46 @@ def test_range_join_bound_collision_raises(ray_session):
             lo_col="lo",
             hi_col="hi",
         )
+
+
+def test_edit_distance_pairs_vs_duckdb(ray_session):
+    """Randomized check vs DuckDB's exact levenshtein: substitutions,
+    insertions, deletions, exact dups, and ed=2 decoys all covered."""
+    import random
+    import string
+
+    import duckdb
+
+    from kgray.stages.joins import edit_distance_pairs
+
+    random.seed(7)
+    rows, i = [], 0
+    for _ in range(250):
+        s = "".join(random.choices(string.ascii_lowercase, k=random.randint(1, 14)))
+        rows.append((i, s)); i += 1
+        r = random.random()
+        if r < 0.25:
+            p = random.randrange(len(s))
+            rows.append((i, s[:p] + random.choice(string.ascii_lowercase) + s[p + 1:])); i += 1
+        elif r < 0.45:
+            p = random.randrange(len(s))
+            rows.append((i, s[:p] + s[p + 1:])); i += 1
+        elif r < 0.65:
+            p = random.randrange(len(s) + 1)
+            rows.append((i, s[:p] + random.choice(string.ascii_lowercase) + s[p:])); i += 1
+        elif r < 0.75:
+            rows.append((i, s)); i += 1
+        elif r < 0.9:
+            t = list(s + "QZ")
+            rows.append((i, "".join(t[::-1]))); i += 1
+    df = pd.DataFrame(rows, columns=["doc_id", "text"])
+    got = (
+        edit_distance_pairs(ray.data.from_pandas(df), num_partitions=4)
+        .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    )
+    exp = duckdb.sql(
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM df a JOIN df b "
+        "ON a.doc_id < b.doc_id AND levenshtein(a.text, b.text) <= 1 ORDER BY 1, 2"
+    ).df()
+    assert got.astype("int64").equals(exp.astype("int64"))
+    assert len(exp) > 100
