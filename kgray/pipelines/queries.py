@@ -3107,6 +3107,111 @@ FROM allk a JOIN allk b ON a.doc_id < b.doc_id AND levenshtein(a.k, b.k) <= 1
 """
 
 
+def _orders_custkeys(sf_dir: str, status: str) -> Dataset:
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderstatus"]
+    )
+    return ds.filter(expr=f"o_orderstatus == '{status}'").select_columns(["o_custkey"])
+
+
+def q_set_intersect(sf_dir: str):
+    """ANSI INTERSECT: customers with BOTH a finished and an open
+    order — one side-tagged whole-row exchange with map-side distinct
+    combiners."""
+    from kgray.stages.relational import set_op
+
+    return set_op(_orders_custkeys(sf_dir, "F"), _orders_custkeys(sf_dir, "O"), how="intersect")
+
+
+SQL_SET_INTERSECT = """
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+"""
+
+
+def q_set_except(sf_dir: str):
+    """ANSI EXCEPT: customers with a finished order and no open one."""
+    from kgray.stages.relational import set_op
+
+    return set_op(_orders_custkeys(sf_dir, "F"), _orders_custkeys(sf_dir, "O"), how="except")
+
+
+SQL_SET_EXCEPT = """
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+"""
+
+
+def q_grouped_rank(sf_dir: str):
+    """Tie-aware RANK / DENSE_RANK per order by quantity (descending):
+    the window-function family member row_number shapes can't express."""
+    from kgray.stages.relational import grouped_rank
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_quantity"],
+    )
+    return grouped_rank(ds, key="l_orderkey", order_col="l_quantity", ascending=False)
+
+
+SQL_GROUPED_RANK = """
+SELECT l_orderkey, l_linenumber, l_quantity,
+  RANK() OVER (PARTITION BY l_orderkey ORDER BY l_quantity DESC) AS rnk,
+  DENSE_RANK() OVER (PARTITION BY l_orderkey ORDER BY l_quantity DESC) AS dense_rnk
+FROM lineitem
+"""
+
+
+def q_big_orders(sf_dir: str):
+    """TPC-H-Q18-shaped composition (large-volume customers): map-side
+    partial SUM(l_quantity) per order → one orderkey exchange finishing
+    the sum → HAVING filter (sum > 200) → distributed hash join back
+    to orders (survivor count scales with the data, so no broadcast).
+    The big table moves once, pre-combined; the join ships only
+    survivors."""
+    import pandas as pd
+
+    from kgray.kernels.hashagg import auto_partitions, grouped_apply
+    from kgray.stages.relational import hash_join
+
+    def _partial(t: pa.Table) -> pa.Table:
+        g = (
+            pd.DataFrame({
+                "o_orderkey": t.column("l_orderkey").to_numpy(),
+                "sum_qty": t.column("l_quantity").to_numpy(),
+            })
+            .groupby("o_orderkey", sort=False)["sum_qty"].sum().reset_index()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"]
+    ).map_batches(_partial, batch_format="pyarrow")
+
+    def _having(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.groupby("o_orderkey", sort=False)["sum_qty"].sum().reset_index()
+        return g[g["sum_qty"] > 200.0]
+
+    big = grouped_apply(li, ["o_orderkey"], _having, num_partitions=auto_partitions())
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+    return hash_join(orders, big, on="o_orderkey", how="inner")
+
+
+SQL_BIG_ORDERS = """
+SELECT o.o_orderkey, o.o_custkey, o.o_orderdate, o.o_totalprice, s.sum_qty
+FROM orders o
+JOIN (
+  SELECT l_orderkey AS o_orderkey, SUM(l_quantity) AS sum_qty
+  FROM lineitem GROUP BY 1 HAVING SUM(l_quantity) > 200
+) s USING (o_orderkey)
+"""
+
+
 QUERIES = {
     "kgx_node_merge": q_kgx_node_merge,
     "kgx_edge_dedup": q_kgx_edge_dedup,
@@ -3206,6 +3311,10 @@ QUERIES = {
     "embedding_centroids": q_embedding_centroids,
     "event_trigrams": q_event_trigrams,
     "edit_distance_pairs": q_edit_distance_pairs,
+    "set_intersect": q_set_intersect,
+    "set_except": q_set_except,
+    "grouped_rank": q_grouped_rank,
+    "big_orders": q_big_orders,
 }
 
 ORACLES = {
@@ -3294,6 +3403,10 @@ ORACLES = {
     "embedding_centroids": SQL_EMBEDDING_CENTROIDS,
     "event_trigrams": SQL_EVENT_TRIGRAMS,
     "edit_distance_pairs": SQL_EDIT_DISTANCE_PAIRS,
+    "set_intersect": SQL_SET_INTERSECT,
+    "set_except": SQL_SET_EXCEPT,
+    "grouped_rank": SQL_GROUPED_RANK,
+    "big_orders": SQL_BIG_ORDERS,
     # rows-only (non-SQL-expressible): ann_lsh (LSH recall is
     # probabilistic), construct_kg / extract_text (self-checking
     # against generator goldens), multimodal_features (decode stub)

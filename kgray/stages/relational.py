@@ -582,3 +582,84 @@ def grouped_linear_fit(
         tbl = tbl.set_column(idx, c, stable_round(tbl.column(c).cast(pa.float64()),
                                                   round_digits))
     return tbl
+
+
+def set_op(
+    left: Dataset,
+    right: Dataset,
+    how: str = "intersect",
+    num_partitions: Optional[int] = None,
+) -> Dataset:
+    """SQL set operations on whole rows: ``INTERSECT`` / ``EXCEPT``
+    (both DISTINCT semantics, as in ANSI SQL). ``UNION`` needs no
+    operator (``Dataset.union`` + :func:`whole-row dedup`); these two
+    need co-location of equal rows from BOTH inputs, so they are one
+    side-tagged hash exchange on all columns.
+
+    Scale shape: map side pre-dedups each batch per side (combiner —
+    at most one row per (side, row-value) leaves each batch), then the
+    exchange co-locates equal rows; the reduce is a vectorized
+    per-partition groupby on the row value. NULLs compare equal within
+    a column, matching SQL set-op (NOT join) semantics.
+    """
+    how = how.lower()
+    if how not in ("intersect", "except"):
+        raise ValueError(f"set_op: how must be 'intersect' or 'except', got {how!r}")
+    if num_partitions is None:
+        num_partitions = auto_partitions()
+    cols = left.schema().names
+    if right.schema().names != cols:
+        raise ValueError(
+            f"set_op: column mismatch {cols} vs {right.schema().names}"
+        )
+    _SIDE = "__setop_side"
+
+    def _tag(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            # Map-side combiner: per-batch distinct before the shuffle.
+            df = t.to_pandas().drop_duplicates()
+            df[_SIDE] = np.int8(side)
+            return pa.Table.from_pandas(df, preserve_index=False)
+        return fn
+
+    tagged = left.map_batches(_tag(0), batch_format="pyarrow").union(
+        right.map_batches(_tag(1), batch_format="pyarrow")
+    )
+
+    def _reduce(part: pd.DataFrame) -> pd.DataFrame:
+        sides = part.groupby(cols, dropna=False, sort=False)[_SIDE].agg(["min", "max"])
+        if how == "intersect":
+            keep = sides[(sides["min"] == 0) & (sides["max"] == 1)]
+        else:
+            keep = sides[sides["max"] == 0]
+        return keep.reset_index()[cols]
+
+    return grouped_apply(tagged, cols, _reduce, num_partitions=num_partitions)
+
+
+def grouped_rank(
+    ds: Dataset,
+    key: str,
+    order_col: str,
+    ascending: bool = True,
+    num_partitions: Optional[int] = None,
+) -> Dataset:
+    """Per-group ``RANK`` and ``DENSE_RANK`` (tie-aware, unlike the
+    row_number shapes in sessionize/value_rank): one exchange on
+    ``key``, per-partition vectorized ``pd.Series.rank(method='min')``
+    / ``rank(method='dense')`` inside each group.
+
+    Partitioning assumption: one key's rows fit a worker's heap (the
+    standard grouped-window assumption documented across this module).
+    """
+    if num_partitions is None:
+        num_partitions = auto_partitions()
+
+    def _reduce(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.groupby(key, sort=False)[order_col]
+        part = part.copy(deep=False)
+        part["rnk"] = g.rank(method="min", ascending=ascending).astype("int64")
+        part["dense_rnk"] = g.rank(method="dense", ascending=ascending).astype("int64")
+        return part
+
+    return grouped_apply(ds, [key], _reduce, num_partitions=num_partitions)

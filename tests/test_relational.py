@@ -145,3 +145,54 @@ def test_rollup_three_levels_vs_duckdb(ray_session):
         want[key + ["n_rows", "sum_value"]].fillna("~"),
         check_dtype=False,
     )
+
+
+def test_set_op_vs_duckdb(ray_session):
+    import duckdb
+
+    from kgray.stages.relational import set_op
+
+    rng = np.random.default_rng(11)
+    a = pd.DataFrame({"k": rng.integers(0, 40, 300), "v": rng.integers(0, 3, 300)})
+    b = pd.DataFrame({"k": rng.integers(20, 60, 300), "v": rng.integers(0, 3, 300)})
+    for how, sql in (("intersect", "INTERSECT"), ("except", "EXCEPT")):
+        got = (
+            set_op(ray.data.from_pandas(a), ray.data.from_pandas(b), how=how, num_partitions=4)
+            .to_pandas().sort_values(["k", "v"]).reset_index(drop=True)
+        )
+        exp = duckdb.sql(
+            f"SELECT k, v FROM a {sql} SELECT k, v FROM b ORDER BY 1, 2"
+        ).df()
+        assert got.astype("int64").equals(exp.astype("int64")), how
+
+
+def test_set_op_column_mismatch_raises(ray_session):
+    from kgray.stages.relational import set_op
+
+    a = ray.data.from_pandas(pd.DataFrame({"k": [1]}))
+    b = ray.data.from_pandas(pd.DataFrame({"x": [1]}))
+    with pytest.raises(ValueError, match="column mismatch"):
+        set_op(a, b)
+
+
+def test_grouped_rank_vs_duckdb(ray_session):
+    import duckdb
+
+    from kgray.stages.relational import grouped_rank
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame({
+        "g": rng.integers(0, 25, 500),
+        "i": np.arange(500),
+        "x": rng.integers(0, 8, 500),  # small domain → plenty of ties
+    })
+    got = (
+        grouped_rank(ray.data.from_pandas(df), key="g", order_col="x", num_partitions=4)
+        .to_pandas().sort_values(["g", "i"]).reset_index(drop=True)
+    )
+    exp = duckdb.sql(
+        "SELECT g, i, x, RANK() OVER (PARTITION BY g ORDER BY x) AS rnk, "
+        "DENSE_RANK() OVER (PARTITION BY g ORDER BY x) AS dense_rnk "
+        "FROM df ORDER BY g, i"
+    ).df()
+    assert got[["g", "i", "x", "rnk", "dense_rnk"]].astype("int64").equals(exp.astype("int64"))
