@@ -3212,6 +3212,101 @@ JOIN (
 """
 
 
+def q_dup_spans(sf_dir: str):
+    """Span-level exact-substring duplicate flagging: every word-5-gram
+    occurrence whose gram repeats anywhere in the corpus."""
+    from kgray.stages.corpus import dup_spans
+
+    return dup_spans(_docs(sf_dir, ["doc_id", "text"]), n=5)
+
+
+SQL_DUP_SPANS = """
+WITH words AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM documents
+), g AS (
+  SELECT doc_id, i - 1 AS pos,
+    w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] AS gram
+  FROM words, UNNEST(generate_series(1, len(w) - 4)) t(i)
+)
+SELECT doc_id, pos FROM g
+WHERE gram IN (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) > 1)
+"""
+
+
+def q_pmi_bigrams(sf_dir: str):
+    """Top-20 bigram collocations by PMI (support floor 5)."""
+    from kgray.stages.corpus import pmi_topk
+
+    return pmi_topk(_docs(sf_dir, ["text"]), k=20, min_count=5)
+
+
+SQL_PMI_BIGRAMS = """
+WITH words AS (
+  SELECT regexp_extract_all(text, '\\S+') AS w FROM documents
+), tok AS (
+  SELECT w[i] AS word FROM words, UNNEST(generate_series(1, len(w))) t(i)
+), uni AS (
+  SELECT word, COUNT(*) AS c FROM tok GROUP BY 1
+), big AS (
+  SELECT w[i] AS w1, w[i+1] AS w2, COUNT(*) AS c
+  FROM words, UNNEST(generate_series(1, len(w) - 1)) t(i) GROUP BY 1, 2
+), tot AS (
+  SELECT (SELECT SUM(c) FROM uni) AS n_words, (SELECT SUM(c) FROM big) AS n_bigrams
+)
+SELECT b.w1 || ' ' || b.w2 AS gram, b.c AS n,
+  ROUND(LN((CAST(b.c AS DOUBLE) / CAST(t.n_bigrams AS DOUBLE))
+           / ((CAST(a.c AS DOUBLE) / CAST(t.n_words AS DOUBLE))
+              * (CAST(c2.c AS DOUBLE) / CAST(t.n_words AS DOUBLE)))), 6) AS pmi
+FROM big b
+CROSS JOIN tot t
+JOIN uni a ON a.word = b.w1
+JOIN uni c2 ON c2.word = b.w2
+WHERE b.c >= 5
+ORDER BY pmi DESC, gram
+LIMIT 20
+"""
+
+
+def q_bm25_search(sf_dir: str):
+    """BM25 top-10 against a fixed 3-term query."""
+    from kgray.stages.corpus import bm25_topk
+
+    return bm25_topk(_docs(sf_dir, ["doc_id", "text"]),
+                     terms=["join", "hash", "customer"], k=10)
+
+
+SQL_BM25_SEARCH = """
+WITH words AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM documents
+), d AS (
+  SELECT doc_id, len(w) AS dl,
+    len(list_filter(w, x -> x = 'join')) AS tf0,
+    len(list_filter(w, x -> x = 'hash')) AS tf1,
+    len(list_filter(w, x -> x = 'customer')) AS tf2
+  FROM words
+), s AS (
+  SELECT COUNT(*) AS n,
+    SUM(CAST(dl AS DOUBLE)) / COUNT(*) AS avgdl,
+    SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+    SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+    SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+  FROM d
+), scored AS (
+  SELECT doc_id, ROUND(
+      LN(1.0::DOUBLE + (s.n - s.df0 + 0.5::DOUBLE) / (s.df0 + 0.5::DOUBLE))
+        * tf0 * 2.2::DOUBLE / (tf0 + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE * dl / s.avgdl))
+    + LN(1.0::DOUBLE + (s.n - s.df1 + 0.5::DOUBLE) / (s.df1 + 0.5::DOUBLE))
+        * tf1 * 2.2::DOUBLE / (tf1 + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE * dl / s.avgdl))
+    + LN(1.0::DOUBLE + (s.n - s.df2 + 0.5::DOUBLE) / (s.df2 + 0.5::DOUBLE))
+        * tf2 * 2.2::DOUBLE / (tf2 + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE * dl / s.avgdl)),
+    6) AS score
+  FROM d CROSS JOIN s
+)
+SELECT doc_id, score FROM scored WHERE score > 0
+ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
 QUERIES = {
     "kgx_node_merge": q_kgx_node_merge,
     "kgx_edge_dedup": q_kgx_edge_dedup,
@@ -3315,6 +3410,9 @@ QUERIES = {
     "set_except": q_set_except,
     "grouped_rank": q_grouped_rank,
     "big_orders": q_big_orders,
+    "dup_spans": q_dup_spans,
+    "pmi_bigrams": q_pmi_bigrams,
+    "bm25_search": q_bm25_search,
 }
 
 ORACLES = {
@@ -3407,6 +3505,9 @@ ORACLES = {
     "set_except": SQL_SET_EXCEPT,
     "grouped_rank": SQL_GROUPED_RANK,
     "big_orders": SQL_BIG_ORDERS,
+    "dup_spans": SQL_DUP_SPANS,
+    "pmi_bigrams": SQL_PMI_BIGRAMS,
+    "bm25_search": SQL_BM25_SEARCH,
     # rows-only (non-SQL-expressible): ann_lsh (LSH recall is
     # probabilistic), construct_kg / extract_text (self-checking
     # against generator goldens), multimodal_features (decode stub)

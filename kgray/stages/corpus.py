@@ -1048,3 +1048,256 @@ def vocab_build(ds: Dataset, text_col: str = "text",
         })
 
     return ranked.map_batches(_out, batch_format="pyarrow")
+
+
+def ngram_strings_pos(
+    text: pa.ChunkedArray | pa.Array, n: int
+) -> Tuple[pa.Array, np.ndarray, np.ndarray]:
+    """Like :func:`ngram_strings` but also returns each gram's source
+    row index and 0-based word position — the inputs a span-level
+    operator needs. Same vectorized shape (n shifted takes + one join
+    chain)."""
+    flat, off = flat_words(text)
+    n_words = off[1:] - off[:-1]
+    n_grams = np.maximum(n_words - (n - 1), 0)
+    total = int(n_grams.sum())
+    if total == 0:
+        return pa.array([], pa.string()), np.zeros(0, np.int64), np.zeros(0, np.int64)
+    doc_idx = np.repeat(np.arange(len(n_words), dtype=np.int64), n_grams)
+    first = np.concatenate([[0], np.cumsum(n_grams)])[:-1]
+    pos = np.arange(total, dtype=np.int64) - np.repeat(first, n_grams)
+    start = off[:-1][doc_idx] + pos
+    parts = [flat.take(pa.array(start + j)) for j in range(n)]
+    sep = pa.scalar(" ")
+    out = parts[0]
+    for p in parts[1:]:
+        out = pc.binary_join_element_wise(out, p, sep)
+    return out, doc_idx, pos
+
+
+# ---------------------------------------------------------------------------
+# Duplicate n-gram span flagging (exact-substring dedup at span level)
+# ---------------------------------------------------------------------------
+
+def dup_spans(
+    ds: Dataset,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: Optional[int] = None,
+) -> Dataset:
+    """Every word-``n``-gram OCCURRENCE whose gram appears more than
+    once in the corpus (within or across documents) → rows
+    ``(doc_id, pos)``. This is the span-level primitive of exact
+    substring deduplication (flag-then-excise repeated passages), the
+    finer-grained sibling of ``chunk_dedup``'s paragraph granularity.
+
+    Scale shape: map side emits ``(gram, id, pos)`` rows vectorized
+    (:func:`ngram_strings_pos` — one split + n take kernels per batch);
+    one exchange on the gram STRING (exact — no hash approximation, so
+    the operator is oracle-identical); per-partition vectorized
+    group-size filter. Output is occurrence-level and shuffles gram
+    strings — at 100 TB run it per-shard or switch the gram column to
+    ``_gram_hashes`` and accept the documented 2⁻⁶⁴ false-hit rate.
+    """
+    if num_partitions is None:
+        num_partitions = auto_partitions()
+
+    def _emit(t: pa.Table) -> pa.Table:
+        grams, row_idx, pos = ngram_strings_pos(t.column(text_col), n)
+        ids = t.column(id_col).take(pa.array(row_idx))
+        return pa.table({
+            "gram": grams,
+            id_col: ids,
+            "pos": pa.array(pos, type=pa.int64()),
+        })
+
+    posted = ds.select_columns([id_col, text_col]).map_batches(_emit, batch_format="pyarrow")
+
+    def _dups(part: pd.DataFrame) -> pd.DataFrame:
+        cnt = part.groupby("gram", sort=False)["gram"].transform("size")
+        return part.loc[cnt > 1, [id_col, "pos"]]
+
+    return grouped_apply(posted, ["gram"], _dups, num_partitions=num_partitions)
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations
+# ---------------------------------------------------------------------------
+
+def pmi_topk(
+    ds: Dataset,
+    k: int = 20,
+    min_count: int = 5,
+    text_col: str = "text",
+    num_partitions: Optional[int] = None,
+) -> pa.Table:
+    """Top-``k`` bigram collocations by pointwise mutual information
+    ``PMI(a,b) = ln((c_ab/B) / ((c_a/N)(c_b/N)))`` with a
+    ``min_count`` support floor (the classic phrase-mining statistic;
+    raw PMI without the floor just surfaces hapax pairs).
+
+    Scale shape: ONE combiner-fronted exchange for bigram counts and
+    one for unigram counts (only distinct grams/words move); the
+    min_count floor shrinks bigrams to collocation-candidate scale
+    BEFORE the two word-keyed hash joins that attach ``c_a``/``c_b``
+    (no vocabulary broadcast); N and B are two scalar folds. PMI is
+    rounded to 6 decimals for a stable cross-engine ordering.
+    """
+    from kgray.stages.relational import hash_join
+
+    if num_partitions is None:
+        num_partitions = auto_partitions()
+
+    def _count_uni(t: pa.Table) -> pa.Table:
+        flat, _ = flat_words(t.column(text_col))
+        vc = pc.value_counts(flat)
+        if len(vc) == 0:
+            return pa.table({"word": pa.array([], pa.string()), "c": pa.array([], pa.int64())})
+        return pa.table({"word": vc.field("values"), "c": vc.field("counts")})
+
+    def _count_big(t: pa.Table) -> pa.Table:
+        grams = ngram_strings(t.column(text_col), 2)
+        vc = pc.value_counts(grams)
+        if len(vc) == 0:
+            return pa.table({"gram": pa.array([], pa.string()), "c": pa.array([], pa.int64())})
+        return pa.table({"gram": vc.field("values"), "c": vc.field("counts")})
+
+    def _sum_by(key: str):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            return df.groupby(key, as_index=False, sort=False)["c"].sum()
+        return fn
+
+    text_only = ds.select_columns([text_col])
+    uni = grouped_apply(
+        text_only.map_batches(_count_uni, batch_format="pyarrow"),
+        ["word"], _sum_by("word"), num_partitions=num_partitions, map_side=_sum_by("word"),
+    )
+    big = grouped_apply(
+        text_only.map_batches(_count_big, batch_format="pyarrow"),
+        ["gram"], _sum_by("gram"), num_partitions=num_partitions, map_side=_sum_by("gram"),
+    )
+    # Vocab-sized intermediates, each consumed twice (scalar fold + join).
+    uni, big = uni.materialize(), big.materialize()
+    n_words = int(uni.sum("c"))
+    n_bigrams = int(big.sum("c"))
+
+    def _floor_split(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t.column("c"), min_count))
+        g = t.column("gram")
+        sp = pc.split_pattern(g, " ")
+        if isinstance(sp, pa.ChunkedArray):
+            sp = sp.combine_chunks()
+        flat = sp.flatten()
+        return pa.table({
+            "gram": g,
+            "c_ab": t.column("c"),
+            "w1": flat.take(pa.array(np.arange(0, 2 * len(t), 2))),
+            "w2": flat.take(pa.array(np.arange(1, 2 * len(t), 2))),
+        })
+
+    cand = big.map_batches(_floor_split, batch_format="pyarrow")
+    j1 = hash_join(cand, uni.map_batches(lambda t: t.rename_columns(["w1", "c_a"]),
+                                         batch_format="pyarrow"),
+                   on="w1", num_partitions=num_partitions)
+    j2 = hash_join(j1, uni.map_batches(lambda t: t.rename_columns(["w2", "c_b"]),
+                                       batch_format="pyarrow"),
+                   on="w2", num_partitions=num_partitions)
+
+    def _score(t: pa.Table) -> pa.Table:
+        c_ab = t.column("c_ab").to_numpy().astype(np.float64)
+        c_a = t.column("c_a").to_numpy().astype(np.float64)
+        c_b = t.column("c_b").to_numpy().astype(np.float64)
+        pmi = np.round(
+            np.log((c_ab / n_bigrams) / ((c_a / n_words) * (c_b / n_words))), 6
+        )
+        df = pd.DataFrame({
+            "gram": t.column("gram").to_pandas(),
+            "n": t.column("c_ab").to_pandas(),
+            "pmi": pmi,
+        }).sort_values(["pmi", "gram"], ascending=[False, True], kind="mergesort").head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    part_top = j2.map_batches(_score, batch_format="pyarrow").to_pandas()
+    top = part_top.sort_values(["pmi", "gram"], ascending=[False, True],
+                               kind="mergesort").head(k)
+    return pa.Table.from_pandas(top.reset_index(drop=True), preserve_index=False)
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked keyword search
+# ---------------------------------------------------------------------------
+
+def bm25_topk(
+    ds: Dataset,
+    terms: Sequence[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> pa.Table:
+    """Top-``k`` documents by BM25 against a fixed term set (Robertson/
+    Lucene idf ``ln(1 + (N - df + .5)/(df + .5))``) — the ranked
+    counterpart of :func:`keyword_search`'s boolean scan.
+
+    Scale shape: one pass over the text compacts each doc to
+    ``(id, dl, tf_0..tf_m)`` (term frequencies via ONE is_in pass over
+    the flat token array per batch — no per-term rescan); corpus stats
+    (N, avgdl, df per term) fold from that compact dataset as scalar
+    aggregates; scoring is then map-only and the global top-k merges
+    P·k candidates on the driver. Scores rounded to 6 decimals for a
+    stable cross-engine ordering.
+    """
+    terms = list(terms)
+    m = len(terms)
+    tf_cols = [f"tf_{i}" for i in range(m)]
+
+    def _compact(t: pa.Table) -> pa.Table:
+        flat, off = flat_words(t.column(text_col))
+        n_rows = len(t)
+        dl = off[1:] - off[:-1]
+        cols = {id_col: t.column(id_col), "dl": pa.array(dl, type=pa.int64())}
+        row_of_tok = np.repeat(np.arange(n_rows, dtype=np.int64), dl)
+        for i, term in enumerate(terms):
+            hit = pc.equal(flat, term).to_numpy(zero_copy_only=False)
+            tf = np.bincount(row_of_tok[hit], minlength=n_rows)
+            cols[tf_cols[i]] = pa.array(tf.astype(np.int64))
+        return pa.table(cols)
+
+    compact = ds.select_columns([id_col, text_col]).map_batches(
+        _compact, batch_format="pyarrow"
+    ).materialize()  # tiny doc-level table (id, dl, m tf ints); reused 2×
+
+    n_docs = compact.count()
+    sum_dl = compact.sum("dl")
+    avgdl = (sum_dl / n_docs) if n_docs else 1.0
+    df_counts = [
+        compact.filter(expr=f"{c} > 0").count() for c in tf_cols
+    ]
+    idf = np.array([
+        float(np.log(1.0 + (n_docs - dfc + 0.5) / (dfc + 0.5))) for dfc in df_counts
+    ])
+
+    def _score(t: pa.Table) -> pa.Table:
+        dl = t.column("dl").to_numpy().astype(np.float64)
+        norm = k1 * (1.0 - b + b * dl / avgdl)
+        score = np.zeros(len(t), dtype=np.float64)
+        for i in range(m):
+            tf = t.column(tf_cols[i]).to_numpy().astype(np.float64)
+            score += idf[i] * tf * (k1 + 1.0) / (tf + norm)
+        df = pd.DataFrame({
+            id_col: t.column(id_col).to_pandas(),
+            "score": np.round(score, 6),
+        })
+        df = df[df["score"] > 0]
+        return pa.Table.from_pandas(
+            df.sort_values(["score", id_col], ascending=[False, True],
+                           kind="mergesort").head(k),
+            preserve_index=False,
+        )
+
+    cand = compact.map_batches(_score, batch_format="pyarrow").to_pandas()
+    top = cand.sort_values(["score", id_col], ascending=[False, True],
+                           kind="mergesort").head(k)
+    return pa.Table.from_pandas(top.reset_index(drop=True), preserve_index=False)

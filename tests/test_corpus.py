@@ -255,3 +255,67 @@ def test_quantile_outlier_flag(ray_session):
         # fr p50 = 5 -> 50 flagged
         False, True,
     ]
+
+
+def test_dup_spans_basic(ray_session):
+    from kgray.stages.corpus import dup_spans
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            "a b c d e f",          # gram "a b c d e" & "b c d e f"
+            "x a b c d e y",        # shares "a b c d e" at pos 1
+            "unique words only here now",
+            "sh",                    # too short: no 5-grams
+        ],
+    })
+    got = (
+        dup_spans(ray.data.from_pandas(df), n=5, num_partitions=2)
+        .to_pandas().sort_values(["doc_id", "pos"]).reset_index(drop=True)
+    )
+    assert got.values.tolist() == [[1, 0], [2, 1]]
+
+
+def test_pmi_topk_matches_brute_force(ray_session):
+    from kgray.stages.corpus import pmi_topk
+
+    rng = np.random.default_rng(3)
+    vocab = ["aa", "bb", "cc", "dd"]
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(2, 30)))
+             for _ in range(200)]
+    df = pd.DataFrame({"text": texts})
+    got = pmi_topk(ray.data.from_pandas(df), k=5, min_count=3).to_pandas()
+
+    # brute force
+    from collections import Counter
+    uni, big = Counter(), Counter()
+    for t in texts:
+        w = t.split()
+        uni.update(w)
+        big.update(" ".join(p) for p in zip(w, w[1:]))
+    N, B = sum(uni.values()), sum(big.values())
+    rows = [
+        (g, c, round(float(np.log((c / B) / ((uni[g.split()[0]] / N) * (uni[g.split()[1]] / N)))), 6))
+        for g, c in big.items() if c >= 3
+    ]
+    rows.sort(key=lambda r: (-r[2], r[0]))
+    exp = pd.DataFrame(rows[:5], columns=["gram", "n", "pmi"])
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_bm25_ranks_relevant_docs_first(ray_session):
+    from kgray.stages.corpus import bm25_topk
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            "join join join hash",           # heavy on query terms
+            "join filler filler filler filler filler filler",
+            "nothing relevant at all",
+            "hash customer",
+        ],
+    })
+    got = bm25_topk(ray.data.from_pandas(df), terms=["join", "hash", "customer"], k=4).to_pandas()
+    assert got["doc_id"].tolist()[0] in (1, 4)
+    assert 3 not in got["doc_id"].tolist()  # zero score filtered
+    assert (got["score"].to_numpy()[:-1] >= got["score"].to_numpy()[1:]).all()
