@@ -3307,6 +3307,119 @@ ORDER BY score DESC, doc_id LIMIT 10
 """
 
 
+def q_range_window(sf_dir: str):
+    """Time-RANGE-frame window aggregate: per event, the user's event
+    count and integerized value sum over the trailing hour (equal-ts
+    peer rows included — the RANGE-vs-ROWS distinction). One user-keyed
+    exchange; frame bounds for every row in a partition come from two
+    global ``searchsorted`` calls on a group-offset-combined time axis,
+    sums from one prefix-sum — no per-group Python loop."""
+    from kgray.stages.analytics import range_window_agg
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"],
+    )
+    out = range_window_agg(
+        ds, key="user_id", ts_col="ts", window_us=3_600_000_000,
+        value_col="value", value_scale=100.0, id_col="event_id",
+    )
+    return out.map_batches(
+        lambda t: t.select(["event_id", "user_id", "n_w", "sum_w"]),
+        batch_format="pyarrow",
+    )
+
+
+SQL_RANGE_WINDOW = """
+SELECT event_id, user_id,
+  CAST(COUNT(*) OVER w AS BIGINT) AS n_w,
+  CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) OVER w AS BIGINT) AS sum_w
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_bfs(sf_dir: str):
+    """Multi-source BFS: minimum hop distance within 2 undirected hops
+    of the nation-3 suppliers over the supplier–order bipartite graph
+    (an edge per lineitem (orderkey, suppkey); node ids namespaced
+    'o:'/'s:'). Level-synchronous frontier expansion — each round one
+    frontier⋈edges semi-join exchange plus one visited anti-join."""
+    from kgray.stages.graph import bfs_distances
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_suppkey"])
+
+    def _edges(t: pa.Table) -> pa.Table:
+        o = pc.binary_join_element_wise(
+            pa.array(["o"] * len(t), type=pa.string()),
+            pc.cast(t.column("l_orderkey"), pa.string()), ":")
+        s = pc.binary_join_element_wise(
+            pa.array(["s"] * len(t), type=pa.string()),
+            pc.cast(t.column("l_suppkey"), pa.string()), ":")
+        return pa.table({"u": o, "v": s})
+
+    edges = li.map_batches(_edges, batch_format="pyarrow")
+
+    def _seeds(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("s_nationkey"), 3))
+        return pa.table({"node": pc.binary_join_element_wise(
+            pa.array(["s"] * len(t), type=pa.string()),
+            pc.cast(t.column("s_suppkey"), pa.string()), ":")})
+
+    seeds = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).map_batches(_seeds, batch_format="pyarrow")
+    return bfs_distances(edges, seeds, max_depth=2)
+
+
+SQL_BFS_DISTANCES = """
+WITH RECURSIVE und AS (
+  SELECT DISTINCT 'o:' || CAST(l_orderkey AS VARCHAR) AS u,
+                  's:' || CAST(l_suppkey AS VARCHAR) AS v
+  FROM lineitem
+  UNION
+  SELECT DISTINCT 's:' || CAST(l_suppkey AS VARCHAR),
+                  'o:' || CAST(l_orderkey AS VARCHAR)
+  FROM lineitem
+), walk AS (
+  SELECT 's:' || CAST(s_suppkey AS VARCHAR) AS node, 0 AS dist
+  FROM supplier WHERE s_nationkey = 3
+  UNION ALL
+  SELECT und.v, walk.dist + 1
+  FROM walk JOIN und ON und.u = walk.node
+  WHERE walk.dist < 2
+)
+SELECT node, CAST(MIN(dist) AS BIGINT) AS dist FROM walk GROUP BY 1
+"""
+
+
+def q_quantiles_cont(sf_dir: str):
+    """EXACT interpolated global quantiles (SQL percentile_cont) by
+    distributed selection — iterative bucket refinement, one streaming
+    histogram pass per round, never a global sort and never more than
+    ``collect_limit`` driver rows per rank. The exact sibling of the
+    one-pass `approx_quantiles` sketch."""
+    from kgray.stages.sketch import exact_quantiles_cont
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    df = exact_quantiles_cont(ds, "value", qs=(0.25, 0.5, 0.9, 0.99),
+                              collect_limit=4096)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+SQL_QUANTILES_CONT = """
+SELECT CAST(0.25 AS DOUBLE) AS q, ROUND(quantile_cont(value, 0.25), 6) AS value FROM events
+UNION ALL
+SELECT CAST(0.5 AS DOUBLE), ROUND(quantile_cont(value, 0.5), 6) FROM events
+UNION ALL
+SELECT CAST(0.9 AS DOUBLE), ROUND(quantile_cont(value, 0.9), 6) FROM events
+UNION ALL
+SELECT CAST(0.99 AS DOUBLE), ROUND(quantile_cont(value, 0.99), 6) FROM events
+"""
+
+
 QUERIES = {
     "kgx_node_merge": q_kgx_node_merge,
     "kgx_edge_dedup": q_kgx_edge_dedup,
@@ -3413,6 +3526,9 @@ QUERIES = {
     "dup_spans": q_dup_spans,
     "pmi_bigrams": q_pmi_bigrams,
     "bm25_search": q_bm25_search,
+    "range_window": q_range_window,
+    "bfs_distances": q_bfs,
+    "quantiles_cont": q_quantiles_cont,
 }
 
 ORACLES = {
@@ -3508,6 +3624,9 @@ ORACLES = {
     "dup_spans": SQL_DUP_SPANS,
     "pmi_bigrams": SQL_PMI_BIGRAMS,
     "bm25_search": SQL_BM25_SEARCH,
+    "range_window": SQL_RANGE_WINDOW,
+    "bfs_distances": SQL_BFS_DISTANCES,
+    "quantiles_cont": SQL_QUANTILES_CONT,
     # rows-only (non-SQL-expressible): ann_lsh (LSH recall is
     # probabilistic), construct_kg / extract_text (self-checking
     # against generator goldens), multimodal_features (decode stub)

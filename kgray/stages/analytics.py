@@ -32,6 +32,7 @@ __all__ = [
     "daily_active_users",
     "retention_cohorts",
     "mode_per_group",
+    "range_window_agg",
 ]
 
 _US_PER_DAY = 86_400_000_000
@@ -300,3 +301,69 @@ def event_ngrams(
         ["n", "gram"], ascending=[False, True], kind="mergesort").head(k)
     top["n"] = top["n"].astype(np.int64)
     return pa.Table.from_pandas(top.reset_index(drop=True), preserve_index=False)
+
+
+def range_window_agg(
+    ds: Dataset,
+    key: str,
+    ts_col: str,
+    window_us: int,
+    value_col: Optional[str] = None,
+    value_scale: float = 100.0,
+    id_col: Optional[str] = None,
+    num_partitions: Optional[int] = None,
+) -> Dataset:
+    """Time-based RANGE-frame window aggregates: per row, COUNT and
+    (optionally) SUM over the key's rows with ``ts ∈ [ts − window_us,
+    ts]`` — SQL ``... OVER (PARTITION BY key ORDER BY ts RANGE BETWEEN
+    <window> PRECEDING AND CURRENT ROW)``, including the equal-``ts``
+    peer rows the RANGE frame (unlike ROWS) must count.
+
+    The summed value is integerized (``floor(value·value_scale)`` as
+    int64) so the frame sum is associativity-free and bit-exact against
+    any SQL engine — the documented contract of this operator (a float
+    RANGE sum has no canonical association across engines).
+
+    Scale shape: one hash exchange on ``key``; per partition the frame
+    bounds for EVERY row come from two global ``searchsorted`` calls on
+    a group-offset-combined timestamp axis (each group shifted onto a
+    disjoint numeric range — no per-group Python loop), and sums are
+    prefix-sum differences on int64. Partitioning assumption: one key's
+    rows fit a worker's heap.
+    """
+    if num_partitions is None:
+        num_partitions = auto_partitions()
+    out_cols = [key, ts_col] + ([id_col] if id_col else []) + (
+        [value_col] if value_col else []
+    )
+
+    def _win(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            out = df[out_cols].copy()
+            out["n_w"] = np.array([], dtype=np.int64)
+            if value_col:
+                out["sum_w"] = np.array([], dtype=np.int64)
+            return out
+        df = df.sort_values([key, ts_col], kind="mergesort").reset_index(drop=True)
+        ts = df[ts_col].to_numpy()
+        ts = ts.view("int64") if ts.dtype.kind == "M" else ts.astype(np.int64)
+        ts = ts - ts.min()
+        gid, _ = pd.factorize(df[key], sort=False)  # sorted → groups contiguous
+        span = int(ts.max()) + int(window_us) + 2
+        if (int(gid.max()) + 1) * span > 2**62:
+            raise ValueError(
+                "range_window_agg: combined key axis would overflow int64 "
+                f"(groups={gid.max()+1}, span_us={span}); widen partitioning"
+            )
+        comb = gid.astype(np.int64) * span + ts
+        lo = np.searchsorted(comb, comb - window_us, side="left")
+        hi = np.searchsorted(comb, comb, side="right")
+        out = df[out_cols].copy()
+        out["n_w"] = (hi - lo).astype(np.int64)
+        if value_col:
+            v = np.floor(df[value_col].to_numpy(np.float64) * value_scale).astype(np.int64)
+            cs = np.concatenate([[0], np.cumsum(v)])
+            out["sum_w"] = cs[hi] - cs[lo]
+        return out
+
+    return grouped_apply(ds, [key], _win, num_partitions=num_partitions)

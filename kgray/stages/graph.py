@@ -277,3 +277,90 @@ def triangle_count(
     for b in partials.iter_batches(batch_format="pandas"):
         total += int(b["n"].sum())
     return pa.table({"n_triangles": pa.array([total], pa.int64())})
+
+
+def bfs_distances(
+    edges: Dataset,
+    seeds: Dataset,
+    max_depth: int = 4,
+    src_col: str = "u",
+    dst_col: str = "v",
+    node_col: str = "node",
+    num_partitions: Optional[int] = None,
+) -> Dataset:
+    """Multi-source BFS: for every node reachable from ``seeds`` within
+    ``max_depth`` UNDIRECTED hops, its minimum hop distance → rows
+    ``(node, dist)``. The graph query behind "context within k hops of
+    these entities" (neighborhood extraction for GraphRAG-style
+    training samples).
+
+    Level-synchronous frontier expansion, the standard distributed BFS:
+    round r joins the (materialized, shrinking) frontier against the
+    edge list on the source endpoint — one hash exchange over frontier
+    + edges — then anti-joins the neighbors against the visited set to
+    produce frontier r+1. Distances are exact minima by construction
+    (a node is visited the first round it is reachable). Rounds are
+    bounded by ``max_depth``; an exhausted frontier stops early.
+
+    Scale notes: edges ride an exchange each round — for many-round
+    BFS on a stable graph, pre-partition the edge list once and reuse
+    (the optimization CC's label propagation applies); the visited set
+    rides the anti-join's key-only exchange, never a broadcast.
+    """
+    from kgray.kernels.hashagg import auto_partitions, grouped_apply
+    from kgray.stages.relational import hash_join
+
+    if num_partitions is None:
+        num_partitions = auto_partitions()
+
+    # Symmetrize once: undirected reachability.
+    fwd = edges.select_columns([src_col, dst_col])
+    rev = edges.select_columns([dst_col, src_col]).map_batches(
+        lambda t: t.rename_columns([src_col, dst_col]), batch_format="pyarrow"
+    )
+    und = fwd.union(rev)
+
+    def _dist_tag(d: int):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table({
+                node_col: t.column(node_col),
+                "dist": pa.array(np.full(len(t), d, dtype=np.int64)),
+            })
+        return fn
+
+    frontier = seeds.select_columns([node_col]).map_batches(
+        lambda t: t.to_pandas().drop_duplicates(), batch_format="pyarrow"
+    ).materialize()
+    visited = [frontier.map_batches(_dist_tag(0), batch_format="pyarrow").materialize()]
+
+    for depth in range(1, max_depth + 1):
+        if frontier.count() == 0:
+            break
+        probe = frontier.map_batches(
+            lambda t: t.rename_columns([src_col]), batch_format="pyarrow"
+        )
+        neigh = hash_join(und, probe, on=src_col, how="semi",
+                          num_partitions=num_partitions)
+        neigh = neigh.select_columns([dst_col]).map_batches(
+            lambda t: pa.table({node_col: t.column(dst_col)}), batch_format="pyarrow"
+        )
+        seen_nodes = visited[0].select_columns([node_col])
+        for v in visited[1:]:
+            seen_nodes = seen_nodes.union(v.select_columns([node_col]))
+        fresh = hash_join(neigh, seen_nodes, on=node_col, how="anti",
+                          num_partitions=num_partitions)
+        # Distinct new nodes (a node can be reached via many edges).
+        def _dedup(part: "pd.DataFrame") -> "pd.DataFrame":
+            return part.drop_duplicates(subset=[node_col])
+
+        frontier = grouped_apply(fresh, [node_col], _dedup,
+                                 num_partitions=num_partitions,
+                                 map_side=_dedup).materialize()
+        visited.append(
+            frontier.map_batches(_dist_tag(depth), batch_format="pyarrow").materialize()
+        )
+
+    out = visited[0]
+    for v in visited[1:]:
+        out = out.union(v)
+    return out

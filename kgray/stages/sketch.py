@@ -268,3 +268,164 @@ def approx_quantiles(
         out.append({"q": q, "value": lo + (bi + 1) * width,
                     "max_err": width, "n": n})
     return pd.DataFrame(out)
+
+
+# ---------------------------------------------------------------------------
+# Exact interpolated quantiles (percentile_cont) by bucketed selection
+# ---------------------------------------------------------------------------
+
+def exact_quantiles_cont(
+    ds: Dataset,
+    col: str,
+    qs,
+    n_buckets: int = 1024,
+    collect_limit: int = 65536,
+    max_refine: int = 8,
+    round_digits: int = 6,
+) -> pd.DataFrame:
+    """EXACT linear-interpolated quantiles (SQL ``percentile_cont`` /
+    DuckDB ``quantile_cont``) of a numeric column, without ever sorting
+    or collecting the data.
+
+    Distributed selection: the order statistics needed (``k =
+    floor/ceil((n-1)·q)``) are located by iterative bucket refinement —
+    each round is ONE streaming histogram pass (per-batch
+    ``searchsorted`` partials, O(n_buckets) rows per batch move to the
+    driver) that narrows every unresolved rank's value bracket by
+    ``n_buckets``×; when a bracket holds ≤ ``collect_limit`` rows, one
+    final filter pass collects just those rows. For uniform-ish data
+    this is 3 passes total (stats, one histogram, collect); pathological
+    point masses terminate via the degenerate-bracket check. Nothing
+    driver-side ever exceeds ``collect_limit`` rows per rank — the
+    100-TB-safe form of a global percentile.
+
+    The approximate one-pass counterpart is :func:`approx_quantiles`
+    (bin-width error guarantee); this operator is its exact sibling.
+    """
+    import pyarrow.compute as pc
+
+    qs = list(qs)
+
+    def _stats(t: pa.Table) -> pa.Table:
+        v = t.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[~np.isnan(v)]
+        if len(v) == 0:
+            return pa.table({"n": pa.array([], pa.int64()),
+                             "lo": pa.array([], pa.float64()),
+                             "hi": pa.array([], pa.float64())})
+        return pa.table({"n": pa.array([len(v)]),
+                         "lo": pa.array([float(v.min())]),
+                         "hi": pa.array([float(v.max())])})
+
+    st = ds.map_batches(_stats, batch_format="pyarrow").to_pandas()
+    n = int(st["n"].sum())
+    if n == 0:
+        return pd.DataFrame({"q": qs, "value": [np.nan] * len(qs)})
+    glo, ghi = float(st["lo"].min()), float(st["hi"].max())
+
+    # Target ranks (0-based order statistics) for interpolation.
+    targets = {}
+    for q in qs:
+        r = (n - 1) * float(q)
+        targets.setdefault(int(np.floor(r)), None)
+        targets.setdefault(int(np.ceil(r)), None)
+    ranks = sorted(targets)
+    # Per-rank bracket: (value_lo, value_hi, count_below_lo).
+    bracket = {k: (glo, ghi, 0, n) for k in ranks}  # (lo, hi, below, size)
+    resolved: dict = {}
+
+    for _ in range(max_refine):
+        todo = {k: b for k, b in bracket.items()
+                if k not in resolved and b[3] > collect_limit and b[0] < b[1]}
+        for k, b in list(bracket.items()):
+            if k not in resolved and b[0] == b[1]:
+                resolved[k] = b[0]
+        if not todo:
+            break
+        # One histogram pass for ALL unresolved brackets.
+        brs = sorted({(b[0], b[1]) for b in todo.values()})
+        edges = [np.linspace(lo, hi, n_buckets + 1) for lo, hi in brs]
+
+        def _hist(t: pa.Table, edges=edges, brs=brs) -> pa.Table:
+            v = t.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+            v = v[~np.isnan(v)]
+            bids, buckets, cnts = [], [], []
+            for bi, ((lo, hi), e) in enumerate(zip(brs, edges)):
+                m = v[(v >= lo) & (v <= hi)]
+                if len(m) == 0:
+                    continue
+                idx = np.clip(np.searchsorted(e, m, side="right") - 1, 0, n_buckets - 1)
+                c = np.bincount(idx, minlength=n_buckets)
+                nz = np.flatnonzero(c)
+                bids.append(np.full(len(nz), bi, dtype=np.int64))
+                buckets.append(nz.astype(np.int64))
+                cnts.append(c[nz].astype(np.int64))
+            if not bids:
+                return pa.table({"bid": pa.array([], pa.int64()),
+                                 "bucket": pa.array([], pa.int64()),
+                                 "cnt": pa.array([], pa.int64())})
+            return pa.table({"bid": pa.array(np.concatenate(bids)),
+                             "bucket": pa.array(np.concatenate(buckets)),
+                             "cnt": pa.array(np.concatenate(cnts))})
+
+        hist = (
+            ds.map_batches(_hist, batch_format="pyarrow")
+            .to_pandas().groupby(["bid", "bucket"], as_index=False)["cnt"].sum()
+        )
+        for k, (blo, bhi, below, _size) in todo.items():
+            bi = brs.index((blo, bhi))
+            h = hist[hist["bid"] == bi].sort_values("bucket")
+            cum = np.concatenate([[0], np.cumsum(h["cnt"].to_numpy())])
+            # bucket containing local rank (k - below)
+            local = k - below
+            j = int(np.searchsorted(cum, local, side="right") - 1)
+            j = min(j, len(h) - 1)
+            bkt = int(h["bucket"].to_numpy()[j])
+            e = edges[bi]
+            new_lo, new_hi = float(e[bkt]), float(e[bkt + 1] if bkt + 1 <= n_buckets else bhi)
+            if bkt == n_buckets - 1:
+                new_hi = bhi
+            bracket[k] = (new_lo, new_hi, below + int(cum[j]), int(h["cnt"].to_numpy()[j]))
+
+    # Collect pass: gather rows for every still-unresolved bracket.
+    pend = {k: b for k, b in bracket.items() if k not in resolved}
+    if pend:
+        brs = sorted({(b[0], b[1]) for b in pend.values()})
+
+        def _collect(t: pa.Table, brs=brs) -> pa.Table:
+            v = t.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+            v = v[~np.isnan(v)]
+            bids, vals = [], []
+            for bi, (lo, hi) in enumerate(brs):
+                # hi-inclusive: the bracket's top edge is the true max of
+                # its bucket range (last bucket absorbs the boundary).
+                m = v[(v >= lo) & (v <= hi)]
+                if len(m):
+                    bids.append(np.full(len(m), bi, dtype=np.int64))
+                    vals.append(m)
+            if not bids:
+                return pa.table({"bid": pa.array([], pa.int64()),
+                                 "v": pa.array([], pa.float64())})
+            return pa.table({"bid": pa.array(np.concatenate(bids)),
+                             "v": pa.array(np.concatenate(vals))})
+
+        got = ds.map_batches(_collect, batch_format="pyarrow").to_pandas()
+        for k, (blo, bhi, below, _sz) in pend.items():
+            bi = brs.index((blo, bhi))
+            vs = np.sort(got.loc[got["bid"] == bi, "v"].to_numpy())
+            local = k - below
+            # Rows < blo are 'below'; vs may include rows equal to bhi
+            # that belong to the NEXT bracket only when bhi is an
+            # interior edge — but interior edges are exclusive on the
+            # right by searchsorted(side='right'), matching this filter
+            # except at exact-edge values, which sort identically.
+            resolved[k] = float(vs[local])
+
+    out = []
+    for q in qs:
+        r = (n - 1) * float(q)
+        k0, k1 = int(np.floor(r)), int(np.ceil(r))
+        v0, v1 = resolved[k0], resolved[k1]
+        val = v0 + (v1 - v0) * (r - k0)
+        out.append({"q": float(q), "value": float(np.round(val, round_digits))})
+    return pd.DataFrame(out)
