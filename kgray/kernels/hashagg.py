@@ -31,6 +31,7 @@ merge_edges_fast's salt option).
 from __future__ import annotations
 
 import os
+import weakref
 from typing import Callable, List, Optional, Sequence
 
 import numpy as np
@@ -38,6 +39,49 @@ import pandas as pd
 import pyarrow as pa
 import ray.data
 from ray.data import Dataset
+
+# ---------------------------------------------------------------------------
+# Static schema propagation
+#
+# ``Dataset.schema()`` on a pipeline whose upstream contains an
+# all-to-all exchange (groupby/sort) EXECUTES that upstream to produce
+# the first block — so a chain of relational operators (join → join →
+# aggregate), each of which must know its input schema to build its
+# map functions, re-runs every upstream exchange once per downstream
+# operator. Operators whose output schema is statically known (the
+# joins, projections) register it here; consumers read the hint and
+# fall back to ``Dataset.schema()`` only when none exists. Keyed by
+# Dataset identity via weakref — hints die with the dataset object.
+# ---------------------------------------------------------------------------
+
+_SCHEMA_HINTS: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def register_schema(ds: Dataset, schema: pa.Schema) -> Dataset:
+    """Attach a statically-known Arrow schema to ``ds`` (see module
+    note above); returns ``ds`` for chaining."""
+    try:
+        _SCHEMA_HINTS[ds] = schema
+    except TypeError:  # non-weakref-able stand-in (tests)
+        pass
+    return ds
+
+
+def known_schema(ds: Dataset) -> Optional[pa.Schema]:
+    """The registered schema hint for ``ds``, or None."""
+    try:
+        return _SCHEMA_HINTS.get(ds)
+    except TypeError:
+        return None
+
+
+def dataset_schema(ds: Dataset):
+    """``ds``'s schema WITHOUT forcing upstream execution when a hint
+    is registered. Returns a ``pa.Schema`` (hint) or Ray's ``Schema``
+    (fallback) — both offer ``.names`` / ``.types`` and both are
+    accepted by :func:`arrow_types`."""
+    hint = known_schema(ds)
+    return hint if hint is not None else ds.schema()
 
 
 def arrow_type(t) -> pa.DataType:

@@ -2955,7 +2955,7 @@ def q_revenue_by_nation(sf_dir: str):
     map-side partial + tiny groupby."""
     from datetime import datetime
 
-    from kgray.stages.relational import broadcast_join, hash_join
+    from kgray.stages.relational import broadcast_join, hash_join, project
 
     nation = pq.read_table(f"{sf_dir}/nation.parquet")
     region = pq.read_table(f"{sf_dir}/region.parquet")
@@ -2980,10 +2980,9 @@ def q_revenue_by_nation(sf_dir: str):
     # customers in ASIA only (pre-filter via the broadcast dim)
     cust = broadcast_join(cust, asia.rename_columns(["c_nationkey", "n_name"]),
                           on="c_nationkey", how="inner")
-    ord_c = hash_join(orders, cust, on="o_custkey", how="inner").map_batches(
-        lambda t: t.select(["o_orderkey", "c_nationkey", "n_name"])
-        .rename_columns(["l_orderkey", "c_nationkey", "n_name"]),
-        batch_format="pyarrow")
+    ord_c = project(hash_join(orders, cust, on="o_custkey", how="inner"),
+                    ["o_orderkey", "c_nationkey", "n_name"],
+                    rename={"o_orderkey": "l_orderkey"})
     li = ray.data.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])

@@ -27,7 +27,12 @@ import ray.data
 from ray.data import Dataset
 
 from kgray.kernels.hashagg import arrow_types as _arrow_types
-from kgray.kernels.hashagg import auto_partitions, grouped_apply
+from kgray.kernels.hashagg import (
+    auto_partitions,
+    dataset_schema,
+    grouped_apply,
+    register_schema,
+)
 
 _SIDE = "__join_side"
 
@@ -62,10 +67,11 @@ def hash_join(
     if num_partitions is None:
         num_partitions = auto_partitions()
 
-    lschema, rschema = left.schema(), right.schema()
+    lschema, rschema = dataset_schema(left), dataset_schema(right)
     lcols = lschema.names
     if how in ("semi", "anti"):
-        return _semi_anti_join(left, right, on, how, num_partitions, lcols)
+        return _semi_anti_join(left, right, on, how, num_partitions, lcols,
+                               lschema=lschema)
     rcols = [c for c in rschema.names if c not in on]
     ltypes = _arrow_types(lschema)
     rtypes = _arrow_types(rschema)
@@ -123,7 +129,7 @@ def hash_join(
         lt.union(rt), keys, _merge, num_partitions=num_partitions,
         map_format="pyarrow",
     )
-    return joined
+    return register_schema(joined, out_schema)
 
 
 def _semi_anti_join(
@@ -133,11 +139,13 @@ def _semi_anti_join(
     how: str,
     num_partitions: int,
     lcols: List[str],
+    lschema=None,
 ) -> Dataset:
     """Semi/anti join body: left rows + right DISTINCT keys share one
     exchange on the key; each partition probes with an indicator merge.
     Output schema = the left schema, unchanged."""
-    lschema = left.schema()
+    if lschema is None:
+        lschema = dataset_schema(left)
     out_types = _arrow_types(lschema)
     keys = ["__k_" + k for k in on]
 
@@ -170,10 +178,11 @@ def _semi_anti_join(
         arrays = [pa.array(out[c], type=out_types[c], from_pandas=True) for c in lcols]
         return pa.Table.from_arrays(arrays, names=lcols)
 
-    return grouped_apply(
+    out = grouped_apply(
         lt.union(rt), keys, _probe, num_partitions=num_partitions,
         map_format="pyarrow",
     )
+    return register_schema(out, pa.schema([(c, out_types[c]) for c in lcols]))
 
 
 def broadcast_join(
@@ -191,7 +200,16 @@ def broadcast_join(
         raise ValueError(f"broadcast_join supports inner/left, got {how!r}")
     on = [on] if isinstance(on, str) else list(on)
     ref = ray.put(right_table)
-    lcols = left.schema().names
+    lschema = dataset_schema(left)
+    lcols = lschema.names
+    ltypes = _arrow_types(lschema)
+    rename = {c: (c + suffix if c in lcols and c not in on else c)
+              for c in right_table.column_names}
+    radd = [rename[c] for c in right_table.column_names if c not in on]
+    rtypes = {rename[c]: right_table.schema.field(c).type
+              for c in right_table.column_names if c not in on}
+    out_schema = pa.schema(
+        [(c, ltypes[c]) for c in lcols] + [(c, rtypes[c]) for c in radd])
 
     def _probe(t: pa.Table) -> pa.Table:
         rt = ray.get(ref)
@@ -202,13 +220,43 @@ def broadcast_join(
                 idx = t.column_names.index(k)
                 t = t.set_column(idx, k, t.column(k).cast(rt.schema.field(k).type))
         r = rt.to_pandas()
-        rename = {c: (c + suffix if c in lcols and c not in on else c)
-                  for c in r.columns}
         r = r.rename(columns=rename).dropna(subset=on)
         out = t.to_pandas().merge(r, on=on, how=how, sort=False)
-        return pa.Table.from_pandas(out, preserve_index=False)
+        # Typed column-wise conversion (NaN from left-join misses →
+        # typed NULLs) so every block carries the static out_schema.
+        arrays = [pa.array(out[f.name], type=f.type, from_pandas=True)
+                  for f in out_schema]
+        return pa.Table.from_arrays(arrays, schema=out_schema)
 
-    return left.map_batches(_probe, batch_format="pyarrow")
+    return register_schema(
+        left.map_batches(_probe, batch_format="pyarrow"), out_schema)
+
+
+def project(
+    ds: Dataset,
+    columns: Sequence[str],
+    rename: Optional[dict] = None,
+) -> Dataset:
+    """Arrow select(+rename) that PROPAGATES the static schema hint:
+    chains of relational operators interleaved with projections keep
+    their downstream ``dataset_schema()`` free (a plain ``map_batches``
+    between two joins would otherwise force the first join's exchange
+    to execute just to answer the second join's schema probe)."""
+    columns = list(columns)
+    new_names = [rename.get(c, c) for c in columns] if rename else columns
+
+    def _proj(t: pa.Table) -> pa.Table:
+        return t.select(columns).rename_columns(new_names)
+
+    out = ds.map_batches(_proj, batch_format="pyarrow")
+    from kgray.kernels.hashagg import known_schema
+
+    hint = known_schema(ds)
+    if hint is not None:
+        types = _arrow_types(hint)
+        out = register_schema(
+            out, pa.schema([(n, types[c]) for c, n in zip(columns, new_names)]))
+    return out
 
 
 def top_n_per_group(
@@ -607,11 +655,10 @@ def set_op(
         raise ValueError(f"set_op: how must be 'intersect' or 'except', got {how!r}")
     if num_partitions is None:
         num_partitions = auto_partitions()
-    cols = left.schema().names
-    if right.schema().names != cols:
-        raise ValueError(
-            f"set_op: column mismatch {cols} vs {right.schema().names}"
-        )
+    cols = dataset_schema(left).names
+    rnames = dataset_schema(right).names
+    if rnames != cols:
+        raise ValueError(f"set_op: column mismatch {cols} vs {rnames}")
     _SIDE = "__setop_side"
 
     def _tag(side: int):
