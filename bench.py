@@ -124,6 +124,22 @@ BENCH_QUERIES = [
     "revenue_by_nation",
     "event_trigrams",
     "embedding_centroids",
+    "edit_distance_pairs",
+    "grouped_rank",
+    "big_orders",
+    "set_intersect",
+    "set_except",
+    "dup_spans",
+    "pmi_bigrams",
+    "bm25_search",
+    "range_window",
+    "bfs_distances",
+    "quantiles_cont",
+    # pagerank / triangle_count are registry-covered but excluded here:
+    # iterative / wedge-enumeration costs dominate the bench budget.
+    "cross_dedup",
+    "group_quantiles",
+    "stratified_sample",
 ]
 
 

@@ -287,6 +287,7 @@ def bfs_distances(
     dst_col: str = "v",
     node_col: str = "node",
     num_partitions: Optional[int] = None,
+    broadcast_limit: int = 2_000_000,
 ) -> Dataset:
     """Multi-source BFS: for every node reachable from ``seeds`` within
     ``max_depth`` UNDIRECTED hops, its minimum hop distance → rows
@@ -294,31 +295,41 @@ def bfs_distances(
     these entities" (neighborhood extraction for GraphRAG-style
     training samples).
 
-    Level-synchronous frontier expansion, the standard distributed BFS:
-    round r joins the (materialized, shrinking) frontier against the
-    edge list on the source endpoint — one hash exchange over frontier
-    + edges — then anti-joins the neighbors against the visited set to
-    produce frontier r+1. Distances are exact minima by construction
-    (a node is visited the first round it is reachable). Rounds are
-    bounded by ``max_depth``; an exhausted frontier stops early.
+    Level-synchronous frontier expansion with the engine's standard
+    size switch:
 
-    Scale notes: edges ride an exchange each round — for many-round
-    BFS on a stable graph, pre-partition the edge list once and reuse
-    (the optimization CC's label propagation applies); the visited set
-    rides the anti-join's key-only exchange, never a broadcast.
+    - **Broadcast path** (visited set ≤ ``broadcast_limit`` nodes — the
+      typical neighborhood query, where the k-hop ball is tiny next to
+      the edge table): frontier and visited sets ride ``ray.put`` once
+      per round and every edge batch filters with one vectorized
+      ``pc.is_in`` — the edge table STREAMS map-only, zero shuffles,
+      and only candidate neighbors (per-batch pre-deduplicated) reach
+      the driver. This is the 100-TB shape when the answer fits a
+      broadcast; the edge table itself never moves.
+    - **Exchange fallback** (frontier outgrows the limit mid-search):
+      the round falls back to hash semi-join frontier⋈edges plus an
+      anti-join against the visited set — all-to-all but unbounded.
+
+    Distances are exact minima by construction (a node is visited the
+    first round it is reachable). Rounds are bounded by ``max_depth``;
+    an exhausted frontier stops early.
     """
+    import pyarrow.compute as pc
+
     from kgray.kernels.hashagg import auto_partitions, grouped_apply
     from kgray.stages.relational import hash_join
 
     if num_partitions is None:
         num_partitions = auto_partitions()
 
-    # Symmetrize once: undirected reachability.
+    # Symmetrize once and MATERIALIZE: the edge list is probed by every
+    # BFS round — without pinning it in the object store the upstream
+    # (read + symmetrize) would re-execute per round.
     fwd = edges.select_columns([src_col, dst_col])
     rev = edges.select_columns([dst_col, src_col]).map_batches(
         lambda t: t.rename_columns([src_col, dst_col]), batch_format="pyarrow"
     )
-    und = fwd.union(rev)
+    und = fwd.union(rev).materialize()
 
     def _dist_tag(d: int):
         def fn(t: pa.Table) -> pa.Table:
@@ -332,33 +343,73 @@ def bfs_distances(
         lambda t: t.to_pandas().drop_duplicates(), batch_format="pyarrow"
     ).materialize()
     visited = [frontier.map_batches(_dist_tag(0), batch_format="pyarrow").materialize()]
+    seen_nodes = frontier  # exchange-path visited set (Dataset)
+    # Broadcast-path driver state: the visited set as a numpy array.
+    # Held ONLY while it fits broadcast_limit — the documented small
+    # side; beyond that the loop switches to the exchange path and the
+    # driver copy is dropped.
+    seen_np: Optional[np.ndarray] = None
+    if frontier.count() <= broadcast_limit:
+        seen_np = np.unique(np.concatenate([
+            b[node_col].to_numpy()
+            for b in frontier.iter_batches(batch_format="pandas")
+        ] or [np.array([], dtype=object)]))
 
     for depth in range(1, max_depth + 1):
-        if frontier.count() == 0:
+        n_frontier = frontier.count()
+        if n_frontier == 0:
             break
-        probe = frontier.map_batches(
-            lambda t: t.rename_columns([src_col]), batch_format="pyarrow"
-        )
-        neigh = hash_join(und, probe, on=src_col, how="semi",
-                          num_partitions=num_partitions)
-        neigh = neigh.select_columns([dst_col]).map_batches(
-            lambda t: pa.table({node_col: t.column(dst_col)}), batch_format="pyarrow"
-        )
-        seen_nodes = visited[0].select_columns([node_col])
-        for v in visited[1:]:
-            seen_nodes = seen_nodes.union(v.select_columns([node_col]))
-        fresh = hash_join(neigh, seen_nodes, on=node_col, how="anti",
-                          num_partitions=num_partitions)
-        # Distinct new nodes (a node can be reached via many edges).
-        def _dedup(part: "pd.DataFrame") -> "pd.DataFrame":
-            return part.drop_duplicates(subset=[node_col])
+        if seen_np is not None and len(seen_np) <= broadcast_limit:
+            # ---- broadcast round: edges stream, zero shuffles ----
+            f_np = np.concatenate([
+                b[node_col].to_numpy()
+                for b in frontier.iter_batches(batch_format="pandas")
+            ])
+            f_ref = ray.put(pa.array(f_np))
+            s_ref = ray.put(pa.array(seen_np))
 
-        frontier = grouped_apply(fresh, [node_col], _dedup,
-                                 num_partitions=num_partitions,
-                                 map_side=_dedup).materialize()
+            def _expand(t: pa.Table, f_ref=f_ref, s_ref=s_ref) -> pa.Table:
+                fset, sset = ray.get(f_ref), ray.get(s_ref)
+                hit = t.filter(pc.is_in(t.column(src_col), value_set=fset))
+                nxt = hit.column(dst_col)
+                nxt = nxt.filter(pc.invert(pc.is_in(nxt, value_set=sset)))
+                return pa.table({node_col: pc.unique(
+                    nxt.combine_chunks() if isinstance(nxt, pa.ChunkedArray) else nxt)})
+
+            cand = und.map_batches(_expand, batch_format="pyarrow")
+            parts = [b[node_col].to_numpy()
+                     for b in cand.iter_batches(batch_format="pandas")]
+            fresh_np = (np.setdiff1d(np.unique(np.concatenate(parts)), seen_np)
+                        if parts else np.array([], dtype=object))
+            seen_np = np.concatenate([seen_np, fresh_np])
+            ntype = pa.array(f_np[:1]).type  # pin node dtype for empty rounds
+            frontier = ray.data.from_arrow(
+                pa.table({node_col: pa.array(fresh_np, type=ntype)})).materialize()
+        else:
+            # ---- exchange round: frontier too large to broadcast ----
+            seen_np = None
+            probe = frontier.map_batches(
+                lambda t: t.rename_columns([src_col]), batch_format="pyarrow"
+            )
+            neigh = hash_join(und, probe, on=src_col, how="semi",
+                              num_partitions=num_partitions)
+            neigh = neigh.select_columns([dst_col]).map_batches(
+                lambda t: pa.table({node_col: t.column(dst_col)}),
+                batch_format="pyarrow",
+            )
+            fresh = hash_join(neigh, seen_nodes, on=node_col, how="anti",
+                              num_partitions=num_partitions)
+
+            def _dedup(part: "pd.DataFrame") -> "pd.DataFrame":
+                return part.drop_duplicates(subset=[node_col])
+
+            frontier = grouped_apply(fresh, [node_col], _dedup,
+                                     num_partitions=num_partitions,
+                                     map_side=_dedup).materialize()
         visited.append(
             frontier.map_batches(_dist_tag(depth), batch_format="pyarrow").materialize()
         )
+        seen_nodes = seen_nodes.union(frontier).materialize()
 
     out = visited[0]
     for v in visited[1:]:

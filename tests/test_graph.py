@@ -48,3 +48,65 @@ def test_pagerank_non_convergence_raises(ray_session):
 def test_pagerank_empty(ray_session):
     t, iters = pagerank(_ds([]), max_iters=5)
     assert len(t) == 0 and iters == 0
+
+
+# ---------------------------------------------------------------------------
+# bfs_distances: broadcast path vs exchange fallback
+# ---------------------------------------------------------------------------
+
+def _bfs_inputs(pairs, seed_nodes):
+    edges = ray.data.from_arrow(pa.table({
+        "u": pa.array([str(a) for a, _ in pairs]),
+        "v": pa.array([str(b) for _, b in pairs]),
+    }))
+    seeds = ray.data.from_arrow(pa.table({"node": pa.array(seed_nodes)}))
+    return edges, seeds
+
+
+def _bfs_reference(pairs, seed_nodes, max_depth):
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(str(a), set()).add(str(b))
+        adj.setdefault(str(b), set()).add(str(a))
+    dist = {s: 0 for s in seed_nodes}
+    frontier = set(seed_nodes)
+    for d in range(1, max_depth + 1):
+        nxt = set()
+        for n in frontier:
+            for m in adj.get(n, ()):
+                if m not in dist:
+                    dist[m] = d
+                    nxt.add(m)
+        frontier = nxt
+    return dist
+
+
+def test_bfs_broadcast_matches_reference(ray_session):
+    from kgray.stages.graph import bfs_distances
+
+    rng = np.random.default_rng(7)
+    pairs = list(zip(rng.integers(0, 60, 400).tolist(),
+                     rng.integers(0, 60, 400).tolist()))
+    seeds = ["1", "2", "3"]
+    got = bfs_distances(*_bfs_inputs(pairs, seeds), max_depth=3).to_pandas()
+    ref = _bfs_reference(pairs, seeds, 3)
+    got_map = dict(zip(got["node"], got["dist"]))
+    assert got_map == ref
+
+
+def test_bfs_exchange_fallback_matches_broadcast(ray_session):
+    from kgray.stages.graph import bfs_distances
+
+    rng = np.random.default_rng(11)
+    pairs = list(zip(rng.integers(0, 50, 300).tolist(),
+                     rng.integers(0, 50, 300).tolist()))
+    seeds = ["0", "5"]
+    edges, sds = _bfs_inputs(pairs, seeds)
+    a = bfs_distances(edges, sds, max_depth=3).to_pandas()
+    edges, sds = _bfs_inputs(pairs, seeds)
+    # broadcast_limit=0 forces every round onto the exchange path.
+    b = bfs_distances(edges, sds, max_depth=3, broadcast_limit=0,
+                      num_partitions=4).to_pandas()
+    am = dict(zip(a["node"], a["dist"]))
+    bm = dict(zip(b["node"], b["dist"]))
+    assert am == bm == _bfs_reference(pairs, seeds, 3)
