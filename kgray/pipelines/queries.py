@@ -3193,7 +3193,12 @@ def q_big_orders(sf_dir: str):
         g = part.groupby("o_orderkey", sort=False)["sum_qty"].sum().reset_index()
         return g[g["sum_qty"] > 200.0]
 
-    big = grouped_apply(li, ["o_orderkey"], _having, num_partitions=auto_partitions())
+    from kgray.kernels.hashagg import register_schema
+
+    big = register_schema(
+        grouped_apply(li, ["o_orderkey"], _having, num_partitions=auto_partitions()),
+        pa.schema([("o_orderkey", pa.int64()), ("sum_qty", pa.float64())]),
+    )  # static hint: the join's schema probe must not re-run the exchange
     orders = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
