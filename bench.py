@@ -140,6 +140,11 @@ BENCH_QUERIES = [
     "cross_dedup",
     "group_quantiles",
     "stratified_sample",
+    "merge_intervals",
+    "grouped_quantiles_cont",
+    "percent_rank",
+    "skyline",
+    "json_extract_agg",
 ]
 
 

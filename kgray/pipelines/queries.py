@@ -1597,13 +1597,16 @@ def q_approx_distinct(sf_dir: str):
     est = approx_distinct(toks, "tok", b=12)
 
     # Exact check rides the topk machinery's exchange (map-side dedup).
-    from kgray.kernels.hashagg import grouped_apply
+    from kgray.kernels.hashagg import auto_partitions, grouped_apply
 
     def _dedup(df):
         return df.drop_duplicates()
 
-    exact = grouped_apply(toks, ["tok"], _dedup, num_partitions=16,
-                          map_side=_dedup).count()
+    exact = grouped_apply(
+        toks, ["tok"], _dedup,
+        num_partitions=auto_partitions(files=[f"{sf_dir}/documents.parquet"]),
+        map_side=_dedup,
+    ).count()
     assert exact > 0 and abs(est - exact) / exact <= 0.05, (est, exact)
     return pa.table({"n_distinct_est": pa.array([round(est, 2)]),
                      "n_distinct_exact": pa.array([int(exact)], pa.int64())})
@@ -3424,6 +3427,143 @@ SELECT CAST(0.99 AS DOUBLE), ROUND(quantile_cont(value, 0.99), 6) FROM events
 """
 
 
+def q_merge_intervals(sf_dir: str):
+    """Per-user interval coalescing (gaps-and-islands): each event
+    spans [ts, ts+30min); overlapping/touching spans merge into one
+    coalesced interval with its row count. One user-keyed exchange,
+    C-speed grouped cummax/shift island detection — no per-group loop."""
+    from kgray.stages.analytics import merge_intervals
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+
+    def _spans(t: pa.Table) -> pa.Table:
+        hi = pc.add(t.column("ts"), pa.scalar(1_800_000_000, pa.duration("us")))
+        return pa.table({"user_id": t.column("user_id"), "lo": t.column("ts"), "hi": hi})
+
+    spans = ds.map_batches(_spans, batch_format="pyarrow")
+    return merge_intervals(spans, key="user_id", lo_col="lo", hi_col="hi")
+
+
+SQL_MERGE_INTERVALS = """
+WITH iv AS (
+  SELECT user_id, ts AS lo, ts + INTERVAL 30 MINUTE AS hi FROM events
+), m AS (
+  SELECT user_id, lo, hi,
+    CASE WHEN lo > MAX(hi) OVER (PARTITION BY user_id ORDER BY lo, hi
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) THEN 1 ELSE 0 END AS ni
+  FROM iv
+), g AS (
+  SELECT user_id, lo, hi,
+    SUM(ni) OVER (PARTITION BY user_id ORDER BY lo, hi ROWS UNBOUNDED PRECEDING) AS island
+  FROM m
+)
+SELECT user_id, MIN(lo) AS start_ts, MAX(hi) AS end_ts,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM g GROUP BY user_id, island
+"""
+
+
+def q_grouped_quantiles(sf_dir: str):
+    """Exact per-group INTERPOLATED quantiles (grouped percentile_cont
+    — the continuous sibling of the discrete corpus.group_quantiles):
+    p50/p90 of order totalprice per order priority. One key exchange;
+    every group's order statistics come from offset arithmetic on one
+    shared sorted array (see sketch.grouped_quantiles_cont)."""
+    from kgray.stages.sketch import grouped_quantiles_cont
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderpriority", "o_totalprice"])
+    return grouped_quantiles_cont(
+        ds, key="o_orderpriority", value_col="o_totalprice", qs=(0.5, 0.9))
+
+
+SQL_GROUPED_QUANTILES = """
+SELECT o_orderpriority, CAST(0.5 AS DOUBLE) AS q,
+       ROUND(quantile_cont(o_totalprice, 0.5), 6) AS value
+FROM orders GROUP BY o_orderpriority
+UNION ALL
+SELECT o_orderpriority, CAST(0.9 AS DOUBLE),
+       ROUND(quantile_cont(o_totalprice, 0.9), 6)
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def q_percent_rank(sf_dir: str):
+    """PERCENT_RANK + CUME_DIST per group (the relative window ranks,
+    tie-aware): events ranked by value within their event_type. Same
+    single-exchange shape as grouped_rank."""
+    from kgray.stages.relational import grouped_percent_rank
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"])
+    out = grouped_percent_rank(ds, key="event_type", order_col="value")
+    return out.map_batches(
+        lambda t: t.select(["event_id", "event_type", "pct_rank", "cume_dist"]),
+        batch_format="pyarrow",
+    )
+
+
+SQL_PERCENT_RANK = """
+SELECT event_id, event_type,
+  ROUND(PERCENT_RANK() OVER (PARTITION BY event_type ORDER BY value), 6) AS pct_rank,
+  ROUND(CUME_DIST() OVER (PARTITION BY event_type ORDER BY value), 6) AS cume_dist
+FROM events
+"""
+
+
+def q_skyline(sf_dir: str):
+    """2-criteria Pareto frontier over part (cheapest-for-its-size):
+    minimize retail price, maximize size. SQL expresses this as an
+    O(n²) NOT-EXISTS dominance anti-join; the operator is two linear
+    map passes around a tiny candidate merge (relational.skyline)."""
+    from kgray.stages.relational import skyline
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_retailprice", "p_size"])
+    out = skyline(ds, x_col="p_retailprice", y_col="p_size", x_dir="min", y_dir="max")
+    return out.map_batches(
+        lambda t: t.select(["p_partkey", "p_retailprice", "p_size"]),
+        batch_format="pyarrow",
+    )
+
+
+SQL_SKYLINE = """
+SELECT p.p_partkey, p.p_retailprice, p.p_size FROM part p
+WHERE NOT EXISTS (
+  SELECT 1 FROM part q
+  WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+"""
+
+
+def q_json_extract_agg(sf_dir: str):
+    """Vectorized JSON field extraction + grouped aggregate: pull the
+    integer ``k`` out of the events ``props`` JSON string with ONE RE2
+    ``pc.extract_regex`` kernel per batch (no per-row json.loads), then
+    a two-phase grouped sum/count per event_type."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "props"])
+
+    def _ext(t: pa.Table) -> pa.Table:
+        s = pc.extract_regex(t.column("props"), pattern=r'"k":\s*(?P<k>\d+)')
+        k = pc.cast(pc.struct_field(s, "k"), pa.int64())
+        return pa.table({"event_type": t.column("event_type"), "k": k})
+
+    return (
+        ds.map_batches(_ext, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("k", alias_name="sum_k"), Count(alias_name="n"))
+    )
+
+
+SQL_JSON_EXTRACT_AGG = r"""
+SELECT event_type,
+  SUM(CAST(NULLIF(regexp_extract(props, '"k":\s*(\d+)', 1), '') AS BIGINT)) AS sum_k,
+  CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY event_type
+"""
+
+
 QUERIES = {
     "kgx_node_merge": q_kgx_node_merge,
     "kgx_edge_dedup": q_kgx_edge_dedup,
@@ -3533,6 +3673,11 @@ QUERIES = {
     "range_window": q_range_window,
     "bfs_distances": q_bfs,
     "quantiles_cont": q_quantiles_cont,
+    "merge_intervals": q_merge_intervals,
+    "grouped_quantiles_cont": q_grouped_quantiles,
+    "percent_rank": q_percent_rank,
+    "skyline": q_skyline,
+    "json_extract_agg": q_json_extract_agg,
 }
 
 ORACLES = {
@@ -3631,6 +3776,11 @@ ORACLES = {
     "range_window": SQL_RANGE_WINDOW,
     "bfs_distances": SQL_BFS_DISTANCES,
     "quantiles_cont": SQL_QUANTILES_CONT,
+    "merge_intervals": SQL_MERGE_INTERVALS,
+    "grouped_quantiles_cont": SQL_GROUPED_QUANTILES,
+    "percent_rank": SQL_PERCENT_RANK,
+    "skyline": SQL_SKYLINE,
+    "json_extract_agg": SQL_JSON_EXTRACT_AGG,
     # rows-only (non-SQL-expressible): ann_lsh (LSH recall is
     # probabilistic), construct_kg / extract_text (self-checking
     # against generator goldens), multimodal_features (decode stub)

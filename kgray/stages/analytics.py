@@ -33,6 +33,7 @@ __all__ = [
     "retention_cohorts",
     "mode_per_group",
     "range_window_agg",
+    "merge_intervals",
 ]
 
 _US_PER_DAY = 86_400_000_000
@@ -367,3 +368,58 @@ def range_window_agg(
         return out
 
     return grouped_apply(ds, [key], _win, num_partitions=num_partitions)
+
+
+def merge_intervals(
+    ds: Dataset,
+    key: str,
+    lo_col: str,
+    hi_col: str,
+    num_partitions: Optional[int] = None,
+) -> Dataset:
+    """Per-key coalescing of overlapping/touching intervals — the
+    gaps-and-islands shape (SQL: island detection via ``lo >
+    MAX(hi) OVER (... ROWS UNBOUNDED PRECEDING AND 1 PRECEDING)``,
+    then MIN/MAX/COUNT per island). Unlike ``sessionize`` (point
+    events + gap), inputs here carry their own extent, so islands are
+    decided against the running MAX of interval ends — an interval
+    fully inside an earlier long one opens no island. Touching
+    intervals (``lo == running_max_hi``) merge (strict ``>`` opens).
+
+    Scale shape: one hash exchange on ``key``; per partition a stable
+    sort + two C-speed grouped cumulative kernels (cummax + shift) find
+    island boundaries for EVERY key at once, one groupby aggregates the
+    islands. Partitioning assumption: one key's rows fit a worker's
+    heap (the documented grouped-window assumption).
+    """
+    if num_partitions is None:
+        num_partitions = auto_partitions()
+
+    def _reduce(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    key: df[key],
+                    "start_ts": df[lo_col],
+                    "end_ts": df[hi_col],
+                    "n_rows": pd.Series([], dtype="int64"),
+                }
+            )
+        df = df.sort_values([key, lo_col, hi_col], kind="mergesort").reset_index(drop=True)
+        # Running MAX of interval ends within the key, EXCLUDING the
+        # current row (shift) — the island test per the SQL window.
+        cm = df.groupby(key, sort=False)[hi_col].cummax()
+        prev_cm = cm.groupby(df[key], sort=False).shift(1)
+        new_island = df[lo_col].gt(prev_cm) | prev_cm.isna()
+        island = new_island.cumsum().to_numpy()
+        grp = df.groupby(island, sort=False)
+        return pd.DataFrame(
+            {
+                key: grp[key].first().to_numpy(),
+                "start_ts": grp[lo_col].min().to_numpy(),
+                "end_ts": grp[hi_col].max().to_numpy(),
+                "n_rows": grp.size().to_numpy().astype("int64"),
+            }
+        )
+
+    return grouped_apply(ds, [key], _reduce, num_partitions=num_partitions)

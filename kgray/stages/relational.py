@@ -22,6 +22,7 @@ from typing import List, Optional, Sequence
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 from ray.data import Dataset
@@ -710,3 +711,115 @@ def grouped_rank(
         return part
 
     return grouped_apply(ds, [key], _reduce, num_partitions=num_partitions)
+
+
+def grouped_percent_rank(
+    ds: Dataset,
+    key: str,
+    order_col: str,
+    ascending: bool = True,
+    num_partitions: Optional[int] = None,
+    round_digits: int = 6,
+) -> Dataset:
+    """Per-group ``PERCENT_RANK`` and ``CUME_DIST`` — the relative
+    window ranks: ``percent_rank = (RANK − 1) / (n − 1)`` (0 for a
+    singleton group, SQL's convention) and ``cume_dist = (# peers ≤
+    current) / n`` (= tie-aware ``rank(method='max') / n``).
+
+    Same shape as :func:`grouped_rank`: one exchange on ``key``,
+    per-partition C-speed ``pd.Series.rank``; group sizes from one
+    ``transform('size')``. Partitioning assumption: one key's rows fit
+    a worker's heap.
+    """
+    if num_partitions is None:
+        num_partitions = auto_partitions()
+
+    def _reduce(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.groupby(key, sort=False)[order_col]
+        n = part.groupby(key, sort=False)[order_col].transform("size").to_numpy(np.float64)
+        rnk_min = g.rank(method="min", ascending=ascending).to_numpy(np.float64)
+        rnk_max = g.rank(method="max", ascending=ascending).to_numpy(np.float64)
+        part = part.copy(deep=False)
+        denom = np.maximum(n - 1.0, 1.0)  # singleton group → percent_rank 0
+        part["pct_rank"] = np.round((rnk_min - 1.0) / denom, round_digits)
+        part["cume_dist"] = np.round(rnk_max / n, round_digits)
+        return part
+
+    return grouped_apply(ds, [key], _reduce, num_partitions=num_partitions)
+
+
+def _skyline_pairs(x: np.ndarray, y: np.ndarray) -> tuple:
+    """Pareto frontier of 2-D points (both dims MAX-oriented): the
+    distinct (x, y) pairs not dominated (x' ≥ x ∧ y' ≥ y, one strict).
+    Classic sort-scan: collapse to per-x max y, sort x descending, keep
+    while y strictly exceeds the running max. O(n log n), fully
+    vectorized, returns x strictly descending / y strictly ascending.
+    """
+    if len(x) == 0:
+        return x, y
+    order = np.lexsort((-y, -x))  # x desc, y desc within ties
+    xs, ys = x[order], y[order]
+    first = np.concatenate([[True], xs[1:] != xs[:-1]])  # per-x max y
+    xs, ys = xs[first], ys[first]
+    run = np.maximum.accumulate(ys)
+    keep = np.concatenate([[True], ys[1:] > run[:-1]])
+    return xs[keep], ys[keep]
+
+
+def skyline(
+    ds: Dataset,
+    x_col: str,
+    y_col: str,
+    x_dir: str = "min",
+    y_dir: str = "max",
+) -> Dataset:
+    """2-criteria Pareto frontier (skyline): the rows no other row
+    dominates — SQL's ``NOT EXISTS`` dominance anti-join, which is
+    O(n²) as written; here it is two linear passes.
+
+    Scale shape: (1) map-side local skyline per batch — the skyline of
+    a union is contained in the union of the per-part skylines, so the
+    frontier candidates shrink to O(batches · |local frontier|) rows
+    before anything moves; (2) the tiny candidate union reduces to the
+    global frontier pairs on the driver (same documented small-side
+    pattern as weighted_sample's top-k merge); (3) the frontier pairs
+    broadcast back (``ray.put`` once) and one map-only pass keeps the
+    rows whose pair sits on the frontier (membership via searchsorted —
+    a row is undominated iff its (x, y) is a frontier pair, since any
+    dominator is itself dominated by a frontier point). NULL rows in
+    either criterion are dropped up front (three-valued-logic dominance
+    is undefined; mirror the filter in the oracle).
+    """
+    sx = -1.0 if x_dir == "min" else 1.0
+    sy = -1.0 if y_dir == "min" else 1.0
+
+    def _local(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.and_(pc.is_valid(t.column(x_col)), pc.is_valid(t.column(y_col)))
+        )
+        x = t.column(x_col).to_numpy(zero_copy_only=False).astype(np.float64) * sx
+        y = t.column(y_col).to_numpy(zero_copy_only=False).astype(np.float64) * sy
+        kx, ky = _skyline_pairs(x, y)
+        return pa.table({"__sx": pa.array(kx), "__sy": pa.array(ky)})
+
+    cand = ds.map_batches(_local, batch_format="pyarrow").take_all()
+    cx = np.array([r["__sx"] for r in cand], dtype=np.float64)
+    cy = np.array([r["__sy"] for r in cand], dtype=np.float64)
+    fx, fy = _skyline_pairs(cx, cy)
+    # Frontier x strictly descending → flip for searchsorted membership.
+    pairs_ref = ray.put((fx[::-1].copy(), fy[::-1].copy()))
+
+    def _filter(t: pa.Table) -> pa.Table:
+        gx, gy = ray.get(pairs_ref)
+        if len(t) == 0 or len(gx) == 0:
+            return t.slice(0, 0)
+        x = t.column(x_col).to_numpy(zero_copy_only=False).astype(np.float64) * sx
+        y = t.column(y_col).to_numpy(zero_copy_only=False).astype(np.float64) * sy
+        pos = np.searchsorted(gx, x)
+        hit = (pos < len(gx)) & (gx[np.minimum(pos, len(gx) - 1)] == x)
+        keep = hit & (gy[np.minimum(pos, len(gx) - 1)] == y)
+        valid = pc.and_(pc.is_valid(t.column(x_col)), pc.is_valid(t.column(y_col)))
+        keep = keep & valid.to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(keep))
+
+    return ds.map_batches(_filter, batch_format="pyarrow")

@@ -429,3 +429,59 @@ def exact_quantiles_cont(
         val = v0 + (v1 - v0) * (r - k0)
         out.append({"q": float(q), "value": float(np.round(val, round_digits))})
     return pd.DataFrame(out)
+
+
+def grouped_quantiles_cont(
+    ds: Dataset,
+    key: str,
+    value_col: str,
+    qs,
+    num_partitions=None,
+    round_digits: int = 6,
+) -> Dataset:
+    """EXACT per-group linear-interpolated quantiles (SQL
+    ``percentile_cont(q) WITHIN GROUP ... GROUP BY key`` / DuckDB
+    grouped ``quantile_cont``).
+
+    Scale shape: one hash exchange on ``key``; per partition a single
+    stable sort of ``(key, value)`` puts every group's values
+    contiguous, then for each requested ``q`` the interpolated order
+    statistic of EVERY group comes from group-offset arithmetic on the
+    shared sorted array (``lo/hi = offset + floor/ceil((n_g-1)·q)``,
+    DuckDB's ``lower + frac·(upper-lower)`` form) — no per-group Python
+    loop, the only loop is over the handful of requested quantiles.
+
+    Partitioning assumption: one key's rows fit a worker's heap. For a
+    single giant group use :func:`exact_quantiles_cont` (the iterative
+    bucket-refinement selection) filtered to that group instead.
+    """
+    from kgray.kernels.hashagg import auto_partitions, grouped_apply
+
+    if num_partitions is None:
+        num_partitions = auto_partitions()
+    qs = [float(q) for q in qs]
+
+    def _reduce(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[[key, value_col]].dropna()
+        if len(df) == 0:
+            return pd.DataFrame(
+                {key: df[key], "q": pd.Series([], dtype="float64"),
+                 "value": pd.Series([], dtype="float64")}
+            )
+        df = df.sort_values([key, value_col], kind="mergesort")
+        vals = df[value_col].to_numpy(np.float64)
+        gid, uniq = pd.factorize(df[key], sort=False)
+        counts = np.bincount(gid)
+        offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        out = []
+        for q in qs:
+            h = (counts - 1) * q
+            base = np.floor(h).astype(np.int64)
+            frac = h - base
+            v_lo = vals[offsets + base]
+            v_hi = vals[offsets + np.ceil(h).astype(np.int64)]
+            v = v_lo + frac * (v_hi - v_lo)
+            out.append(pd.DataFrame({key: uniq, "q": q, "value": np.round(v, round_digits)}))
+        return pd.concat(out, ignore_index=True)
+
+    return grouped_apply(ds, [key], _reduce, num_partitions=num_partitions)

@@ -239,3 +239,31 @@ def test_edit_distance_pairs_vs_duckdb(ray_session):
     ).df()
     assert got.astype("int64").equals(exp.astype("int64"))
     assert len(exp) > 100
+
+
+def test_merge_intervals_touching_and_nested(ray_session):
+    import ray.data
+
+    from kgray.stages.analytics import merge_intervals
+
+    df = pd.DataFrame({
+        "k": ["a", "a", "a", "a", "b", "b"],
+        # a: [0,10) [10,20) touch-merge; [2,5) nested (no island);
+        #    [30,40) separate. b: one interval + disjoint second.
+        "lo": [0, 10, 2, 30, 100, 200],
+        "hi": [10, 20, 5, 40, 150, 210],
+    })
+    got = (
+        merge_intervals(ray.data.from_pandas(df), key="k", lo_col="lo",
+                        hi_col="hi", num_partitions=3)
+        .to_pandas().sort_values(["k", "start_ts"]).reset_index(drop=True)
+    )
+    exp = pd.DataFrame({
+        "k": ["a", "a", "b", "b"],
+        "start_ts": [0, 30, 100, 200],
+        "end_ts": [20, 40, 150, 210],
+        "n_rows": [3, 1, 1, 1],
+    })
+    pd.testing.assert_frame_equal(
+        got.astype({"n_rows": "int64"}), exp.astype({"n_rows": "int64"}),
+        check_dtype=False)

@@ -196,3 +196,58 @@ def test_grouped_rank_vs_duckdb(ray_session):
         "FROM df ORDER BY g, i"
     ).df()
     assert got[["g", "i", "x", "rnk", "dense_rnk"]].astype("int64").equals(exp.astype("int64"))
+
+
+def test_percent_rank_vs_duckdb_with_ties(ray_session):
+    import duckdb
+
+    from kgray.stages.relational import grouped_percent_rank
+
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame({
+        "g": rng.integers(0, 20, 400),
+        "i": np.arange(400),
+        "x": rng.integers(0, 6, 400).astype(float),  # heavy ties
+    })
+    # A singleton group: percent_rank must be 0, cume_dist 1.
+    df = pd.concat([df, pd.DataFrame({"g": [99], "i": [400], "x": [3.0]})],
+                   ignore_index=True)
+    got = (
+        grouped_percent_rank(ray.data.from_pandas(df), key="g", order_col="x",
+                             num_partitions=4)
+        .to_pandas().sort_values(["g", "i"]).reset_index(drop=True)
+    )
+    exp = duckdb.sql(
+        "SELECT g, i, ROUND(PERCENT_RANK() OVER (PARTITION BY g ORDER BY x), 6) AS pct_rank, "
+        "ROUND(CUME_DIST() OVER (PARTITION BY g ORDER BY x), 6) AS cume_dist "
+        "FROM df ORDER BY g, i"
+    ).df()
+    assert np.allclose(got["pct_rank"], exp["pct_rank"])
+    assert np.allclose(got["cume_dist"], exp["cume_dist"])
+    single = got[got["g"] == 99]
+    assert single["pct_rank"].iloc[0] == 0.0 and single["cume_dist"].iloc[0] == 1.0
+
+
+def test_skyline_vs_bruteforce(ray_session):
+    from kgray.stages.relational import skyline
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame({
+        "id": np.arange(300),
+        "price": rng.integers(0, 40, 300).astype(float),  # ties + duplicate pairs
+        "size": rng.integers(0, 40, 300),
+    })
+    got = (
+        skyline(ray.data.from_pandas(df), x_col="price", y_col="size",
+                x_dir="min", y_dir="max")
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    )
+    p, s = df["price"].to_numpy(), df["size"].to_numpy()
+    dominated = np.array([
+        bool(np.any((p <= p[i]) & (s >= s[i]) & ((p < p[i]) | (s > s[i]))))
+        for i in range(len(df))
+    ])
+    exp = df[~dominated].sort_values("id").reset_index(drop=True)
+    assert got["id"].tolist() == exp["id"].tolist()
+    # Duplicate frontier pairs must BOTH survive (neither strictly dominates).
+    assert got.duplicated(["price", "size"]).any() or len(got) == len(set(zip(got["price"], got["size"])))

@@ -125,3 +125,31 @@ def test_count_min_never_undercounts_and_merges():
     # eps*N additive bound (allow the delta failure fraction)
     frac_bad = ((est - true) > 1e-3 * len(h)).mean()
     assert frac_bad <= 1e-2, frac_bad
+
+
+def test_grouped_quantiles_cont_vs_duckdb(ray_session):
+    import duckdb
+    import ray.data
+
+    from kgray.stages.sketch import grouped_quantiles_cont
+
+    rng = np.random.default_rng(13)
+    df = pd.DataFrame({
+        "g": rng.integers(0, 12, 600),
+        "v": rng.normal(50, 20, 600),
+    })
+    # Singleton group: every quantile = the single value.
+    df = pd.concat([df, pd.DataFrame({"g": [77], "v": [42.0]})], ignore_index=True)
+    got = (
+        grouped_quantiles_cont(ray.data.from_pandas(df), key="g", value_col="v",
+                               qs=(0.25, 0.5, 0.99), num_partitions=4)
+        .to_pandas().sort_values(["g", "q"]).reset_index(drop=True)
+    )
+    exp = duckdb.sql("""
+        SELECT g, CAST(0.25 AS DOUBLE) AS q, ROUND(quantile_cont(v, 0.25), 6) AS value FROM df GROUP BY g
+        UNION ALL SELECT g, 0.5, ROUND(quantile_cont(v, 0.5), 6) FROM df GROUP BY g
+        UNION ALL SELECT g, 0.99, ROUND(quantile_cont(v, 0.99), 6) FROM df GROUP BY g
+        ORDER BY g, q
+    """).df()
+    assert np.allclose(got["value"], exp["value"])
+    assert (got[got["g"] == 77]["value"] == 42.0).all()
