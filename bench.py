@@ -145,6 +145,10 @@ BENCH_QUERIES = [
     "percent_rank",
     "skyline",
     "json_extract_agg",
+    "window_dedup",
+    "doc_entropy",
+    "max_by",
+    "unpivot",
 ]
 
 

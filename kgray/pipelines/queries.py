@@ -2913,7 +2913,7 @@ def q_triangle_count(sf_dir: str):
     ds = _events(sf_dir, ["user_id", "event_type", "ts"])
 
     def _bucket(df: "pd.DataFrame") -> "pd.DataFrame":
-        hr = df["ts"].to_numpy().view("int64") // 3_600_000_000
+        hr = df["ts"].to_numpy().astype("datetime64[us]").view("int64") // 3_600_000_000
         out = pd.DataFrame(
             {"user_id": df["user_id"], "event_type": df["event_type"], "hr": hr}
         )
@@ -3564,6 +3564,100 @@ FROM events GROUP BY event_type
 """
 
 
+def q_window_dedup(sf_dir: str):
+    """Debounce dedup: drop an event when the same (user, event_type)
+    fired within the preceding 5 minutes (LAG definition — measured to
+    the previous row, order-insensitive and SQL-checkable). One keyed
+    exchange + vectorized shift (analytics.window_dedup)."""
+    from kgray.stages.analytics import window_dedup
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "event_type", "ts"])
+    return window_dedup(ds, keys=["user_id", "event_type"], ts_col="ts",
+                        window_us=300_000_000, tiebreak_col="event_id")
+
+
+SQL_WINDOW_DEDUP = """
+SELECT event_id, user_id, event_type, ts FROM (
+  SELECT event_id, user_id, event_type, ts,
+    LAG(ts) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS pts
+  FROM events) s
+WHERE pts IS NULL OR date_diff('microsecond', pts, ts) > 300000000
+"""
+
+
+def q_doc_entropy(sf_dir: str):
+    """Per-document word-distribution Shannon entropy (repetition /
+    quality signal). Map-only: np.unique over a combined (row, word)
+    key + one reduceat segment sum per batch (corpus.doc_entropy)."""
+    from kgray.stages.corpus import doc_entropy
+
+    return doc_entropy(_docs(sf_dir, ["doc_id", "text"]))
+
+
+SQL_DOC_ENTROPY = r"""
+WITH w AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS word FROM documents
+), c AS (
+  SELECT doc_id, word, COUNT(*) AS c FROM w GROUP BY doc_id, word
+), n AS (
+  SELECT doc_id, SUM(c) AS n FROM c GROUP BY doc_id
+)
+SELECT c.doc_id,
+       ROUND(SUM(-(CAST(c.c AS DOUBLE) / CAST(n.n AS DOUBLE))
+                 * LN(CAST(c.c AS DOUBLE) / CAST(n.n AS DOUBLE))), 6) AS entropy
+FROM c JOIN n USING (doc_id) GROUP BY c.doc_id
+"""
+
+
+def q_max_by(sf_dir: str):
+    """Per-user ARGMAX event (highest value, event_id tie-break): the
+    O(groups)-partial monoid form — only one row per (batch, key) ever
+    enters the exchange (relational.max_by)."""
+    from kgray.stages.relational import max_by
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "value"])
+    out = max_by(ds, key="user_id", order_cols=["value", "event_id"])
+    return out.map_batches(
+        lambda t: t.select(["user_id", "event_id", "value"]),
+        batch_format="pyarrow")
+
+
+SQL_MAX_BY = """
+SELECT user_id, event_id, value FROM (
+  SELECT user_id, event_id, value,
+    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value DESC, event_id DESC) AS rn
+  FROM events) s WHERE rn = 1
+"""
+
+
+def q_unpivot(sf_dir: str):
+    """Wide → long melt of three lineitem measures (SQL UNPIVOT as a
+    UNION ALL of per-column selects) — map-only, zero shuffle."""
+    from kgray.stages.relational import unpivot
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_quantity",
+                 "l_extendedprice", "l_discount"])
+    return unpivot(ds, id_cols=["l_orderkey", "l_linenumber"],
+                   value_cols=["l_quantity", "l_extendedprice", "l_discount"])
+
+
+SQL_UNPIVOT = """
+SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+       CAST(l_quantity AS DOUBLE) AS value FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+       CAST(l_extendedprice AS DOUBLE) FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_discount',
+       CAST(l_discount AS DOUBLE) FROM lineitem
+"""
+
+
 QUERIES = {
     "kgx_node_merge": q_kgx_node_merge,
     "kgx_edge_dedup": q_kgx_edge_dedup,
@@ -3678,6 +3772,10 @@ QUERIES = {
     "percent_rank": q_percent_rank,
     "skyline": q_skyline,
     "json_extract_agg": q_json_extract_agg,
+    "window_dedup": q_window_dedup,
+    "doc_entropy": q_doc_entropy,
+    "max_by": q_max_by,
+    "unpivot": q_unpivot,
 }
 
 ORACLES = {
@@ -3781,6 +3879,10 @@ ORACLES = {
     "percent_rank": SQL_PERCENT_RANK,
     "skyline": SQL_SKYLINE,
     "json_extract_agg": SQL_JSON_EXTRACT_AGG,
+    "window_dedup": SQL_WINDOW_DEDUP,
+    "doc_entropy": SQL_DOC_ENTROPY,
+    "max_by": SQL_MAX_BY,
+    "unpivot": SQL_UNPIVOT,
     # rows-only (non-SQL-expressible): ann_lsh (LSH recall is
     # probabilistic), construct_kg / extract_text (self-checking
     # against generator goldens), multimodal_features (decode stub)

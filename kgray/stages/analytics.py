@@ -34,6 +34,7 @@ __all__ = [
     "mode_per_group",
     "range_window_agg",
     "merge_intervals",
+    "window_dedup",
 ]
 
 _US_PER_DAY = 86_400_000_000
@@ -41,7 +42,7 @@ _US_PER_DAY = 86_400_000_000
 
 def _epoch_days(ts: pd.Series) -> np.ndarray:
     """timestamp[us] → int64 epoch days (floor), vectorized."""
-    return (ts.to_numpy().view("int64") // _US_PER_DAY).astype(np.int64)
+    return (ts.to_numpy().astype("datetime64[us]").view("int64") // _US_PER_DAY).astype(np.int64)
 
 
 def grouped_moving_avg(
@@ -347,7 +348,9 @@ def range_window_agg(
             return out
         df = df.sort_values([key, ts_col], kind="mergesort").reset_index(drop=True)
         ts = df[ts_col].to_numpy()
-        ts = ts.view("int64") if ts.dtype.kind == "M" else ts.astype(np.int64)
+        # µs normalization regardless of datetime resolution (ns inputs
+        # from pd.to_datetime would silently mis-window otherwise).
+        ts = ts.astype("datetime64[us]").view("int64") if ts.dtype.kind == "M" else ts.astype(np.int64)
         ts = ts - ts.min()
         gid, _ = pd.factorize(df[key], sort=False)  # sorted → groups contiguous
         span = int(ts.max()) + int(window_us) + 2
@@ -423,3 +426,42 @@ def merge_intervals(
         )
 
     return grouped_apply(ds, [key], _reduce, num_partitions=num_partitions)
+
+
+def window_dedup(
+    ds: Dataset,
+    keys: Sequence[str],
+    ts_col: str,
+    window_us: int,
+    tiebreak_col: str,
+    num_partitions: Optional[int] = None,
+) -> Dataset:
+    """Debounce: drop an event when the key's previous event (by
+    ``ts``, ties broken by ``tiebreak_col``) is within ``window_us`` —
+    SQL ``LAG(ts) OVER (PARTITION BY keys ORDER BY ts, tiebreak)`` with
+    a strict ``>`` keep rule (an exact-duplicate timestamp always
+    drops). Note the window is measured to the previous ROW, not the
+    previous KEPT row — the LAG definition is order-insensitive and
+    SQL-checkable; a greedy kept-chain variant is not.
+
+    One hash exchange on ``keys``; per partition a stable sort +
+    vectorized shift — no per-group loop.
+    """
+    keys = list(keys)
+    if num_partitions is None:
+        num_partitions = auto_partitions()
+
+    def _reduce(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return df
+        df = df.sort_values(keys + [ts_col, tiebreak_col], kind="mergesort")
+        ts = df[ts_col].to_numpy()
+        # Normalize any datetime resolution (ns from pd.to_datetime, us
+        # from Arrow) to MICROSECONDS — window_us is defined in µs.
+        ts = ts.astype("datetime64[us]").view("int64") if ts.dtype.kind == "M" else ts.astype(np.int64)
+        same_key = (df[keys] == df[keys].shift()).all(axis=1).to_numpy()
+        prev_ts = np.concatenate([ts[:1], ts[:-1]])
+        keep = (~same_key) | (ts - prev_ts > window_us)
+        return df[keep]
+
+    return grouped_apply(ds, keys, _reduce, num_partitions=num_partitions)

@@ -1301,3 +1301,46 @@ def bm25_topk(
     top = cand.sort_values(["score", id_col], ascending=[False, True],
                            kind="mergesort").head(k)
     return pa.Table.from_pandas(top.reset_index(drop=True), preserve_index=False)
+
+
+def doc_entropy(
+    ds: Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_digits: int = 6,
+) -> Dataset:
+    """Per-document Shannon entropy (nats) of the word distribution —
+    a repetition/quality signal (low entropy = repetitive doc): ``H =
+    -Σ_w p_w ln p_w`` over the doc's ``\\S+`` tokens. Docs with no
+    tokens are dropped (SQL post-unnest GROUP BY semantics).
+
+    Map-only, zero shuffle: within each batch the per-(row, word)
+    counts come from one ``np.unique`` over a combined (row, word-code)
+    key and the per-row entropy from one ``np.add.reduceat`` segment
+    sum — the corpus never moves, no per-row Python.
+    """
+    def _ent(t: pa.Table) -> pa.Table:
+        flat, off = flat_words(t.column(text_col))
+        counts = np.diff(off)
+        if len(flat) == 0:
+            return pa.table({
+                id_col: t.column(id_col).slice(0, 0),
+                "entropy": pa.array([], pa.float64()),
+            })
+        row = np.repeat(np.arange(len(t), dtype=np.int64), counts)
+        codes, _ = pd.factorize(flat.to_pandas(), sort=False)
+        width = np.int64(codes.max()) + 1
+        comb = row * width + codes
+        uniq, cnt = np.unique(comb, return_counts=True)
+        urow = (uniq // width).astype(np.int64)
+        p = cnt / counts[urow].astype(np.float64)
+        contrib = -p * np.log(p)
+        seg = np.concatenate([[0], np.nonzero(np.diff(urow))[0] + 1])
+        ent = np.add.reduceat(contrib, seg)
+        out_rows = urow[seg]
+        return pa.table({
+            id_col: t.column(id_col).take(pa.array(out_rows)),
+            "entropy": pa.array(np.round(ent, round_digits), pa.float64()),
+        })
+
+    return ds.map_batches(_ent, batch_format="pyarrow")

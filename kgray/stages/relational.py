@@ -823,3 +823,58 @@ def skyline(
         return t.filter(pa.array(keep))
 
     return ds.map_batches(_filter, batch_format="pyarrow")
+
+
+def max_by(
+    ds: Dataset,
+    key: str,
+    order_cols: Sequence[str],
+    num_partitions: Optional[int] = None,
+) -> Dataset:
+    """Per-group ARGMAX row (SQL ``arg_max`` / ``ROW_NUMBER ... DESC =
+    1``) with a deterministic lexicographic tie-break over
+    ``order_cols`` — give it a unique final column and the winner is
+    total-order unique.
+
+    Scale shape: the per-batch best-row-per-key partial is the SAME
+    idempotent kernel as the reduce (a monoid), so only O(groups) rows
+    per batch enter the exchange — unlike ``top_n_per_group`` this
+    never moves more than one row per (batch, key).
+    """
+    order_cols = list(order_cols)
+    if num_partitions is None:
+        num_partitions = auto_partitions()
+
+    def _best(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return df
+        df = df.sort_values([key] + order_cols, kind="mergesort")
+        return df.drop_duplicates(subset=[key], keep="last")
+
+    return grouped_apply(ds, [key], _best, num_partitions=num_partitions,
+                         map_side=_best)
+
+
+def unpivot(
+    ds: Dataset,
+    id_cols: Sequence[str],
+    value_cols: Sequence[str],
+    var_name: str = "measure",
+    value_name: str = "value",
+) -> Dataset:
+    """Wide → long melt (SQL UNPIVOT / UNION ALL of per-column
+    selects): one output row per (input row, value column), measures
+    cast to float64 into one column. Map-only, zero shuffle — the loop
+    is over the handful of value columns, never over rows."""
+    id_cols, value_cols = list(id_cols), list(value_cols)
+
+    def _melt(t: pa.Table) -> pa.Table:
+        out = []
+        for c in value_cols:
+            cols = {ic: t.column(ic) for ic in id_cols}
+            cols[var_name] = pa.array([c] * len(t), pa.string())
+            cols[value_name] = pc.cast(t.column(c), pa.float64())
+            out.append(pa.table(cols))
+        return pa.concat_tables(out)
+
+    return ds.map_batches(_melt, batch_format="pyarrow")

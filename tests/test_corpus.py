@@ -319,3 +319,24 @@ def test_bm25_ranks_relevant_docs_first(ray_session):
     assert got["doc_id"].tolist()[0] in (1, 4)
     assert 3 not in got["doc_id"].tolist()  # zero score filtered
     assert (got["score"].to_numpy()[:-1] >= got["score"].to_numpy()[1:]).all()
+
+
+def test_doc_entropy_known_values(ray_session):
+    import math
+
+    import ray.data
+
+    from kgray.stages.corpus import doc_entropy
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["a a a a", "a b a b", "  ", "x y z"],
+    })
+    got = (
+        doc_entropy(ray.data.from_pandas(df))
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    # Empty doc (id 3) dropped; uniform 1-symbol → 0; 2 even symbols →
+    # ln 2; 3 even → ln 3.
+    assert got["doc_id"].tolist() == [1, 2, 4]
+    assert np.allclose(got["entropy"], [0.0, round(math.log(2), 6), round(math.log(3), 6)])

@@ -267,3 +267,23 @@ def test_merge_intervals_touching_and_nested(ray_session):
     pd.testing.assert_frame_equal(
         got.astype({"n_rows": "int64"}), exp.astype({"n_rows": "int64"}),
         check_dtype=False)
+
+
+def test_window_dedup_lag_rule(ray_session):
+    import ray.data
+
+    from kgray.stages.analytics import window_dedup
+
+    df = pd.DataFrame({
+        "k": ["a"] * 4 + ["b"],
+        "t": pd.to_datetime([0, 100, 150, 400, 0], unit="s"),
+        "i": [0, 1, 2, 3, 4],
+    })
+    got = (
+        window_dedup(ray.data.from_pandas(df), keys=["k"], ts_col="t",
+                     window_us=200_000_000, tiebreak_col="i", num_partitions=2)
+        .to_pandas().sort_values("i").reset_index(drop=True)
+    )
+    # LAG rule: row1 (100s after row0) dropped, row2 (50s after row1)
+    # dropped even though row1 itself was dropped, row3 (250s) kept.
+    assert got["i"].tolist() == [0, 3, 4]

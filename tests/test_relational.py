@@ -251,3 +251,32 @@ def test_skyline_vs_bruteforce(ray_session):
     assert got["id"].tolist() == exp["id"].tolist()
     # Duplicate frontier pairs must BOTH survive (neither strictly dominates).
     assert got.duplicated(["price", "size"]).any() or len(got) == len(set(zip(got["price"], got["size"])))
+
+
+def test_max_by_partial_monoid_and_ties(ray_session):
+    from kgray.stages.relational import max_by
+
+    df = pd.DataFrame({
+        "g": [1, 1, 1, 2, 2, 3],
+        "v": [5.0, 9.0, 9.0, 1.0, 1.0, 7.0],  # ties broken by id
+        "id": [10, 11, 12, 20, 21, 30],
+    })
+    got = (
+        max_by(ray.data.from_pandas(df), key="g", order_cols=["v", "id"],
+               num_partitions=3)
+        .to_pandas().sort_values("g").reset_index(drop=True)
+    )
+    assert got["id"].tolist() == [12, 21, 30]
+    assert got["v"].tolist() == [9.0, 1.0, 7.0]
+
+
+def test_unpivot_shape_and_values(ray_session):
+    from kgray.stages.relational import unpivot
+
+    df = pd.DataFrame({"k": [1, 2], "a": [1.5, 2.5], "b": [10, 20]})
+    got = (
+        unpivot(ray.data.from_pandas(df), id_cols=["k"], value_cols=["a", "b"])
+        .to_pandas().sort_values(["k", "measure"]).reset_index(drop=True)
+    )
+    assert len(got) == 4
+    assert got.loc[(got["k"] == 2) & (got["measure"] == "b"), "value"].iloc[0] == 20.0
