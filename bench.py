@@ -149,6 +149,10 @@ BENCH_QUERIES = [
     "doc_entropy",
     "max_by",
     "unpivot",
+    "containment_pairs",
+    "grouped_topk_tokens",
+    "ewma",
+    "explode_embedding",
 ]
 
 

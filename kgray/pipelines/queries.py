@@ -3658,6 +3658,119 @@ SELECT l_orderkey, l_linenumber, 'l_discount',
 """
 
 
+def q_containment_pairs(sf_dir: str):
+    """Exact n-gram CONTAINMENT near-dup pairs (m / min(|A|,|B|) ≥ 0.8):
+    catches a short doc embedded in a long one, which the Jaccard union
+    denominator structurally dilutes. Same inverted-index exchanges as
+    dedup_jaccard_pairs, different keep rule."""
+    from kgray.stages.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(sf_dir, ["doc_id", "text"]),
+                               threshold=0.8, score="containment")
+
+
+SQL_CONTAINMENT_PAIRS = """
+WITH words AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+  FROM words, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+  WHERE len(w) >= 3
+), counts AS (
+  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS m
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b
+FROM inter JOIN counts ca ON ca.doc_id = id_a JOIN counts cb ON cb.doc_id = id_b
+WHERE m * 1.0 / LEAST(ca.n, cb.n) >= 0.8
+"""
+
+
+def q_grouped_topk_tokens(sf_dir: str):
+    """Grouped heavy hitters: top-3 tokens per language (count desc,
+    token asc). Combined (group, token) count exchange + candidate-
+    pruned per-group top-k — raw text never shuffles."""
+    from kgray.stages.corpus import grouped_topk_tokens
+
+    return grouped_topk_tokens(_docs(sf_dir, ["lang", "text"]),
+                               group_col="lang", k=3)
+
+
+SQL_GROUPED_TOPK_TOKENS = r"""
+WITH w AS (
+  SELECT lang, unnest(regexp_extract_all(text, '\S+')) AS tok FROM documents
+), c AS (
+  SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS n FROM w GROUP BY lang, tok
+), r AS (
+  SELECT lang, tok, n,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, tok) AS rn
+  FROM c
+)
+SELECT lang, tok, n FROM r WHERE rn <= 3
+"""
+
+
+def q_ewma(sf_dir: str):
+    """Truncated EWMA per user (decay 0.5, last 8 rows by ts): the
+    bounded-frame form that stays SQL-checkable (untruncated needs a
+    recursive CTE or overflowing POWER terms). One keyed exchange +
+    8 shifted weighted adds (analytics.grouped_ewma)."""
+    from kgray.stages.analytics import grouped_ewma
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_id", "ts", "value"])
+    out = grouped_ewma(ds, key="user_id", ts_col="ts", value_col="value",
+                       tiebreak_col="event_id", decay=0.5, window=8)
+    return out.map_batches(
+        lambda t: t.select(["user_id", "event_id", "ewma"]),
+        batch_format="pyarrow")
+
+
+SQL_EWMA = """
+WITH r AS (
+  SELECT user_id, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+)
+SELECT a.user_id, a.event_id,
+  ROUND(SUM(b.value * POWER(0.5, a.rn - b.rn)) / SUM(POWER(0.5, a.rn - b.rn)), 4) AS ewma
+FROM r a JOIN r b ON b.user_id = a.user_id AND b.rn BETWEEN a.rn - 7 AND a.rn
+GROUP BY a.user_id, a.event_id
+"""
+
+
+def q_explode_embedding(sf_dir: str):
+    """UNNEST WITH ORDINALITY over the embedding list column: one row
+    per (vector, dimension). Map-only zero-copy flatten — ids from one
+    np.repeat, positions from one arange subtraction."""
+    from kgray.stages.relational import explode_list
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    out = explode_list(ds, id_cols=["vec_id"], list_col="embedding")
+
+    def _cast(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "vec_id": t.column("vec_id"),
+            "pos": t.column("pos"),
+            "val": pc.cast(t.column("val"), pa.float64()),
+        })
+
+    return out.map_batches(_cast, batch_format="pyarrow")
+
+
+SQL_EXPLODE_EMBEDDING = """
+SELECT vec_id, CAST(i AS BIGINT) AS pos,
+       CAST(list_extract(embedding, i + 1) AS DOUBLE) AS val
+FROM embeddings, range(64) t(i)
+WHERE i < len(embedding)
+"""
+
+
 QUERIES = {
     "kgx_node_merge": q_kgx_node_merge,
     "kgx_edge_dedup": q_kgx_edge_dedup,
@@ -3776,6 +3889,10 @@ QUERIES = {
     "doc_entropy": q_doc_entropy,
     "max_by": q_max_by,
     "unpivot": q_unpivot,
+    "containment_pairs": q_containment_pairs,
+    "grouped_topk_tokens": q_grouped_topk_tokens,
+    "ewma": q_ewma,
+    "explode_embedding": q_explode_embedding,
 }
 
 ORACLES = {
@@ -3883,6 +4000,10 @@ ORACLES = {
     "doc_entropy": SQL_DOC_ENTROPY,
     "max_by": SQL_MAX_BY,
     "unpivot": SQL_UNPIVOT,
+    "containment_pairs": SQL_CONTAINMENT_PAIRS,
+    "grouped_topk_tokens": SQL_GROUPED_TOPK_TOKENS,
+    "ewma": SQL_EWMA,
+    "explode_embedding": SQL_EXPLODE_EMBEDDING,
     # rows-only (non-SQL-expressible): ann_lsh (LSH recall is
     # probabilistic), construct_kg / extract_text (self-checking
     # against generator goldens), multimodal_features (decode stub)

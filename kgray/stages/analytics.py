@@ -35,6 +35,7 @@ __all__ = [
     "range_window_agg",
     "merge_intervals",
     "window_dedup",
+    "grouped_ewma",
 ]
 
 _US_PER_DAY = 86_400_000_000
@@ -465,3 +466,58 @@ def window_dedup(
         return df[keep]
 
     return grouped_apply(ds, keys, _reduce, num_partitions=num_partitions)
+
+
+def grouped_ewma(
+    ds: Dataset,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    decay: float = 0.5,
+    window: int = 8,
+    out_col: str = "ewma",
+    round_digits: int = 4,
+    num_partitions: Optional[int] = None,
+) -> Dataset:
+    """Truncated exponentially-weighted moving average per key: per
+    row, ``Σ decay^j · v_{t−j} / Σ decay^j`` over the last ``window``
+    rows in (ts, tiebreak) order. Truncation (``j < window``) is what
+    keeps it SQL-checkable: the untruncated recursion needs either a
+    recursive CTE or ``POWER(decay, −rn)`` terms that overflow for long
+    keys; a bounded frame is also the batch-friendly form (O(window)
+    shifted adds, same shape as :func:`grouped_moving_avg`).
+
+    One hash exchange on ``key``; per partition a mergesort + ``window``
+    shifted weighted adds in fixed order. Partitioning assumption: one
+    key's rows fit a worker's heap.
+    """
+    if num_partitions is None:
+        num_partitions = auto_partitions()
+
+    def _score(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key, ts_col, tiebreak_col], kind="mergesort").reset_index(drop=True)
+        v = df[value_col].to_numpy(np.float64)
+        gid = df[key].to_numpy()
+        new_grp = np.empty(len(df), dtype=bool)
+        if len(df):
+            new_grp[0] = True
+            new_grp[1:] = gid[1:] != gid[:-1]
+        pos = np.arange(len(df)) - np.maximum.accumulate(
+            np.where(new_grp, np.arange(len(df)), 0))
+        num = v.copy()
+        den = np.ones(len(df), dtype=np.float64)
+        for j in range(1, window):
+            w = decay ** j
+            shifted = np.empty_like(v)
+            shifted[:j] = 0.0
+            shifted[j:] = v[:-j]
+            valid = pos >= j
+            num = np.where(valid, num + w * shifted, num)
+            den = np.where(valid, den + w, den)
+        out = df.copy(deep=False)
+        out[out_col] = stable_round(pa.array(num / den, pa.float64()),
+                                    round_digits).to_numpy(zero_copy_only=False)
+        return out
+
+    return grouped_apply(ds, [key], _score, num_partitions=num_partitions)

@@ -1344,3 +1344,58 @@ def doc_entropy(
         })
 
     return ds.map_batches(_ent, batch_format="pyarrow")
+
+
+def grouped_topk_tokens(
+    ds: Dataset,
+    group_col: str,
+    k: int = 3,
+    text_col: str = "text",
+    num_partitions: Optional[int] = None,
+) -> Dataset:
+    """Top-``k`` most frequent ``\\S+`` tokens PER GROUP (count desc,
+    token asc) — grouped heavy hitters (e.g. signature vocabulary per
+    language / per domain).
+
+    Same shape as :func:`topk_tokens` but keyed: the map side combines
+    each batch to one row per (group, token) partial count, ONE
+    exchange on (group, token) sums them exactly, and the final
+    per-group top-k is a second tiny exchange over the already-
+    aggregated (group, token, n) rows via ``top_n_per_group``'s
+    candidate-pruned shape. Raw text never shuffles.
+    """
+    from kgray.kernels.hashagg import auto_partitions, grouped_apply
+    from kgray.stages.relational import top_n_per_group
+
+    if num_partitions is None:
+        num_partitions = auto_partitions()
+
+    def _count(t: pa.Table) -> pa.Table:
+        flat, off = flat_words(t.column(text_col))
+        if len(flat) == 0:
+            return pa.table({
+                group_col: t.column(group_col).slice(0, 0),
+                "tok": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+            })
+        counts = np.diff(off)
+        row = np.repeat(np.arange(len(t), dtype=np.int64), counts)
+        df = pd.DataFrame({
+            group_col: t.column(group_col).to_pandas().take(row).to_numpy(),
+            "tok": flat.to_pandas().to_numpy(),
+        })
+        g = df.groupby([group_col, "tok"], sort=False).size().rename("n").reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def _sum(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby([group_col, "tok"], as_index=False, sort=False)["n"].sum()
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    counted = ds.select_columns([group_col, text_col]).map_batches(
+        _count, batch_format="pyarrow")
+    sums = grouped_apply(counted, [group_col, "tok"], _sum,
+                         num_partitions=num_partitions, map_side=_sum)
+    return top_n_per_group(sums, group_col, order_col="n", n=k,
+                           ascending=False, tie_cols=["tok"],
+                           num_partitions=num_partitions)

@@ -426,9 +426,16 @@ def ngram_jaccard_pairs(
     shingle_k: int = 3,
     max_postings: int = 1000,
     num_partitions: Optional[int] = None,
+    score: str = "jaccard",
 ) -> Dataset:
     """EXACT near-dup pairs (id_a < id_b, word-``shingle_k``-gram Jaccard
     ≥ threshold) — the deterministic sibling of ``minhash_lsh_pairs``.
+
+    ``score="containment"`` switches the keep rule to set containment
+    ``m / min(sz_a, sz_b) ≥ threshold`` — catches a short document
+    embedded inside a long one, which Jaccard structurally misses (the
+    union denominator dilutes it); the standard complement in
+    suffix/copy detection. Same exchanges, same exactness caveat.
 
     Distributed inverted-index shape (nothing broadcast, no driver
     materialization):
@@ -535,8 +542,11 @@ def ngram_jaccard_pairs(
 
     def _jaccard(part: pd.DataFrame) -> pd.DataFrame:
         g = _partial(part)
-        jac = g["m"] / (g["sz_a"] + g["sz_b"] - g["m"])
-        return g.loc[jac >= threshold, ["id_a", "id_b"]]
+        if score == "containment":
+            s = g["m"] / np.minimum(g["sz_a"], g["sz_b"])
+        else:
+            s = g["m"] / (g["sz_a"] + g["sz_b"] - g["m"])
+        return g.loc[s >= threshold, ["id_a", "id_b"]]
 
     return grouped_apply(
         co, ["id_a", "id_b"], _jaccard, num_partitions=num_partitions, map_side=_partial

@@ -878,3 +878,42 @@ def unpivot(
         return pa.concat_tables(out)
 
     return ds.map_batches(_melt, batch_format="pyarrow")
+
+
+def explode_list(
+    ds: Dataset,
+    id_cols: Sequence[str],
+    list_col: str,
+    pos_col: str = "pos",
+    value_col: str = "val",
+) -> Dataset:
+    """UNNEST WITH ORDINALITY: one output row per list element, with
+    its 0-based position. Map-only, zero-copy flatten: the Arrow list
+    column's values buffer IS the output value column; ids come from
+    one ``np.repeat`` over the offsets, positions from one arange
+    subtraction — no per-row Python, no shuffle. NULL lists and empty
+    lists emit no rows (SQL UNNEST semantics)."""
+    id_cols = list(id_cols)
+
+    def _ex(t: pa.Table) -> pa.Table:
+        arr = t.column(list_col)
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        off = arr.offsets.to_numpy().astype(np.int64)
+        counts = np.diff(off)
+        # NULL lists emit no rows; their offset spans (which MAY still
+        # advance in Arrow) are excluded by indexing values explicitly.
+        if arr.null_count:
+            valid = ~np.asarray(arr.is_null())
+            counts = np.where(valid, counts, 0)
+        total = int(counts.sum())
+        row = np.repeat(np.arange(len(t), dtype=np.int64), counts)
+        pos = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(counts) - counts, counts)
+        val_idx = np.repeat(off[:-1], counts) + pos
+        cols = {c: t.column(c).take(pa.array(row)) for c in id_cols}
+        cols[pos_col] = pa.array(pos)
+        cols[value_col] = arr.values.take(pa.array(val_idx))
+        return pa.table(cols)
+
+    return ds.map_batches(_ex, batch_format="pyarrow")

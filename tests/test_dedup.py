@@ -175,3 +175,24 @@ def test_simhash_batch_matches_reference():
         for x in texts
     ]
     assert got == exp
+
+
+def test_containment_catches_what_jaccard_misses(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from kgray.stages.dedup import ngram_jaccard_pairs
+
+    short = "alpha beta gamma delta epsilon zeta"
+    long = short + " " + " ".join(f"w{i}" for i in range(60))
+    df = pd.DataFrame({"doc_id": [1, 2, 3],
+                       "text": [short, long, "totally different words here now"]})
+    ds = ray.data.from_pandas(df)
+    # Short doc fully inside long: containment(1,2) = 1.0, but Jaccard
+    # = 4/62 — the union denominator dilutes it.
+    cont = ngram_jaccard_pairs(ds, threshold=0.8, score="containment",
+                               num_partitions=2).to_pandas()
+    jac = ngram_jaccard_pairs(ds, threshold=0.8,
+                              num_partitions=2).to_pandas()
+    assert [(1, 2)] == list(zip(cont["id_a"], cont["id_b"]))
+    assert len(jac) == 0

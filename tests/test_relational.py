@@ -280,3 +280,20 @@ def test_unpivot_shape_and_values(ray_session):
     )
     assert len(got) == 4
     assert got.loc[(got["k"] == 2) & (got["measure"] == "b"), "value"].iloc[0] == 20.0
+
+
+def test_explode_list_nulls_empties_positions(ray_session):
+    from kgray.stages.relational import explode_list
+
+    t = pa.table({
+        "id": pa.array([1, 2, 3, 4]),
+        "xs": pa.array([[10, 11, 12], None, [], [7]],
+                       type=pa.list_(pa.int64())),
+    })
+    got = (
+        explode_list(ray.data.from_arrow(t), id_cols=["id"], list_col="xs")
+        .to_pandas().sort_values(["id", "pos"]).reset_index(drop=True)
+    )
+    assert got["id"].tolist() == [1, 1, 1, 4]
+    assert got["pos"].tolist() == [0, 1, 2, 0]
+    assert got["val"].tolist() == [10, 11, 12, 7]
