@@ -153,6 +153,10 @@ BENCH_QUERIES = [
     "grouped_topk_tokens",
     "ewma",
     "explode_embedding",
+    "top_returns",
+    "weighted_avg",
+    "robust_scale",
+    "grouped_approx_quantiles",
 ]
 
 

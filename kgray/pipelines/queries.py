@@ -3771,6 +3771,224 @@ WHERE i < len(embedding)
 """
 
 
+def q_top_returns(sf_dir: str):
+    """TPC-H Q10-shaped composed query: top-20 customers by returned-
+    item revenue. Scale mix: lineitem revenue partials combine per
+    batch BEFORE the orderkey exchange join with orders; the customer
+    aggregate is a key exchange; customer+nation attributes broadcast
+    (small dims); the global top-20 rides the candidate-pruned
+    top_n_per_group monoid on a constant key — no global sort."""
+    from kgray.stages.relational import broadcast_join, hash_join, top_n_per_group
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"])
+
+    def _rev_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("l_returnflag"), "R"))
+        rev = pc.multiply(t.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0), t.column("l_discount")))
+        df = pd.DataFrame({"o_orderkey": t.column("l_orderkey").to_pandas(),
+                           "rev": rev.to_numpy(zero_copy_only=False)})
+        return pa.Table.from_pandas(
+            df.groupby("o_orderkey", sort=False)["rev"].sum().reset_index(),
+            preserve_index=False)
+
+    import pandas as pd
+
+    rev = li.map_batches(_rev_partial, batch_format="pyarrow")
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_orderkey", "o_custkey"])
+    per_cust = (
+        hash_join(rev, orders, on="o_orderkey", how="inner")
+        .map_batches(lambda t: t.select(["o_custkey", "rev"]), batch_format="pyarrow")
+        .groupby("o_custkey").aggregate(Sum("rev", alias_name="revenue"))
+    )
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_name", "c_nationkey"])
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"])
+    dim = cust.join(nation, keys="c_nationkey", right_keys="n_nationkey",
+                    join_type="inner").select(["c_custkey", "c_name", "n_name"])
+    enriched = broadcast_join(
+        per_cust.map_batches(lambda t: t.rename_columns(["c_custkey", "revenue"]),
+                             batch_format="pyarrow"),
+        dim, on="c_custkey", how="inner")
+
+    def _const(t: pa.Table) -> pa.Table:
+        return t.append_column("__g", pa.array(np.zeros(len(t), np.int8)))
+
+    top = top_n_per_group(
+        enriched.map_batches(_const, batch_format="pyarrow"),
+        "__g", order_col="revenue", n=20, ascending=False,
+        tie_cols=["c_custkey"])
+
+    def _out(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": t.column("c_custkey"),
+            "c_name": t.column("c_name"),
+            "n_name": t.column("n_name"),
+            "revenue": stable_round(t.column("revenue"), 2),
+        })
+
+    return top.map_batches(_out, batch_format="pyarrow")
+
+
+SQL_TOP_RETURNS = """
+SELECT c_custkey, c_name, n_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY SUM(l_extendedprice * (1 - l_discount)) DESC, c_custkey
+LIMIT 20
+"""
+
+
+def q_weighted_avg(sf_dir: str):
+    """Grouped weighted average (Σ w·v / Σ w per event_type, weight =
+    the JSON props field k): two algebraic sums ride one tiny grouped
+    aggregate — map-side numerator/denominator partials, no row
+    exchange."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value", "props"])
+
+    def _parts(t: pa.Table) -> pa.Table:
+        s = pc.extract_regex(t.column("props"), pattern=r'"k":\s*(?P<k>\d+)')
+        k = pc.cast(pc.cast(pc.struct_field(s, "k"), pa.int64()), pa.float64())
+        wv = pc.multiply(t.column("value"), k)
+        return pa.table({"event_type": t.column("event_type"), "wv": wv, "w": k})
+
+    agg = (ds.map_batches(_parts, batch_format="pyarrow")
+           .groupby("event_type")
+           .aggregate(Sum("wv", alias_name="swv"), Sum("w", alias_name="sw")))
+
+    def _div(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t.column("event_type"),
+            "wavg": stable_round(pc.divide(t.column("swv"), t.column("sw")), 4),
+        })
+
+    return agg.map_batches(_div, batch_format="pyarrow")
+
+
+SQL_WEIGHTED_AVG = r"""
+WITH e AS (
+  SELECT event_type, value,
+         CAST(NULLIF(regexp_extract(props, '"k":\s*(\d+)', 1), '') AS DOUBLE) AS k
+  FROM events
+)
+SELECT event_type, ROUND(SUM(value * k) / SUM(k), 4) AS wavg
+FROM e GROUP BY event_type
+"""
+
+
+def q_robust_scale(sf_dir: str):
+    """Robust (median/IQR) normalization of document length per
+    language — the outlier-insensitive feature scaler. Composition:
+    exact per-group quantiles (one exchange over (lang, n_chars) only)
+    broadcast as a tiny map, then a map-only scale pass over the
+    corpus. Quantiles of integer inputs are exact halves, so the
+    broadcast introduces no rounding skew vs the SQL oracle."""
+    from kgray.stages.sketch import grouped_quantiles_cont
+
+    ds = _docs(sf_dir, ["doc_id", "lang", "n_chars"])
+    qt = grouped_quantiles_cont(ds, key="lang", value_col="n_chars",
+                                qs=(0.25, 0.5, 0.75), round_digits=9).to_pandas()
+    med = {r["lang"]: r["value"] for _, r in qt[qt["q"] == 0.5].iterrows()}
+    iqr = {}
+    q1 = {r["lang"]: r["value"] for _, r in qt[qt["q"] == 0.25].iterrows()}
+    for _, r in qt[qt["q"] == 0.75].iterrows():
+        iqr[r["lang"]] = r["value"] - q1[r["lang"]]
+    sref = ray.put((med, iqr))
+
+    def _scale(t: pa.Table) -> pa.Table:
+        m, i = ray.get(sref) if isinstance(sref, ray.ObjectRef) else sref
+        import pandas as pd
+        lang = t.column("lang").to_pandas()
+        x = t.column("n_chars").to_numpy(zero_copy_only=False).astype(np.float64)
+        mm = lang.map(m).to_numpy(np.float64)
+        ii = lang.map(i).to_numpy(np.float64)
+        z = np.where(ii == 0.0, 0.0, (x - mm) / ii)
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "lang": t.column("lang"),
+            "robust_z": pa.array(np.round(z, 6)),
+        })
+
+    return ds.map_batches(_scale, batch_format="pyarrow")
+
+
+SQL_ROBUST_SCALE = """
+WITH s AS (
+  SELECT lang,
+         quantile_cont(n_chars, 0.25) AS q1,
+         quantile_cont(n_chars, 0.5)  AS med,
+         quantile_cont(n_chars, 0.75) AS q3
+  FROM documents GROUP BY lang
+)
+SELECT doc_id, d.lang,
+  ROUND(CASE WHEN q3 - q1 = 0 THEN 0
+             ELSE (n_chars - med) / (q3 - q1) END, 6) AS robust_z
+FROM documents d JOIN s ON d.lang = s.lang
+"""
+
+
+def q_grouped_approx_quantiles(sf_dir: str):
+    """SELF-ASSERTING (rows-only): mergeable per-group histogram
+    quantile sketch — the giant-group path grouped_quantiles_cont
+    points at. The in-query check is the sketch's distribution-free
+    guarantee: the estimate's exact RANK in its group (counted by one
+    extra streaming pass, only O(groups × qs) threshold counters move)
+    must sit within ``bin_n + 1`` of the target rank ``(n−1)·q``."""
+    from kgray.stages.sketch import grouped_approx_quantiles
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    approx = grouped_approx_quantiles(ds, key="event_type", value_col="value",
+                                      qs=(0.5, 0.9), n_bins=2048)
+    # Exact rank of each estimate: broadcast the O(groups × qs)
+    # thresholds, fold per-batch (n_lt, n_le) partial counts.
+    thr = {g: grp[["q", "value_est"]].to_numpy()
+           for g, grp in approx.groupby("event_type", sort=False)}
+    tref = ray.put(thr)
+
+    def _ranks(t: pa.Table) -> pa.Table:
+        th = ray.get(tref) if isinstance(tref, ray.ObjectRef) else tref
+        et = t.column("event_type").to_pandas().to_numpy()
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        gs, qs_, lt, le = [], [], [], []
+        for g, pairs in th.items():  # groups × qs — a handful
+            m = v[et == g]
+            for q, est in pairs:
+                gs.append(g); qs_.append(float(q))
+                lt.append(int((m < est).sum())); le.append(int((m <= est).sum()))
+        return pa.table({"event_type": pa.array(gs, pa.string()),
+                         "q": pa.array(qs_, pa.float64()),
+                         "n_lt": pa.array(lt, pa.int64()),
+                         "n_le": pa.array(le, pa.int64())})
+
+    ranks = (ds.map_batches(_ranks, batch_format="pyarrow").to_pandas()
+             .groupby(["event_type", "q"], as_index=False)[["n_lt", "n_le"]].sum())
+    rk = {(r["event_type"], r["q"]): (r["n_lt"], r["n_le"])
+          for _, r in ranks.iterrows()}
+    for _, r in approx.iterrows():
+        g, q = r["event_type"], r["q"]
+        target = (r["n"] - 1) * q
+        n_lt, n_le = rk[(g, q)]
+        slack = r["bin_n"] + 1
+        assert n_lt - slack <= target <= n_le + slack, (
+            f"grouped approx quantile ({g}, q={q}): est {r['value_est']} has "
+            f"rank interval [{n_lt}, {n_le}], target {target:.1f} outside "
+            f"± bin_n+1 = {slack}")
+    out = approx[["event_type", "q", "value_est", "bin_n", "n"]].copy()
+    out["value_est"] = out["value_est"].round(6)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 QUERIES = {
     "kgx_node_merge": q_kgx_node_merge,
     "kgx_edge_dedup": q_kgx_edge_dedup,
@@ -3893,6 +4111,10 @@ QUERIES = {
     "grouped_topk_tokens": q_grouped_topk_tokens,
     "ewma": q_ewma,
     "explode_embedding": q_explode_embedding,
+    "top_returns": q_top_returns,
+    "weighted_avg": q_weighted_avg,
+    "robust_scale": q_robust_scale,
+    "grouped_approx_quantiles": q_grouped_approx_quantiles,
 }
 
 ORACLES = {
@@ -4004,6 +4226,9 @@ ORACLES = {
     "grouped_topk_tokens": SQL_GROUPED_TOPK_TOKENS,
     "ewma": SQL_EWMA,
     "explode_embedding": SQL_EXPLODE_EMBEDDING,
+    "top_returns": SQL_TOP_RETURNS,
+    "weighted_avg": SQL_WEIGHTED_AVG,
+    "robust_scale": SQL_ROBUST_SCALE,
     # rows-only (non-SQL-expressible): ann_lsh (LSH recall is
     # probabilistic), construct_kg / extract_text (self-checking
     # against generator goldens), multimodal_features (decode stub)

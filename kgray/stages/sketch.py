@@ -485,3 +485,106 @@ def grouped_quantiles_cont(
         return pd.concat(out, ignore_index=True)
 
     return grouped_apply(ds, [key], _reduce, num_partitions=num_partitions)
+
+
+def grouped_approx_quantiles(
+    ds: Dataset,
+    key: str,
+    value_col: str,
+    qs,
+    n_bins: int = 2048,
+    num_partitions=None,
+) -> "pd.DataFrame":
+    """Mergeable per-group quantile sketch — the GIANT-group scale path
+    that :func:`grouped_quantiles_cont` (which needs one group to fit a
+    partition) documents as its escape hatch. Distribution-free
+    guarantee (self-asserted by the registry query): the estimate's
+    RANK within its group is within ``bin_n + 1`` of the target rank
+    ``(n−1)·q``, where ``bin_n`` (returned per row) is the count of the
+    bin the estimate interpolates inside — value-space error is one bin
+    width ``(group_max − group_min)/n_bins`` whenever the neighborhood
+    is dense, but a sparse group's empty-bin gaps make rank, not value,
+    the honest error metric (the standard histogram-sketch caveat).
+
+    Two streaming passes, neither moves data rows:
+    1. per-group min/max — per-batch algebraic partials (O(groups) rows
+       each) through one tiny exchange, collected and broadcast;
+    2. per-group fixed-bin histograms — each batch contributes
+       O(groups_in_batch × bins) count rows, SUM-combined map-side,
+       one tiny exchange; the per-group quantile then interpolates
+       within its bin from cumulative counts.
+
+    The histogram partials are SUM-mergeable in any order (like
+    count-min / HLL in this module), so no group ever needs to be
+    co-located — only its O(n_bins) counters do.
+    """
+    import ray
+
+    from kgray.kernels.hashagg import auto_partitions, grouped_apply
+
+    if num_partitions is None:
+        num_partitions = auto_partitions()
+    qs = [float(q) for q in qs]
+
+    def _mm_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(key, sort=False)[value_col]
+        out = g.agg(lo="min", hi="max", n="size").reset_index()
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    def _mm_reduce(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(key, sort=False)
+        out = pd.DataFrame({
+            key: g[key].first(),
+            "lo": g["lo"].min(),
+            "hi": g["hi"].max(),
+            "n": g["n"].sum().astype("int64"),
+        }).reset_index(drop=True)
+        return out
+
+    pruned = ds.select_columns([key, value_col])
+    stats = grouped_apply(pruned, [key], _mm_reduce,
+                          num_partitions=num_partitions,
+                          map_side=_mm_partial).to_pandas()
+    lo_map = dict(zip(stats[key], stats["lo"]))
+    w_map = {k: max((h - l) / n_bins, 1e-300)
+             for k, l, h in zip(stats[key], stats["lo"], stats["hi"])}
+    n_map = dict(zip(stats[key], stats["n"]))
+    bref = ray.put((lo_map, w_map))
+
+    def _hist(df: pd.DataFrame) -> pd.DataFrame:
+        lo_m, w_m = ray.get(bref) if not isinstance(bref, tuple) else bref
+        x = df[value_col].to_numpy(np.float64)
+        lo = df[key].map(lo_m).to_numpy(np.float64)
+        w = df[key].map(w_m).to_numpy(np.float64)
+        b = np.clip(((x - lo) / w).astype(np.int64), 0, n_bins - 1)
+        g = (pd.DataFrame({key: df[key], "bin": b})
+             .groupby([key, "bin"], sort=False).size().rename("n").reset_index())
+        return g
+
+    def _sum(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby([key, "bin"], as_index=False, sort=False)["n"].sum()
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    hist = grouped_apply(pruned, [key], _sum, num_partitions=num_partitions,
+                         map_side=_hist).to_pandas()
+
+    rows = []
+    for k, grp in hist.groupby(key, sort=False):
+        grp = grp.sort_values("bin")
+        bins = grp["bin"].to_numpy(np.int64)
+        cnt = grp["n"].to_numpy(np.int64)
+        cum = np.cumsum(cnt)
+        n = n_map[k]
+        lo, w = lo_map[k], w_map[k]
+        for q in qs:
+            rank = (n - 1) * q  # 0-based interpolated rank
+            i = int(np.searchsorted(cum, rank + 1.0 - 1e-9, side="left"))
+            i = min(i, len(bins) - 1)
+            before = cum[i - 1] if i > 0 else 0
+            within = (rank - before + 0.5) / max(cnt[i], 1)
+            est = lo + (bins[i] + min(max(within, 0.0), 1.0)) * w
+            rows.append({key: k, "q": q, "value_est": est,
+                         "bin_n": int(cnt[i]), "n": int(n)})
+    return pd.DataFrame(rows)

@@ -153,3 +153,31 @@ def test_grouped_quantiles_cont_vs_duckdb(ray_session):
     """).df()
     assert np.allclose(got["value"], exp["value"])
     assert (got[got["g"] == 77]["value"] == 42.0).all()
+
+
+def test_grouped_approx_quantiles_rank_guarantee(ray_session):
+    import ray.data
+
+    from kgray.stages.sketch import grouped_approx_quantiles
+
+    rng = np.random.default_rng(21)
+    # Heavy-tailed + a sparse group: the case where value-space bounds
+    # break but the rank guarantee must hold.
+    df = pd.DataFrame({
+        "g": np.concatenate([np.zeros(5000, np.int64), np.ones(40, np.int64)]),
+        "v": np.concatenate([rng.exponential(10, 5000), rng.normal(0, 1, 40)]),
+    })
+    got = grouped_approx_quantiles(ray.data.from_pandas(df), key="g",
+                                   value_col="v", qs=(0.5, 0.99), n_bins=512,
+                                   num_partitions=3)
+    for _, r in got.iterrows():
+        sub = np.sort(df.loc[df["g"] == r["g"], "v"].to_numpy())
+        target = (len(sub) - 1) * r["q"]
+        n_lt = int((sub < r["value_est"]).sum())
+        n_le = int((sub <= r["value_est"]).sum())
+        assert n_lt - r["bin_n"] - 1 <= target <= n_le + r["bin_n"] + 1
+    # Dense group: value error within ~1 bin width too.
+    dense = got[(got["g"] == 0) & (got["q"] == 0.5)].iloc[0]
+    exact = np.quantile(df.loc[df["g"] == 0, "v"].to_numpy(), 0.5)
+    width = (df.loc[df["g"] == 0, "v"].max() - df.loc[df["g"] == 0, "v"].min()) / 512
+    assert abs(dense["value_est"] - exact) <= 2 * width
