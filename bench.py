@@ -157,6 +157,9 @@ BENCH_QUERIES = [
     "weighted_avg",
     "robust_scale",
     "grouped_approx_quantiles",
+    "grouped_approx_distinct",
+    "chunk_text",
+    "first_last",
 ]
 
 

@@ -3989,6 +3989,80 @@ def q_grouped_approx_quantiles(sf_dir: str):
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def q_grouped_approx_distinct(sf_dir: str):
+    """SELF-ASSERTING (rows-only): per-group HyperLogLog distinct count
+    (distinct users per event_type) — O(groups × 2^b) bytes move, never
+    a row per distinct pair. Asserted in-query against the exact
+    grouped_distinct_count exchange within 5% (b=12 → RSE ≈ 1.6%)."""
+    from kgray.stages.relational import grouped_distinct_count
+    from kgray.stages.sketch import grouped_approx_distinct
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+    est = grouped_approx_distinct(ds, key="event_type", col="user_id", b=12)
+    exact = grouped_distinct_count(ds, "event_type", "user_id").to_pandas()
+    ex = dict(zip(exact["event_type"], exact["n_distinct"]))
+    assert set(est["event_type"]) == set(ex)
+    for _, r in est.iterrows():
+        e = ex[r["event_type"]]
+        assert e > 0 and abs(r["n_distinct_est"] - e) / e <= 0.05, (
+            r["event_type"], r["n_distinct_est"], e)
+    out = est.copy()
+    out["n_distinct_est"] = out["n_distinct_est"].round(2)
+    out["n_distinct_exact"] = out["event_type"].map(ex).astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def q_chunk_text(sf_dir: str):
+    """Sliding token-window chunker (window 32, stride 16): the
+    training-data preprocessing step that fans documents out into
+    overlapping fixed-size chunks. Map-only — one take gather + one
+    Arrow binary_join per batch, no Python string assembly."""
+    from kgray.stages.corpus import chunk_text
+
+    return chunk_text(_docs(sf_dir, ["doc_id", "text"]), window=32, stride=16)
+
+
+SQL_CHUNK_TEXT = r"""
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM documents
+)
+SELECT doc_id,
+       CAST((s - 1) / 16 AS BIGINT) AS chunk_idx,
+       CAST(LEAST(s + 31, len(w)) - s + 1 AS BIGINT) AS n_words,
+       array_to_string(list_slice(w, s, LEAST(s + 31, len(w))), ' ') AS chunk_text
+FROM w, UNNEST(generate_series(1, len(w), 16)) AS t(s)
+WHERE len(w) >= 1
+"""
+
+
+def q_first_last(sf_dir: str):
+    """FIRST_VALUE / LAST_VALUE per user over the full (ts, event_id)
+    frame — the remaining standard window-function family member, as an
+    O(groups)-partial monoid (≤ 2 rows per batch-key enter the
+    exchange; relational.first_last_by)."""
+    from kgray.stages.relational import first_last_by
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts", "value"])
+    return first_last_by(ds, key="user_id", order_cols=["ts", "event_id"],
+                         value_col="value")
+
+
+SQL_FIRST_LAST = """
+WITH r AS (
+  SELECT user_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS cnt
+  FROM events
+)
+SELECT user_id,
+       MAX(CASE WHEN rn = 1 THEN value END) AS first_value,
+       MAX(CASE WHEN rn = cnt THEN value END) AS last_value
+FROM r GROUP BY user_id
+"""
+
+
 QUERIES = {
     "kgx_node_merge": q_kgx_node_merge,
     "kgx_edge_dedup": q_kgx_edge_dedup,
@@ -4115,6 +4189,9 @@ QUERIES = {
     "weighted_avg": q_weighted_avg,
     "robust_scale": q_robust_scale,
     "grouped_approx_quantiles": q_grouped_approx_quantiles,
+    "grouped_approx_distinct": q_grouped_approx_distinct,
+    "chunk_text": q_chunk_text,
+    "first_last": q_first_last,
 }
 
 ORACLES = {
@@ -4229,6 +4306,8 @@ ORACLES = {
     "top_returns": SQL_TOP_RETURNS,
     "weighted_avg": SQL_WEIGHTED_AVG,
     "robust_scale": SQL_ROBUST_SCALE,
+    "chunk_text": SQL_CHUNK_TEXT,
+    "first_last": SQL_FIRST_LAST,
     # rows-only (non-SQL-expressible): ann_lsh (LSH recall is
     # probabilistic), construct_kg / extract_text (self-checking
     # against generator goldens), multimodal_features (decode stub)

@@ -1399,3 +1399,60 @@ def grouped_topk_tokens(
     return top_n_per_group(sums, group_col, order_col="n", n=k,
                            ascending=False, tie_cols=["tok"],
                            num_partitions=num_partitions)
+
+
+def chunk_text(
+    ds: Dataset,
+    window: int = 64,
+    stride: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> Dataset:
+    """Sliding token-window chunker — the training-data preprocessor
+    that turns documents into overlapping fixed-size word chunks
+    (window ``window`` words, hop ``stride``; chunk starts at 0, S,
+    2S, … < n_words, tail chunks run short). Emits ``(id, chunk_idx,
+    n_words, chunk_text)``.
+
+    Map-only, zero shuffle, zero per-row Python: per batch, chunk
+    start/length arrays come from offset arithmetic, the word gather is
+    ONE ``take`` over the flat word array, and chunk strings come from
+    ONE Arrow ``binary_join`` over a rebuilt ListArray — no Python
+    string assembly.
+    """
+    def _chunks(t: pa.Table) -> pa.Table:
+        flat, off = flat_words(t.column(text_col))
+        n = np.diff(off)  # words per doc
+        n_chunks = np.where(n > 0, (n + stride - 1) // stride, 0)
+        total = int(n_chunks.sum())
+        if total == 0:
+            return pa.table({
+                id_col: t.column(id_col).slice(0, 0),
+                "chunk_idx": pa.array([], pa.int64()),
+                "n_words": pa.array([], pa.int64()),
+                "chunk_text": pa.array([], pa.string()),
+            })
+        doc = np.repeat(np.arange(len(t), dtype=np.int64), n_chunks)
+        cidx = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(n_chunks) - n_chunks, n_chunks)
+        start = cidx * stride
+        length = np.minimum(start + window, n[doc]) - start
+        # Word gather: one flat index array over all chunks.
+        w_total = int(length.sum())
+        chunk_row = np.repeat(np.arange(total, dtype=np.int64), length)
+        pos_in_chunk = np.arange(w_total, dtype=np.int64) - np.repeat(
+            np.cumsum(length) - length, length)
+        widx = off[:-1][doc[chunk_row]] + start[chunk_row] + pos_in_chunk
+        words = flat.take(pa.array(widx))
+        ch_off = np.concatenate([[0], np.cumsum(length)]).astype(np.int32)
+        chunks = pa.ListArray.from_arrays(pa.array(ch_off), words)
+        text = pc.binary_join(chunks, pa.scalar(" "))
+        return pa.table({
+            id_col: t.column(id_col).take(pa.array(doc)),
+            "chunk_idx": pa.array(cidx),
+            "n_words": pa.array(length.astype(np.int64)),
+            "chunk_text": text,
+        })
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        _chunks, batch_format="pyarrow")

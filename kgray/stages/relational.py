@@ -917,3 +917,48 @@ def explode_list(
         return pa.table(cols)
 
     return ds.map_batches(_ex, batch_format="pyarrow")
+
+
+def first_last_by(
+    ds: Dataset,
+    key: str,
+    order_cols: Sequence[str],
+    value_col: str,
+    num_partitions: Optional[int] = None,
+) -> Dataset:
+    """Per-group FIRST_VALUE and LAST_VALUE of ``value_col`` in
+    ``order_cols`` order (full-frame window semantics, deterministic
+    when the order is total — give it a unique final column).
+
+    Same O(groups)-partial monoid shape as :func:`max_by`: each batch
+    keeps only its per-key first+last rows, the exchange moves ≤ 2 rows
+    per (batch, key), the reduce re-applies the same kernel and emits
+    one ``(key, first_value, last_value)`` row per group.
+    """
+    order_cols = list(order_cols)
+    if num_partitions is None:
+        num_partitions = auto_partitions()
+
+    def _ends(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return df
+        df = df.sort_values([key] + order_cols, kind="mergesort")
+        first = df.drop_duplicates(subset=[key], keep="first")
+        last = df.drop_duplicates(subset=[key], keep="last")
+        return pd.concat([first, last], ignore_index=True).drop_duplicates()
+
+    def _reduce(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({key: df[key],
+                                 "first_value": pd.Series([], dtype="float64"),
+                                 "last_value": pd.Series([], dtype="float64")})
+        df = df.sort_values([key] + order_cols, kind="mergesort")
+        g = df.groupby(key, sort=False)[value_col]
+        return pd.DataFrame({
+            key: df.drop_duplicates(subset=[key])[key].to_numpy(),
+            "first_value": g.first().to_numpy(),
+            "last_value": g.last().to_numpy(),
+        })
+
+    return grouped_apply(ds, [key], _reduce, num_partitions=num_partitions,
+                         map_side=_ends)

@@ -588,3 +588,53 @@ def grouped_approx_quantiles(
             rows.append({key: k, "q": q, "value_est": est,
                          "bin_n": int(cnt[i]), "n": int(n)})
     return pd.DataFrame(rows)
+
+
+def grouped_approx_distinct(
+    ds: Dataset,
+    key: str,
+    col: str,
+    b: int = 12,
+) -> "pd.DataFrame":
+    """Approximate ``COUNT(DISTINCT col) GROUP BY key`` via one
+    HyperLogLog sketch PER GROUP (same registers/estimator as
+    :func:`approx_distinct`; RSE ≈ 1.04/√(2^b)).
+
+    The 100-TB shape for low-cardinality keys × web-scale value
+    cardinality (distinct users per day, distinct URLs per domain
+    bucket): each batch emits one 2^b-byte register row per group it
+    touches, rows merge by per-group elementwise max — O(groups ×
+    batches × 2^b) bytes move, never one row per distinct value (the
+    exact operator `relational.grouped_distinct_count` exchanges a row
+    per distinct pair). Driver-side fold is over sketch rows only.
+    """
+    m = 1 << b
+
+    def _sketch(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({key: t.column(key).to_pandas(),
+                           "v": t.column(col).to_pandas()}).dropna(subset=["v"])
+        ks, regs = [], []
+        for k, grp in df.groupby(key, sort=False):
+            h = pd.util.hash_pandas_object(grp["v"], index=False).to_numpy().astype(np.uint64)
+            ks.append(k)
+            regs.append(hll_registers(h, b))
+        if not ks:
+            return pa.table({key: t.column(key).slice(0, 0),
+                             "reg": pa.FixedSizeListArray.from_arrays(
+                                 pa.array([], pa.uint8()), m)})
+        return pa.table({key: pa.array(ks, type=t.column(key).type),
+                         "reg": pa.FixedSizeListArray.from_arrays(
+                             pa.array(np.concatenate(regs)), m)})
+
+    # O(groups × batches) sketch rows fold on the driver: per-group
+    # elementwise max + estimate.
+    acc: dict = {}
+    for batch in ds.select_columns([key, col]).map_batches(
+            _sketch, batch_format="pyarrow").iter_batches(batch_format="pyarrow"):
+        ks = batch.column(key).to_pylist()
+        flat = batch.column("reg").combine_chunks().flatten().to_numpy().reshape(-1, m)
+        for i, k in enumerate(ks):
+            prev = acc.get(k)
+            acc[k] = flat[i].copy() if prev is None else np.maximum(prev, flat[i])
+    return pd.DataFrame({key: list(acc), "n_distinct_est":
+                         [hll_estimate(r) for r in acc.values()]})

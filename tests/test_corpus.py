@@ -340,3 +340,24 @@ def test_doc_entropy_known_values(ray_session):
     # ln 2; 3 even → ln 3.
     assert got["doc_id"].tolist() == [1, 2, 4]
     assert np.allclose(got["entropy"], [0.0, round(math.log(2), 6), round(math.log(3), 6)])
+
+
+def test_chunk_text_windows_and_tails(ray_session):
+    import ray.data
+
+    from kgray.stages.corpus import chunk_text
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["a b c d e f g", "x y", ""],
+    })
+    got = (
+        chunk_text(ray.data.from_pandas(df), window=4, stride=2)
+        .to_pandas().sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+    )
+    # doc 1 (7 words, starts 0,2,4,6): windows of 4, tails run short.
+    d1 = got[got["doc_id"] == 1]
+    assert d1["chunk_text"].tolist() == ["a b c d", "c d e f", "e f g", "g"]
+    assert d1["n_words"].tolist() == [4, 4, 3, 1]
+    assert got[got["doc_id"] == 2]["chunk_text"].tolist() == ["x y"]
+    assert (got["doc_id"] != 3).all()  # empty doc emits nothing

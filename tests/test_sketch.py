@@ -181,3 +181,21 @@ def test_grouped_approx_quantiles_rank_guarantee(ray_session):
     exact = np.quantile(df.loc[df["g"] == 0, "v"].to_numpy(), 0.5)
     width = (df.loc[df["g"] == 0, "v"].max() - df.loc[df["g"] == 0, "v"].min()) / 512
     assert abs(dense["value_est"] - exact) <= 2 * width
+
+
+def test_grouped_approx_distinct_accuracy(ray_session):
+    import ray.data
+
+    from kgray.stages.sketch import grouped_approx_distinct
+
+    rng = np.random.default_rng(31)
+    df = pd.DataFrame({
+        "g": np.repeat(["a", "b"], 20000),
+        "v": np.concatenate([rng.integers(0, 5000, 20000),
+                             rng.integers(0, 37, 20000)]),
+    })
+    got = grouped_approx_distinct(ray.data.from_pandas(df), key="g", col="v", b=12)
+    exact = df.groupby("g")["v"].nunique()
+    for _, r in got.iterrows():
+        e = exact[r["g"]]
+        assert abs(r["n_distinct_est"] - e) / e <= 0.05, (r["g"], r["n_distinct_est"], e)
