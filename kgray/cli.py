@@ -32,6 +32,23 @@ def _ensure_ray(num_cpus=None):
         )
 
 
+def _load_any(paths):
+    """Load by extension: .tsv (KGX all-string), .jsonl/.json, .parquet —
+    multi-file inputs union by name."""
+    first = paths[0].lower()
+    if first.endswith(".tsv"):
+        from kgray.sources.kgx_tsv import load_kgx_files
+
+        return load_kgx_files(paths)
+    if first.endswith((".jsonl", ".json")):
+        from kgray.sources.jsonl import load_jsonl_files
+
+        return load_jsonl_files(paths)
+    import ray.data
+
+    return ray.data.read_parquet(paths)
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="kgray")
     p.add_argument("--num-cpus", type=int, default=None)
@@ -58,6 +75,11 @@ def main(argv=None) -> int:
     pq = sub.add_parser("query", help="convert saved SPARQL JSON results to TSV")
     pq.add_argument("--input-json", required=True)
     pq.add_argument("--output-tsv", required=True)
+
+    pv = sub.add_parser("convert", help="convert between tsv / jsonl / parquet")
+    pv.add_argument("--input", required=True, nargs="+")
+    pv.add_argument("--output", required=True)
+    pv.add_argument("--to", required=True, choices=["tsv", "jsonl", "parquet"])
 
     args = p.parse_args(argv)
 
@@ -97,6 +119,23 @@ def main(argv=None) -> int:
         plan = plan_downloads(args.config)
         print(json.dumps([vars(i) for i in plan]))
         print("fetch is gated in this environment (no network)", file=sys.stderr)
+        return 0
+
+    if args.cmd == "convert":
+        _ensure_ray(args.num_cpus)
+        ds = _load_any(args.input)
+        if args.to == "tsv":
+            from kgray.sources.kgx_tsv import dataset_to_sorted_tsv
+
+            cols = list(ds.schema().names)
+            dataset_to_sorted_tsv(ds, args.output, columns=cols, sort_keys=[cols[0]])
+        elif args.to == "jsonl":
+            from kgray.sources.jsonl import write_jsonl
+
+            write_jsonl(ds, args.output)
+        else:
+            ds.write_parquet(args.output)
+        print(args.output)
         return 0
 
     if args.cmd == "query":

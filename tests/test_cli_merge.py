@@ -53,3 +53,44 @@ def test_cli_merge_data_dir(tmp_path, data_dir):
     assert len(lines) == 6  # header + 5 merged ids, like the golden
     ids = [l.split("\t")[0] for l in lines[1:]]
     assert ids == sorted(ids)
+
+
+def test_jsonl_roundtrip_preserves_merge_golden(ray_session, data_dir, tmp_path):
+    """TSV → JSONL → load_jsonl_files → node merge must equal the
+    byte-golden path: the JSONL source is a faithful S2 twin."""
+    import filecmp
+
+    from kgray.pipelines.kgx_merge import merge_nodes
+    from kgray.sources.jsonl import load_jsonl_files, write_jsonl
+    from kgray.sources.kgx_tsv import dataset_to_sorted_tsv, load_kgx_files
+
+    tsv = [f"{data_dir}/test_nodes_1.tsv", f"{data_dir}/test_nodes_2.tsv"]
+    jdirs = []
+    for i, p in enumerate(tsv):
+        d = str(tmp_path / f"j{i}")
+        write_jsonl(load_kgx_files([p]), d)
+        jdirs.append(d)
+    ds = load_jsonl_files(jdirs)
+    cols = ds.schema().names
+    merged = merge_nodes(
+        ds,
+        priority_sources=["ncbitaxon_removed_subset.json", "chebi.json", "uniprot.json"])
+    out = str(tmp_path / "nodes.tsv")
+    dataset_to_sorted_tsv(merged, out, cols, ["id"])
+    assert filecmp.cmp(out, f"{data_dir}/expected_nodes_merged.tsv", shallow=False)
+
+
+def test_cli_convert_roundtrip(ray_session, data_dir, tmp_path):
+    from kgray.cli import main
+
+    pq_dir = str(tmp_path / "pq")
+    rc = main(["convert", "--input", f"{data_dir}/test_nodes_1.tsv",
+               "--output", pq_dir, "--to", "parquet"])
+    assert rc == 0
+    import ray.data
+
+    n_tsv = ray.data.read_csv(
+        f"{data_dir}/test_nodes_1.tsv",
+        parse_options=__import__("pyarrow.csv", fromlist=["ParseOptions"]).ParseOptions(delimiter="\t"),
+    ).count()
+    assert ray.data.read_parquet(pq_dir).count() == n_tsv
