@@ -160,6 +160,7 @@ BENCH_QUERIES = [
     "grouped_approx_distinct",
     "chunk_text",
     "first_last",
+    "dedup_within_lang",
 ]
 
 

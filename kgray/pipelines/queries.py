@@ -4063,6 +4063,39 @@ FROM r GROUP BY user_id
 """
 
 
+def q_dedup_within_lang(sf_dir: str):
+    """Near-dup pairs scoped WITHIN language (the standard curation
+    setup — cross-lang lookalikes are translations, not duplicates):
+    the group value is mixed into every shingle key, so cross-group
+    shingles never meet a postings list. On this corpus 3/4 of the
+    unscoped pairs are cross-lang — the scoped result is materially
+    different, not a re-labeling."""
+    from kgray.stages.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(sf_dir, ["doc_id", "lang", "text"]),
+                               threshold=0.7, group_col="lang")
+
+
+SQL_DEDUP_WITHIN_LANG = """
+WITH words AS (
+  SELECT doc_id, lang, regexp_extract_all(text, '\\S+') AS w FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, lang, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+  FROM words, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+  WHERE len(w) >= 3
+), counts AS (
+  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS m
+  FROM sh a JOIN sh b ON a.s = b.s AND a.lang = b.lang AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b
+FROM inter JOIN counts ca ON ca.doc_id = id_a JOIN counts cb ON cb.doc_id = id_b
+WHERE m * 1.0 / (ca.n + cb.n - m) >= 0.7
+"""
+
+
 QUERIES = {
     "kgx_node_merge": q_kgx_node_merge,
     "kgx_edge_dedup": q_kgx_edge_dedup,
@@ -4192,6 +4225,7 @@ QUERIES = {
     "grouped_approx_distinct": q_grouped_approx_distinct,
     "chunk_text": q_chunk_text,
     "first_last": q_first_last,
+    "dedup_within_lang": q_dedup_within_lang,
 }
 
 ORACLES = {
@@ -4308,6 +4342,7 @@ ORACLES = {
     "robust_scale": SQL_ROBUST_SCALE,
     "chunk_text": SQL_CHUNK_TEXT,
     "first_last": SQL_FIRST_LAST,
+    "dedup_within_lang": SQL_DEDUP_WITHIN_LANG,
     # rows-only (non-SQL-expressible): ann_lsh (LSH recall is
     # probabilistic), construct_kg / extract_text (self-checking
     # against generator goldens), multimodal_features (decode stub)

@@ -427,9 +427,16 @@ def ngram_jaccard_pairs(
     max_postings: int = 1000,
     num_partitions: Optional[int] = None,
     score: str = "jaccard",
+    group_col: Optional[str] = None,
 ) -> Dataset:
     """EXACT near-dup pairs (id_a < id_b, word-``shingle_k``-gram Jaccard
     ≥ threshold) — the deterministic sibling of ``minhash_lsh_pairs``.
+
+    ``group_col`` scopes the dedup WITHIN groups (e.g. per-language —
+    the standard curation setup): the group value is mixed into every
+    shingle key before hashing, so cross-group shingles can never meet
+    in a postings list — scoping costs nothing and removes the
+    cross-group pair blowup of shared boilerplate.
 
     ``score="containment"`` switches the keep rule to set containment
     ``m / min(sz_a, sz_b) ≥ threshold`` — catches a short document
@@ -470,6 +477,7 @@ def ngram_jaccard_pairs(
         # np.repeat'ed — no per-shingle Python hashing in the hot loop.
         texts = t.column(text_col).to_pylist()
         ids_py = t.column(id_col).to_pylist()
+        groups = t.column(group_col).to_pylist() if group_col else None
         flat: List[str] = []
         counts: List[int] = []
         kept: List[int] = []
@@ -477,7 +485,16 @@ def ngram_jaccard_pairs(
             ss = _shingle_set(text, shingle_k)
             if not ss:
                 continue
-            flat.extend(ss)
+            if groups is not None:
+                # "\n" separator: newline is whitespace, so it can never
+                # occur inside a \S+-word shingle — and unlike "\x00" it
+                # survives pandas' C-string factorize (which TRUNCATES
+                # object strings at an embedded NUL, collapsing every
+                # group-prefixed key to just the group).
+                g = str(groups[r])
+                flat.extend(g + "\n" + s for s in ss)
+            else:
+                flat.extend(ss)
             counts.append(len(ss))
             kept.append(r)
         if not flat:
@@ -502,7 +519,8 @@ def ngram_jaccard_pairs(
             }
         )
 
-    posted = ds.select_columns([id_col, text_col]).map_batches(_emit, batch_format="pyarrow")
+    in_cols = [id_col, text_col] + ([group_col] if group_col else [])
+    posted = ds.select_columns(in_cols).map_batches(_emit, batch_format="pyarrow")
 
     def _cooccur(part: pd.DataFrame) -> pd.DataFrame:
         cnt = part.groupby("sh")["sh"].transform("size")

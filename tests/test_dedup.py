@@ -196,3 +196,24 @@ def test_containment_catches_what_jaccard_misses(ray_session):
                               num_partitions=2).to_pandas()
     assert [(1, 2)] == list(zip(cont["id_a"], cont["id_b"]))
     assert len(jac) == 0
+
+
+def test_group_scoped_jaccard_excludes_cross_group(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from kgray.stages.dedup import ngram_jaccard_pairs
+
+    text = "alpha beta gamma delta epsilon zeta eta theta"
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "lang": ["en", "de", "en"],
+        "text": [text, text, text],  # identical — unscoped finds all 3 pairs
+    })
+    ds = ray.data.from_pandas(df)
+    scoped = ngram_jaccard_pairs(ds, threshold=0.7, group_col="lang",
+                                 num_partitions=2).to_pandas()
+    unscoped = ngram_jaccard_pairs(ds, threshold=0.7,
+                                   num_partitions=2).to_pandas()
+    assert sorted(zip(scoped["id_a"], scoped["id_b"])) == [(1, 3)]
+    assert len(unscoped) == 3
