@@ -161,6 +161,7 @@ BENCH_QUERIES = [
     "chunk_text",
     "first_last",
     "dedup_within_lang",
+    "cumulative_users",
 ]
 
 

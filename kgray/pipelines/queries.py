@@ -3558,7 +3558,7 @@ def q_json_extract_agg(sf_dir: str):
 
 SQL_JSON_EXTRACT_AGG = r"""
 SELECT event_type,
-  SUM(CAST(NULLIF(regexp_extract(props, '"k":\s*(\d+)', 1), '') AS BIGINT)) AS sum_k,
+  CAST(SUM(CAST(NULLIF(regexp_extract(props, '"k":\s*(\d+)', 1), '') AS BIGINT)) AS BIGINT) AS sum_k,
   CAST(COUNT(*) AS BIGINT) AS n
 FROM events GROUP BY event_type
 """
@@ -4096,6 +4096,35 @@ WHERE m * 1.0 / (ca.n + cb.n - m) >= 0.7
 """
 
 
+def q_cumulative_users(sf_dir: str):
+    """Cumulative distinct users per day (growth curve) WITHOUT a
+    windowed COUNT DISTINCT: first-seen-day trick — one user exchange
+    for min-day, O(days) combiner rows, final cumsum on one tiny
+    partition (analytics.cumulative_users)."""
+    from kgray.stages.analytics import cumulative_users
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "user_id"])
+    return cumulative_users(ds)
+
+
+SQL_CUMULATIVE_USERS = """
+WITH d AS (
+  SELECT DISTINCT user_id,
+         CAST(epoch(date_trunc('day', ts)) / 86400 AS BIGINT) AS day
+  FROM events
+), f AS (
+  SELECT user_id, MIN(day) AS day FROM d GROUP BY user_id
+), c AS (
+  SELECT day, CAST(COUNT(*) AS BIGINT) AS c FROM f GROUP BY day
+)
+SELECT day,
+       CAST(SUM(c) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS n_users_cum
+FROM c
+"""
+
+
 QUERIES = {
     "kgx_node_merge": q_kgx_node_merge,
     "kgx_edge_dedup": q_kgx_edge_dedup,
@@ -4226,6 +4255,7 @@ QUERIES = {
     "chunk_text": q_chunk_text,
     "first_last": q_first_last,
     "dedup_within_lang": q_dedup_within_lang,
+    "cumulative_users": q_cumulative_users,
 }
 
 ORACLES = {
@@ -4343,6 +4373,7 @@ ORACLES = {
     "chunk_text": SQL_CHUNK_TEXT,
     "first_last": SQL_FIRST_LAST,
     "dedup_within_lang": SQL_DEDUP_WITHIN_LANG,
+    "cumulative_users": SQL_CUMULATIVE_USERS,
     # rows-only (non-SQL-expressible): ann_lsh (LSH recall is
     # probabilistic), construct_kg / extract_text (self-checking
     # against generator goldens), multimodal_features (decode stub)

@@ -521,3 +521,53 @@ def grouped_ewma(
         return out
 
     return grouped_apply(ds, [key], _score, num_partitions=num_partitions)
+
+
+def cumulative_users(
+    ds: Dataset,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    num_partitions: Optional[int] = None,
+) -> Dataset:
+    """Cumulative distinct users per UTC day (the growth curve): the
+    windowed COUNT(DISTINCT) OVER (ORDER BY day) that SQL engines
+    refuse or quadratic-scan, computed by the first-seen trick — a
+    user contributes exactly once, on their first active day, and the
+    cumulative count is a running sum of first-seen counts.
+
+    Scale shape: map side pre-distincts (user, day) per batch; one
+    exchange on user computes each user's min day vectorized; the
+    per-day first-seen counts (O(days) rows) fold through a second
+    tiny combiner exchange; the final cumsum runs over the O(days)
+    result on one partition. Events never move twice.
+    """
+    if num_partitions is None:
+        num_partitions = auto_partitions()
+
+    def _days(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({user_col: df[user_col], "day": _epoch_days(df[ts_col])})
+        return out.drop_duplicates()
+
+    def _first(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates()
+        first = df.groupby(user_col, sort=False)["day"].min().rename("day").reset_index()
+        return first[["day"]].groupby("day", sort=False).size().rename("c").reset_index()
+
+    pruned = ds.select_columns([ts_col, user_col])
+    per_day = grouped_apply(pruned, [user_col], _first,
+                            num_partitions=num_partitions, map_side=_days)
+
+    def _csum_combine(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("day", as_index=False, sort=False)["c"].sum()
+
+    def _csum(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.groupby("day", as_index=False, sort=False)["c"].sum()
+        df = df.sort_values("day", kind="mergesort").reset_index(drop=True)
+        return pd.DataFrame({
+            "day": df["day"].astype("int64"),
+            "n_users_cum": df["c"].cumsum().astype("int64"),
+        })
+
+    # O(days) rows: one partition is correct AND cheap for the scan.
+    return grouped_apply(per_day, ["__all"], _csum, num_partitions=1,
+                         map_side=lambda df: _csum_combine(df).assign(__all=0))

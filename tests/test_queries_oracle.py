@@ -63,6 +63,13 @@ def test_query_matches_oracle(name, sf_dir, ray_session):
     )
     assert len(ray_df) == len(sql_df), f"row count {len(ray_df)} vs {len(sql_df)}"
     pd.testing.assert_frame_equal(ray_df, sql_df, check_dtype=False, check_exact=False, rtol=0, atol=1e-6)
+    # The driver's gate hashes VALUES after normalization — a dtype
+    # divergence the tolerant frame compare hides (e.g. DuckDB HUGEINT
+    # sums arriving as float64) still flips the hash. Mirror it.
+    assert (pd.util.hash_pandas_object(ray_df, index=False).sum()
+            == pd.util.hash_pandas_object(sql_df, index=False).sum()), (
+        f"value-hash mismatch after normalization for {name} "
+        f"(dtypes ray={dict(ray_df.dtypes)} sql={dict(sql_df.dtypes)})")
 
 
 ROWS_ONLY = sorted(set(QUERIES) - set(ORACLES))
