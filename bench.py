@@ -162,6 +162,8 @@ BENCH_QUERIES = [
     "first_last",
     "dedup_within_lang",
     "cumulative_users",
+    "grouped_mad",
+    "hash_features",
 ]
 
 

@@ -4138,6 +4138,45 @@ FROM c
 """
 
 
+def q_grouped_mad(sf_dir: str):
+    """Median absolute deviation of document length per language —
+    robust spread (sketch.grouped_mad): exact per-group medians
+    broadcast, deviations ride the same grouped-quantile kernel."""
+    from kgray.stages.sketch import grouped_mad
+
+    return grouped_mad(_docs(sf_dir, ["lang", "n_chars"]),
+                       key="lang", value_col="n_chars")
+
+
+SQL_GROUPED_MAD = """
+WITH m AS (
+  SELECT lang, quantile_cont(n_chars, 0.5) AS med FROM documents GROUP BY lang
+)
+SELECT d.lang, ROUND(quantile_cont(ABS(n_chars - med), 0.5), 6) AS mad
+FROM documents d JOIN m USING (lang) GROUP BY d.lang
+"""
+
+
+def q_hash_features(sf_dir: str):
+    """Feature hashing (hashing trick) to 256 dims: sparse long-format
+    (doc, feat_idx, count) rows for hashed-ngram models. Map-only; md5
+    once per unique token per batch (corpus.hash_features)."""
+    from kgray.stages.corpus import hash_features
+
+    return hash_features(_docs(sf_dir, ["doc_id", "text"]), n_features=256)
+
+
+SQL_HASH_FEATURES = r"""
+WITH w AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS tok FROM documents
+)
+SELECT doc_id,
+       CAST(('0x' || substr(md5(tok), 1, 8))::UBIGINT % 256 AS BIGINT) AS feat_idx,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM w GROUP BY doc_id, feat_idx
+"""
+
+
 QUERIES = {
     "kgx_node_merge": q_kgx_node_merge,
     "kgx_edge_dedup": q_kgx_edge_dedup,
@@ -4269,6 +4308,8 @@ QUERIES = {
     "first_last": q_first_last,
     "dedup_within_lang": q_dedup_within_lang,
     "cumulative_users": q_cumulative_users,
+    "grouped_mad": q_grouped_mad,
+    "hash_features": q_hash_features,
 }
 
 ORACLES = {
@@ -4387,6 +4428,8 @@ ORACLES = {
     "first_last": SQL_FIRST_LAST,
     "dedup_within_lang": SQL_DEDUP_WITHIN_LANG,
     "cumulative_users": SQL_CUMULATIVE_USERS,
+    "grouped_mad": SQL_GROUPED_MAD,
+    "hash_features": SQL_HASH_FEATURES,
     # rows-only (non-SQL-expressible): ann_lsh (LSH recall is
     # probabilistic), construct_kg / extract_text (self-checking
     # against generator goldens), multimodal_features (decode stub)

@@ -1456,3 +1456,48 @@ def chunk_text(
 
     return ds.select_columns([id_col, text_col]).map_batches(
         _chunks, batch_format="pyarrow")
+
+
+def hash_features(
+    ds: Dataset,
+    n_features: int = 1024,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> Dataset:
+    """Feature hashing (the hashing trick): every ``\\S+`` token maps to
+    ``md5(token) first-8-hex % n_features`` and per-document counts
+    accumulate per feature index (collisions merge — that is the
+    trick). Long output ``(id, feat_idx, n)`` — the sparse-matrix
+    feed for linear/hashed-ngram models.
+
+    Map-only, zero shuffle: md5 runs once per UNIQUE token per batch
+    (factorize then hash the distinct set — the package's md5
+    convention, pinned by the SQL oracle), counts from one pandas
+    groupby per batch.
+    """
+    import hashlib
+
+    def _feat(t: pa.Table) -> pa.Table:
+        flat, off = flat_words(t.column(text_col))
+        if len(flat) == 0:
+            return pa.table({
+                id_col: t.column(id_col).slice(0, 0),
+                "feat_idx": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+            })
+        counts = np.diff(off)
+        row = np.repeat(np.arange(len(t), dtype=np.int64), counts)
+        codes, uniques = pd.factorize(flat.to_pandas(), sort=False)
+        uidx = np.empty(len(uniques), dtype=np.int64)
+        for i, s in enumerate(uniques.tolist()):
+            uidx[i] = int(hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16) % n_features
+        g = (pd.DataFrame({"r": row, "f": uidx[codes]})
+             .groupby(["r", "f"], sort=False).size().rename("n").reset_index())
+        return pa.table({
+            id_col: t.column(id_col).take(pa.array(g["r"].to_numpy())),
+            "feat_idx": pa.array(g["f"].to_numpy(np.int64)),
+            "n": pa.array(g["n"].to_numpy(np.int64)),
+        })
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        _feat, batch_format="pyarrow")

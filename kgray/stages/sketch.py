@@ -638,3 +638,48 @@ def grouped_approx_distinct(
             acc[k] = flat[i].copy() if prev is None else np.maximum(prev, flat[i])
     return pd.DataFrame({key: list(acc), "n_distinct_est":
                          [hll_estimate(r) for r in acc.values()]})
+
+
+def grouped_mad(
+    ds: Dataset,
+    key: str,
+    value_col: str,
+    num_partitions=None,
+    round_digits: int = 6,
+) -> Dataset:
+    """Median absolute deviation per group — the robust spread
+    statistic (pairs with grouped median/IQR in q_robust_scale):
+    ``MAD = median(|x − median_g|)``.
+
+    Two passes over the column, both exchange only ``(key, value)``:
+    the per-group medians (exact, from grouped_quantiles_cont's shared
+    sorted array) broadcast as a tiny map, then the deviations ride the
+    same grouped-quantile kernel. Same partitioning assumption; same
+    giant-group escape hatch (grouped_approx_quantiles).
+    """
+    import ray
+
+    from kgray.kernels.hashagg import auto_partitions
+
+    if num_partitions is None:
+        num_partitions = auto_partitions()
+    med = grouped_quantiles_cont(ds, key, value_col, qs=(0.5,),
+                                 num_partitions=num_partitions,
+                                 round_digits=12).to_pandas()
+    mref = ray.put(dict(zip(med[key], med["value"])))
+
+    def _dev(t: pa.Table) -> pa.Table:
+        m = ray.get(mref) if not isinstance(mref, dict) else mref
+        ks = t.column(key).to_pandas()
+        x = t.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        dev = np.abs(x - ks.map(m).to_numpy(np.float64))
+        return pa.table({key: t.column(key), "dev": pa.array(dev)})
+
+    devs = ds.select_columns([key, value_col]).map_batches(
+        _dev, batch_format="pyarrow")
+    out = grouped_quantiles_cont(devs, key, "dev", qs=(0.5,),
+                                 num_partitions=num_partitions,
+                                 round_digits=round_digits)
+    return out.map_batches(
+        lambda t: pa.table({key: t.column(key), "mad": t.column("value")}),
+        batch_format="pyarrow")
