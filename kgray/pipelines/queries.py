@@ -4177,6 +4177,34 @@ FROM w GROUP BY doc_id, feat_idx
 """
 
 
+def q_k_core(sf_dir: str):
+    """SELF-ASSERTING (rows-only): maximal 3-core of the supplier–order
+    bipartite graph by distributed peeling (graph.k_core — size-switched
+    removal broadcast, one degree exchange per round; exact equality vs
+    a pure-python peeler is pinned in tests/test_graph.py). In-query
+    assert: the induced min degree ≥ k — the defining k-core property."""
+    from kgray.stages.graph import k_core
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_suppkey"])
+
+    def _edges(t: pa.Table) -> pa.Table:
+        o = pc.binary_join_element_wise(
+            pa.array(["o"] * len(t), type=pa.string()),
+            pc.cast(t.column("l_orderkey"), pa.string()), ":")
+        s = pc.binary_join_element_wise(
+            pa.array(["s"] * len(t), type=pa.string()),
+            pc.cast(t.column("l_suppkey"), pa.string()), ":")
+        return pa.table({"u": o, "v": s})
+
+    core = k_core(li.map_batches(_edges, batch_format="pyarrow"), k=3)
+    out = core.to_pandas()
+    assert len(out) == 0 or int(out["degree"].min()) >= 3, (
+        f"k_core: induced min degree {out['degree'].min()} < 3")
+    return pa.Table.from_pandas(
+        out.sort_values("node").reset_index(drop=True), preserve_index=False)
+
+
 QUERIES = {
     "kgx_node_merge": q_kgx_node_merge,
     "kgx_edge_dedup": q_kgx_edge_dedup,
@@ -4310,6 +4338,7 @@ QUERIES = {
     "cumulative_users": q_cumulative_users,
     "grouped_mad": q_grouped_mad,
     "hash_features": q_hash_features,
+    "k_core": q_k_core,
 }
 
 ORACLES = {

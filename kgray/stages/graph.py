@@ -415,3 +415,116 @@ def bfs_distances(
     for v in visited[1:]:
         out = out.union(v)
     return out
+
+
+def k_core(
+    edges: Dataset,
+    k: int,
+    u_col: str = "u",
+    v_col: str = "v",
+    max_iters: int = 50,
+    broadcast_limit: int = 2_000_000,
+) -> Dataset:
+    """Maximal k-core of an undirected graph: the unique largest node
+    set whose induced subgraph has minimum degree ≥ k, by distributed
+    peeling — each round drops every node whose current degree < k
+    and the edges touching it, until a round removes nothing.
+
+    Scale shape (mirrors bfs_distances' size switch): per round, ONE
+    degree exchange (map-side (node, nbr) dedup combiner, vectorized
+    nunique); the below-k node set — which SHRINKS every round — rides
+    ``ray.put`` while it fits ``broadcast_limit`` and edge batches
+    filter with a vectorized ``is_in``; past the limit the filter
+    falls back to a hash anti-join on both endpoints. Input edges are
+    symmetrized once; the working edge set is materialized per round
+    (it is the loop-carried state — re-deriving it would re-run every
+    earlier round's filter).
+
+    Non-convergence within ``max_iters`` RAISES (a partially peeled
+    graph is NOT a k-core; silent return would hand the caller a
+    superset). Peeling terminates in ≤ rounds-to-degeneracy; raise
+    ``max_iters`` for pathological chains.
+    """
+    import logging
+
+    import pandas as pd
+
+    from kgray.kernels.hashagg import auto_partitions, grouped_apply
+    from kgray.stages.relational import hash_join
+
+    logger = logging.getLogger(__name__)
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if max_iters < 1:
+        raise ValueError(f"max_iters must be >= 1, got {max_iters}")
+    num_partitions = auto_partitions()
+
+    def _sym(t: pa.Table) -> pa.Table:
+        a, b = t.column(u_col), t.column(v_col)
+        return pa.table({
+            "u": pa.concat_arrays([a.combine_chunks().cast(pa.string()),
+                                   b.combine_chunks().cast(pa.string())]),
+            "v": pa.concat_arrays([b.combine_chunks().cast(pa.string()),
+                                   a.combine_chunks().cast(pa.string())]),
+        })
+
+    work = edges.select_columns([u_col, v_col]).map_batches(
+        _sym, batch_format="pyarrow").materialize()
+
+    def _dedup(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates()
+
+    def _below_k(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates()
+        deg = df.groupby("u", sort=False)["v"].nunique()
+        return deg[deg < k].rename("deg").reset_index()[["u"]]
+
+    removed_any = True
+    for it in range(max_iters):
+        below = grouped_apply(work, ["u"], _below_k,
+                              num_partitions=num_partitions, map_side=_dedup)
+        n_below = below.count()
+        if n_below == 0:
+            removed_any = False
+            break
+        if n_below <= broadcast_limit:
+            drop = set(r["u"] for r in below.iter_rows())
+            dref = ray.put(np.array(sorted(drop), dtype=object))
+
+            def _filter(t: pa.Table, _ref=dref) -> pa.Table:
+                import pyarrow.compute as pc
+
+                ds_arr = ray.get(_ref)
+                bad = pa.array(ds_arr, type=pa.string())
+                keep = pc.and_(
+                    pc.invert(pc.is_in(t.column("u"), value_set=bad)),
+                    pc.invert(pc.is_in(t.column("v"), value_set=bad)),
+                )
+                return t.filter(keep)
+
+            work = work.map_batches(_filter, batch_format="pyarrow").materialize()
+        else:
+            logger.warning("k_core: below-k set %d exceeds broadcast_limit; "
+                           "anti-join fallback round", n_below)
+            work = hash_join(work, below, on="u", how="anti",
+                             num_partitions=num_partitions)
+            work = hash_join(
+                work.map_batches(lambda t: t.rename_columns(["v", "u"]),
+                                 batch_format="pyarrow"),
+                below, on="u", how="anti", num_partitions=num_partitions,
+            ).map_batches(lambda t: t.rename_columns(["v", "u"]),
+                          batch_format="pyarrow").materialize()
+    else:
+        raise RuntimeError(
+            f"k_core did not converge in {max_iters} rounds (last round "
+            f"still removed nodes); raise max_iters")
+    if removed_any:
+        raise RuntimeError("k_core: internal invariant violated")
+
+    def _nodes(df: pd.DataFrame) -> pd.DataFrame:
+        deg = df.drop_duplicates().groupby("u", sort=False)["v"].nunique()
+        return pd.DataFrame({"node": deg.index.to_numpy(),
+                             "degree": deg.to_numpy().astype("int64")})
+
+    return grouped_apply(work, ["u"], _nodes,
+                         num_partitions=num_partitions, map_side=_dedup)

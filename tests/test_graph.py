@@ -110,3 +110,54 @@ def test_bfs_exchange_fallback_matches_broadcast(ray_session):
     am = dict(zip(a["node"], a["dist"]))
     bm = dict(zip(b["node"], b["dist"]))
     assert am == bm == _bfs_reference(pairs, seeds, 3)
+
+
+def _peel_reference(edges, k):
+    """Pure-python peeling reference for small graphs."""
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    changed = True
+    while changed:
+        changed = False
+        for n in list(adj):
+            if len(adj[n]) < k:
+                for m in adj[n]:
+                    adj[m].discard(n)
+                del adj[n]
+                changed = True
+    return {n: len(s) for n, s in adj.items()}
+
+
+def test_k_core_matches_reference_peeler(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from kgray.stages.graph import k_core
+
+    rng = np.random.default_rng(17)
+    n = 60
+    edges = list({(f"n{a}", f"n{b}") for a, b in
+                  zip(rng.integers(0, n, 300), rng.integers(0, n, 300)) if a != b})
+    df = pd.DataFrame(edges, columns=["u", "v"])
+    got = (k_core(ray.data.from_pandas(df), k=3)
+           .to_pandas().sort_values("node").reset_index(drop=True))
+    exp = _peel_reference(edges, 3)
+    assert dict(zip(got["node"], got["degree"])) == exp
+    assert (got["degree"] >= 3).all() or len(got) == 0
+
+
+def test_k_core_empty_core_and_validation(ray_session):
+    import pandas as pd
+    import pytest
+    import ray.data
+
+    from kgray.stages.graph import k_core
+
+    # A path graph has no 2-core.
+    df = pd.DataFrame({"u": ["a", "b", "c"], "v": ["b", "c", "d"]})
+    got = k_core(ray.data.from_pandas(df), k=2).to_pandas()
+    assert len(got) == 0
+    with pytest.raises(ValueError):
+        k_core(ray.data.from_pandas(df), k=0)
