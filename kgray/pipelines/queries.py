@@ -4198,11 +4198,16 @@ def q_k_core(sf_dir: str):
         return pa.table({"u": o, "v": s})
 
     core = k_core(li.map_batches(_edges, batch_format="pyarrow"), k=3)
-    out = core.to_pandas()
-    assert len(out) == 0 or int(out["degree"].min()) >= 3, (
-        f"k_core: induced min degree {out['degree'].min()} < 3")
-    return pa.Table.from_pandas(
-        out.sort_values("node").reset_index(drop=True), preserve_index=False)
+
+    def _assert_core(t: pa.Table) -> pa.Table:
+        # degree >= k is ROW-local — the self-check streams; the core
+        # never materializes on the driver.
+        if len(t) and pc.min(t.column("degree")).as_py() < 3:
+            raise AssertionError(
+                f"k_core: induced min degree {pc.min(t.column('degree')).as_py()} < 3")
+        return t
+
+    return core.map_batches(_assert_core, batch_format="pyarrow")
 
 
 QUERIES = {
