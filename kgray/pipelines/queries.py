@@ -2546,15 +2546,22 @@ def q_curate_corpus(sf_dir: str):
     from kgray.pipelines.curate import curate_corpus
 
     ds = _docs(sf_dir, ["doc_id", "text"])
+    # Exact counters via materialize-at-boundary: counts are metadata,
+    # and pinning each stage stops the multi-consumer stages (minhash
+    # band+verify, boilerplate's two exchanges) from silently
+    # re-executing the whole upstream prefix (lazy recount was
+    # O(stages²): 60 s vs ~14 s at sf0.1).
     out, counters = curate_corpus(ds, lang="en", count_stages=True)
+    t = out.to_pandas()
 
     order = ["input", "after_langid", "after_quality", "after_boilerplate",
              "after_exact_dedup", "after_near_dedup", "output"]
     seq = [counters[k] for k in order if k in counters]
+    if len(seq) < 7:
+        raise AssertionError(f"missing stage counters: {counters}")
     if any(b > a for a, b in zip(seq, seq[1:])):
         raise AssertionError(f"curation counters not monotone: {counters}")
 
-    t = out.to_pandas()
     digests = {hashlib.md5(x.encode()).hexdigest() for x in t["text"]}
     if len(digests) != len(t):
         raise AssertionError("exact duplicates survived curation")

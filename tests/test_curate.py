@@ -72,3 +72,41 @@ def test_curate_corpus_boilerplate_bites(ray_session):
     assert not df["text"].str.startswith("the be to of").any()
     assert df["text"].str.contains("alpha").all()
     assert (df["n_tokens"] > 0).all()
+
+
+def test_stream_counters_match_exact_recount(ray_session):
+    import pandas as pd
+    import ray
+    import ray.data
+
+    from kgray.pipelines.curate import curate_corpus
+    from kgray.state.metrics import StageCounters
+
+    rng = __import__("numpy").random.default_rng(3)
+    words = ["the", "fast", "data", "merge", "spark", "row"]
+    texts = [" ".join(rng.choice(words, 40)) for _ in range(120)]
+    texts += texts[:10]  # exact dups
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+
+    _, exact = curate_corpus(ray.data.from_pandas(df), lang="en",
+                             count_stages=True)
+    # Work meter: counts every consumption, so each stage's metered
+    # rows are >= the exact survivor count (multi-consumer stages
+    # re-read their input) — and the FINAL stage, consumed exactly
+    # once by materialize(), must match exactly.
+    ctr = StageCounters.remote()
+    out, _ = curate_corpus(ray.data.from_pandas(df), lang="en",
+                           stream_counters=ctr)
+    out.materialize()
+    import time
+    streamed, prev = ray.get(ctr.get.remote()), None
+    for _ in range(50):
+        if streamed == prev and len(streamed) >= 7:
+            break
+        prev = streamed
+        time.sleep(0.1)
+        streamed = ray.get(ctr.get.remote())
+    assert set(exact) <= set(streamed)
+    for k, v in exact.items():
+        assert streamed[k] >= v, (k, streamed[k], v)
+    assert streamed["output"] == exact["output"]
