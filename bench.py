@@ -164,6 +164,7 @@ BENCH_QUERIES = [
     "cumulative_users",
     "grouped_mad",
     "hash_features",
+    "quantile_transform",
 ]
 
 

@@ -4217,6 +4217,35 @@ def q_k_core(sf_dir: str):
     return core.map_batches(_assert_core, batch_format="pyarrow")
 
 
+def q_quantile_transform(sf_dir: str):
+    """Quantile (rank-to-uniform) transform of document length: each
+    doc's global percentile in [0, 1] — the distribution-free
+    normalizer. Rides value_rank's histogram trick (exact global
+    ROW_NUMBER without a sort; boundary: distinct values fit the
+    driver — true for lengths/counts, not raw floats)."""
+    from kgray.stages.split import value_rank
+
+    ds = _docs(sf_dir, ["doc_id", "n_chars"])
+    n = ds.count()
+    ranked = value_rank(ds, value_col="n_chars", id_col="doc_id")
+
+    def _q(t: pa.Table) -> pa.Table:
+        q = pc.divide(pc.cast(t.column("rnk"), pa.float64()),
+                      pa.scalar(float(n - 1)))
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "q": stable_round(q, 6)})
+
+    return ranked.map_batches(_q, batch_format="pyarrow")
+
+
+SQL_QUANTILE_TRANSFORM = """
+SELECT doc_id,
+       ROUND((ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) - 1)
+             / (COUNT(*) OVER () - 1.0), 6) AS q
+FROM documents
+"""
+
+
 QUERIES = {
     "kgx_node_merge": q_kgx_node_merge,
     "kgx_edge_dedup": q_kgx_edge_dedup,
@@ -4351,6 +4380,7 @@ QUERIES = {
     "grouped_mad": q_grouped_mad,
     "hash_features": q_hash_features,
     "k_core": q_k_core,
+    "quantile_transform": q_quantile_transform,
 }
 
 ORACLES = {
@@ -4471,6 +4501,7 @@ ORACLES = {
     "cumulative_users": SQL_CUMULATIVE_USERS,
     "grouped_mad": SQL_GROUPED_MAD,
     "hash_features": SQL_HASH_FEATURES,
+    "quantile_transform": SQL_QUANTILE_TRANSFORM,
     # rows-only (non-SQL-expressible): ann_lsh (LSH recall is
     # probabilistic), construct_kg / extract_text (self-checking
     # against generator goldens), multimodal_features (decode stub)
