@@ -165,6 +165,7 @@ BENCH_QUERIES = [
     "grouped_mad",
     "hash_features",
     "quantile_transform",
+    "range_rank",
 ]
 
 

@@ -4246,6 +4246,27 @@ FROM documents
 """
 
 
+def q_range_rank(sf_dir: str):
+    """Exact global ROW_NUMBER over a CONTINUOUS column (events.value)
+    by range-partitioned rank — sampled boundaries + count offsets +
+    one exchange, never a global sort, no distinct-fit-driver boundary
+    (split.range_rank — the continuous sibling of value_rank)."""
+    from kgray.stages.split import range_rank
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "value"])
+    out = range_rank(ds, value_col="value", id_col="event_id")
+    return out.map_batches(
+        lambda t: t.select(["event_id", "rnk"]), batch_format="pyarrow")
+
+
+SQL_RANGE_RANK = """
+SELECT event_id,
+       CAST(ROW_NUMBER() OVER (ORDER BY value, event_id) - 1 AS BIGINT) AS rnk
+FROM events WHERE value IS NOT NULL
+"""
+
+
 QUERIES = {
     "kgx_node_merge": q_kgx_node_merge,
     "kgx_edge_dedup": q_kgx_edge_dedup,
@@ -4381,6 +4402,7 @@ QUERIES = {
     "hash_features": q_hash_features,
     "k_core": q_k_core,
     "quantile_transform": q_quantile_transform,
+    "range_rank": q_range_rank,
 }
 
 ORACLES = {
@@ -4502,6 +4524,7 @@ ORACLES = {
     "grouped_mad": SQL_GROUPED_MAD,
     "hash_features": SQL_HASH_FEATURES,
     "quantile_transform": SQL_QUANTILE_TRANSFORM,
+    "range_rank": SQL_RANGE_RANK,
     # rows-only (non-SQL-expressible): ann_lsh (LSH recall is
     # probabilistic), construct_kg / extract_text (self-checking
     # against generator goldens), multimodal_features (decode stub)

@@ -13,7 +13,10 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
+import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 from ray.data import Dataset
 
@@ -346,3 +349,130 @@ def weighted_sample(
                             kind="mergesort").head(k)
     return pa.Table.from_pandas(
         cand.drop(columns="__key").reset_index(drop=True), preserve_index=False)
+
+
+def range_rank(
+    ds: Dataset,
+    value_col: str,
+    id_col: str,
+    rank_col: str = "rnk",
+    num_partitions=None,
+    sample_per_part: int = 64,
+) -> Dataset:
+    """Exact global 0-based rank by ``(value_col, id_col)`` ascending
+    (``ROW_NUMBER() − 1``) for CONTINUOUS / unbounded-cardinality
+    values — the other half of :func:`value_rank`'s documented
+    boundary (whose histogram trick needs the distinct values to fit
+    the driver). NULL values are excluded (mirror in the oracle).
+
+    Range-partitioned rank without a global sort operator:
+
+    1. a deterministic sample (md5(id)-keyed smallest-k per batch, the
+       weighted_sample monoid with equal weights) picks P−1 boundary
+       ``(value, id)`` pairs on the driver — O(P·sample_per_part) rows
+       move, never the data;
+    2. one map pass assigns each row its range partition (vectorized
+       searchsorted on boundary values, id tie-refine) and folds
+       per-partition COUNTS to the driver (O(batches × P) tiny rows);
+       prefix-summed offsets broadcast back;
+    3. ONE exchange co-locates each range partition; the reduce sorts
+       its partitions locally and emits ``offset[part] + local_pos``.
+
+    Unlike a Ray ``Dataset.sort``, nothing is globally materialized in
+    sorted order — callers get the rank COLUMN, data stays put.
+    Boundary skew note: boundaries are distinct by value, so a single
+    value duplicated across many rows lands in one partition — the
+    standard range-partition hot-value caveat (acceptable for ranks
+    because the reduce is O(n log n) local).
+    """
+    import hashlib
+
+    import ray
+
+    from kgray.kernels.hashagg import auto_partitions, grouped_apply
+
+    if num_partitions is None:
+        num_partitions = auto_partitions()
+    target = num_partitions * sample_per_part
+
+    src = ds.select_columns([id_col, value_col]).map_batches(
+        lambda t: t.filter(pc.is_valid(t.column(value_col))),
+        batch_format="pyarrow")
+
+    def _cand(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_pylist()
+        key = np.fromiter(
+            (int(hashlib.md5(str(i).encode("utf-8")).hexdigest()[:15], 16)
+             for i in ids), dtype=np.int64, count=len(ids))
+        kk = min(target, len(ids))
+        take = np.argpartition(key, kk - 1)[:kk] if kk < len(ids) else np.arange(len(ids))
+        idx = pa.array(take)
+        return pa.table({
+            id_col: t.column(id_col).take(idx),
+            value_col: t.column(value_col).take(idx),
+            "__key": pa.array(key[take]),
+        })
+
+    cand = src.map_batches(_cand, batch_format="pyarrow").to_pandas()
+    cand = cand.sort_values("__key", kind="mergesort").head(target)
+    cand = cand.sort_values([value_col, id_col], kind="mergesort")
+    # P-1 boundaries, distinct by VALUE (duplicate sample values would
+    # make the composite searchsorted ambiguous).
+    pos = np.linspace(0, len(cand) - 1, num_partitions + 1)[1:-1].astype(int)
+    b = cand.iloc[pos].drop_duplicates(subset=[value_col])
+    b_vals = b[value_col].to_numpy()
+    b_ids = b[id_col].to_numpy()
+    nb = len(b_vals)
+    bref = ray.put((b_vals, b_ids))
+
+    def _assign(t: pa.Table) -> np.ndarray:
+        bv, bi = ray.get(bref) if not isinstance(bref, tuple) else bref
+        v = t.column(value_col).to_numpy(zero_copy_only=False)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        part = np.searchsorted(bv, v, side="left").astype(np.int64)
+        if nb:
+            safe = np.minimum(part, nb - 1)
+            eq = (part < nb) & (v == bv[safe])
+            if eq.any():
+                part[eq] += (ids[eq] >= bi[part[eq]]).astype(np.int64)
+        return part
+
+    # Counts pre-pass: O(batches × P) rows fold on the driver.
+    def _counts(t: pa.Table) -> pa.Table:
+        c = np.bincount(_assign(t), minlength=nb + 1)
+        return pa.table({"p": pa.array(np.arange(nb + 1, dtype=np.int64)),
+                         "n": pa.array(c.astype(np.int64))})
+
+    counts = np.zeros(nb + 1, dtype=np.int64)
+    for batch in src.map_batches(_counts, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"):
+        # np.add.at, NOT fancy-index +=: iter_batches concatenates the
+        # per-task count tables, so partition ids REPEAT within one
+        # batch and += would keep only the last occurrence.
+        np.add.at(counts, batch.column("p").to_numpy(),
+                  batch.column("n").to_numpy())
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    oref = ray.put(offsets)
+
+    def _tag(t: pa.Table) -> pa.Table:
+        return t.append_column("__rpart", pa.array(_assign(t)))
+
+    tagged = src.map_batches(_tag, batch_format="pyarrow")
+
+    def _rank(df: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(oref) if not isinstance(oref, np.ndarray) else oref
+        df = df.sort_values(["__rpart", value_col, id_col],
+                            kind="mergesort").reset_index(drop=True)
+        p = df["__rpart"].to_numpy(np.int64)
+        new = np.empty(len(df), dtype=bool)
+        if len(df):
+            new[0] = True
+            new[1:] = p[1:] != p[:-1]
+        local = np.arange(len(df)) - np.maximum.accumulate(
+            np.where(new, np.arange(len(df)), 0))
+        out = df.drop(columns="__rpart")
+        out[rank_col] = off[p] + local
+        return out
+
+    return grouped_apply(tagged, ["__rpart"], _rank,
+                         num_partitions=num_partitions)

@@ -56,3 +56,26 @@ def test_salted_edge_provenance_identical(ray_session):
     assert _rows(plain) == _rows(salted)
     out = plain.take_all()
     assert len(out) == 1 and out[0]["knowledge_source"].count("|") == 39
+
+
+def test_range_rank_multiblock_and_duplicates(ray_session):
+    """Multi-block input (the np.add.at regression: concatenated count
+    tables repeat partition ids) + heavy duplicate values (boundary
+    tie-refine by id)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from kgray.stages.split import range_rank
+
+    rng = np.random.default_rng(9)
+    df = pd.DataFrame({
+        "id": np.arange(2000),
+        "v": np.round(rng.normal(0, 3, 2000), 0),  # few distinct → ties
+    })
+    ds = ray.data.from_pandas(df).repartition(13)
+    got = (range_rank(ds, value_col="v", id_col="id", num_partitions=7)
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    exp = df.sort_values(["v", "id"], kind="mergesort").reset_index(drop=True)
+    exp_rnk = pd.Series(range(len(exp)), index=exp["id"]).sort_index().to_numpy()
+    assert (got["rnk"].to_numpy() == exp_rnk).all()
