@@ -166,6 +166,7 @@ BENCH_QUERIES = [
     "hash_features",
     "quantile_transform",
     "range_rank",
+    "collect_set",
 ]
 
 

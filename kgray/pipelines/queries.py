@@ -4267,6 +4267,38 @@ FROM events WHERE value IS NOT NULL
 """
 
 
+def q_collect_set(sf_dir: str):
+    """Generic sorted-distinct collect (the reference's STRING_AGG
+    DISTINCT '|' rule — duckdb_utils.py:332 — outside the KGX schema):
+    each user's distinct event types, sorted and pipe-joined. Map-side
+    (user, type) distinct combiner → one keyed exchange."""
+    from kgray.kernels.hashagg import auto_partitions, grouped_apply
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "event_type"])
+
+    def _distinct(df):
+        return df.drop_duplicates()
+
+    def _join(df):
+        df = df.drop_duplicates().sort_values(["user_id", "event_type"],
+                                              kind="mergesort")
+        g = df.groupby("user_id", sort=False)["event_type"].agg("|".join)
+        return g.rename("event_types").reset_index()
+
+    return grouped_apply(ds, ["user_id"], _join,
+                         num_partitions=auto_partitions(
+                             files=[f"{sf_dir}/events.parquet"]),
+                         map_side=_distinct)
+
+
+SQL_COLLECT_SET = """
+SELECT user_id,
+       STRING_AGG(DISTINCT event_type, '|' ORDER BY event_type) AS event_types
+FROM events GROUP BY user_id
+"""
+
+
 QUERIES = {
     "kgx_node_merge": q_kgx_node_merge,
     "kgx_edge_dedup": q_kgx_edge_dedup,
@@ -4403,6 +4435,7 @@ QUERIES = {
     "k_core": q_k_core,
     "quantile_transform": q_quantile_transform,
     "range_rank": q_range_rank,
+    "collect_set": q_collect_set,
 }
 
 ORACLES = {
@@ -4525,6 +4558,7 @@ ORACLES = {
     "hash_features": SQL_HASH_FEATURES,
     "quantile_transform": SQL_QUANTILE_TRANSFORM,
     "range_rank": SQL_RANGE_RANK,
+    "collect_set": SQL_COLLECT_SET,
     # rows-only (non-SQL-expressible): ann_lsh (LSH recall is
     # probabilistic), construct_kg / extract_text (self-checking
     # against generator goldens), multimodal_features (decode stub)
