@@ -167,6 +167,7 @@ BENCH_QUERIES = [
     "quantile_transform",
     "range_rank",
     "collect_set",
+    "mix_corpus",
 ]
 
 

@@ -4299,6 +4299,32 @@ FROM events GROUP BY user_id
 """
 
 
+def q_mix_corpus(sf_dir: str):
+    """Deterministic corpus mixing to target domain proportions (50%
+    en / 25% de / 25% fr; es+zh dropped): T = min_d(n_d / w_d), each
+    domain keeps its first floor(w_d·T) docs in md5(id) order — the
+    pretraining data-recipe primitive (split.mix_corpus)."""
+    from kgray.stages.split import mix_corpus
+
+    return mix_corpus(_docs(sf_dir, ["doc_id", "lang"]),
+                      domain_col="lang", id_col="doc_id",
+                      weights={"en": 0.5, "de": 0.25, "fr": 0.25})
+
+
+SQL_MIX_CORPUS = """
+WITH w(lang, w) AS (VALUES ('en', 0.5), ('de', 0.25), ('fr', 0.25)),
+cnt AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+t AS (SELECT MIN(n / w) AS T FROM cnt JOIN w USING (lang)),
+k AS (SELECT w.lang, CAST(FLOOR(w.w * (SELECT T FROM t)) AS BIGINT) AS k FROM w),
+r AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents)
+SELECT doc_id, lang FROM r JOIN k USING (lang) WHERE rn <= k
+"""
+
+
 QUERIES = {
     "kgx_node_merge": q_kgx_node_merge,
     "kgx_edge_dedup": q_kgx_edge_dedup,
@@ -4436,6 +4462,7 @@ QUERIES = {
     "quantile_transform": q_quantile_transform,
     "range_rank": q_range_rank,
     "collect_set": q_collect_set,
+    "mix_corpus": q_mix_corpus,
 }
 
 ORACLES = {
@@ -4559,6 +4586,7 @@ ORACLES = {
     "quantile_transform": SQL_QUANTILE_TRANSFORM,
     "range_rank": SQL_RANGE_RANK,
     "collect_set": SQL_COLLECT_SET,
+    "mix_corpus": SQL_MIX_CORPUS,
     # rows-only (non-SQL-expressible): ann_lsh (LSH recall is
     # probabilistic), construct_kg / extract_text (self-checking
     # against generator goldens), multimodal_features (decode stub)

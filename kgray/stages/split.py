@@ -476,3 +476,71 @@ def range_rank(
 
     return grouped_apply(tagged, ["__rpart"], _rank,
                          num_partitions=num_partitions)
+
+
+def mix_corpus(
+    ds: Dataset,
+    domain_col: str,
+    id_col: str,
+    weights: dict,
+    num_partitions=None,
+) -> Dataset:
+    """Deterministic data mixing: down-sample to target DOMAIN
+    PROPORTIONS — the corpus-mixture primitive (e.g. 40% web / 30%
+    code / 30% books) behind every pretraining data recipe.
+
+    Semantics (pinned, SQL-checkable): with per-domain counts ``n_d``
+    and weights ``w_d``, the largest achievable mixture size is ``T =
+    min_d(n_d / w_d)``; each domain keeps its first ``k_d = floor(w_d ·
+    T)`` documents in md5(id) order (the package's epoch-stable,
+    cluster-size-independent sampling convention). Domains absent from
+    ``weights`` are dropped; a weighted domain with no rows empties the
+    mixture (T = 0) rather than silently rebalancing.
+
+    Scale shape: per-domain counts are O(domains) map partials folded
+    on the driver; selection rides ONE keyed exchange with the
+    top_n_per_group-style map-side pruning (each batch pre-truncates to
+    its own per-domain k_d, so the shuffle carries candidates only).
+    """
+    import hashlib
+    import math
+
+    from kgray.kernels.hashagg import auto_partitions, grouped_apply
+
+    if num_partitions is None:
+        num_partitions = auto_partitions()
+    src = ds.select_columns([id_col, domain_col])
+
+    def _cnt(t: pa.Table) -> pa.Table:
+        vc = t.column(domain_col).value_counts()
+        return pa.table({domain_col: vc.field("values"),
+                         "n": vc.field("counts")})
+
+    nd: dict = {}
+    for batch in src.map_batches(_cnt, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"):
+        for d, n in zip(batch.column(domain_col).to_pylist(),
+                        batch.column("n").to_pylist()):
+            nd[d] = nd.get(d, 0) + n
+    T = min((nd.get(d, 0) / w for d, w in weights.items() if w > 0),
+            default=0.0)
+    kd = {d: int(math.floor(w * T)) for d, w in weights.items() if w > 0}
+    kref = ray.put(kd)
+
+    def _prune(df: pd.DataFrame) -> pd.DataFrame:
+        k = ray.get(kref) if not isinstance(kref, dict) else kref
+        df = df[df[domain_col].isin(k)]
+        if len(df) == 0:
+            return df.drop(columns=["__h"], errors="ignore")
+        if "__h" not in df.columns:
+            df = df.assign(__h=[hashlib.md5(str(i).encode("utf-8")).hexdigest()
+                                for i in df[id_col]])
+        df = df.sort_values([domain_col, "__h", id_col], kind="mergesort")
+        keep = df.groupby(domain_col, sort=False).cumcount() < df[domain_col].map(k).to_numpy()
+        return df[keep.to_numpy()]
+
+    def _reduce(df: pd.DataFrame) -> pd.DataFrame:
+        return _prune(df).drop(columns=["__h"], errors="ignore")
+
+    return grouped_apply(src, [domain_col], _reduce,
+                         num_partitions=num_partitions, map_side=_prune)

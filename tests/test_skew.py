@@ -79,3 +79,30 @@ def test_range_rank_multiblock_and_duplicates(ray_session):
     exp = df.sort_values(["v", "id"], kind="mergesort").reset_index(drop=True)
     exp_rnk = pd.Series(range(len(exp)), index=exp["id"]).sort_index().to_numpy()
     assert (got["rnk"].to_numpy() == exp_rnk).all()
+
+
+def test_mix_corpus_proportions_and_determinism(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from kgray.stages.split import mix_corpus
+
+    rng = np.random.default_rng(23)
+    df = pd.DataFrame({
+        "id": np.arange(3000),
+        "d": rng.choice(["web", "code", "books"], 3000, p=[0.7, 0.2, 0.1]),
+    })
+    w = {"web": 0.5, "code": 0.3, "books": 0.2}
+    got = (mix_corpus(ray.data.from_pandas(df), domain_col="d", id_col="id",
+                      weights=w, num_partitions=4)
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    nd = df["d"].value_counts()
+    T = min(nd[d] / ww for d, ww in w.items())
+    for d, ww in w.items():
+        assert (got["d"] == d).sum() == int(ww * T // 1)
+    # Deterministic: second run identical.
+    again = (mix_corpus(ray.data.from_pandas(df), domain_col="d", id_col="id",
+                        weights=w, num_partitions=7)
+             .to_pandas().sort_values("id").reset_index(drop=True))
+    assert got["id"].tolist() == again["id"].tolist()
