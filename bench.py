@@ -168,6 +168,7 @@ BENCH_QUERIES = [
     "range_rank",
     "collect_set",
     "mix_corpus",
+    "rolling_zscore",
 ]
 
 

@@ -4325,6 +4325,43 @@ SELECT doc_id, lang FROM r JOIN k USING (lang) WHERE rn <= k
 """
 
 
+def q_rolling_zscore(sf_dir: str):
+    """Trailing-window anomaly score per user (z vs the 10 PRECEDING
+    events, current row excluded from its own baseline). Bit-exact vs
+    SQL via integerized frame sums (analytics.rolling_zscore)."""
+    from kgray.stages.analytics import rolling_zscore
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_id", "ts", "value"])
+    out = rolling_zscore(ds, key="user_id", ts_col="ts", value_col="value",
+                         tiebreak_col="event_id", window=10)
+    return out.map_batches(
+        lambda t: t.select(["event_id", "user_id", "z"]),
+        batch_format="pyarrow")
+
+
+SQL_ROLLING_ZSCORE = """
+WITH f AS (
+  SELECT event_id, user_id,
+         CAST(FLOOR(value * 100) AS BIGINT) AS vi,
+         CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) OVER w AS BIGINT) AS s,
+         CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)
+                  * CAST(FLOOR(value * 100) AS BIGINT)) OVER w AS BIGINT) AS sq,
+         CAST(COUNT(*) OVER w AS BIGINT) AS n
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id, user_id,
+  CASE WHEN n >= 2 AND sq - CAST(s AS DOUBLE) * s / n > 0
+       THEN ROUND((vi - CAST(s AS DOUBLE) / n)
+                  / SQRT((sq - CAST(s AS DOUBLE) * s / n) / (n - 1.0)), 6)
+       ELSE NULL END AS z
+FROM f
+"""
+
+
 QUERIES = {
     "kgx_node_merge": q_kgx_node_merge,
     "kgx_edge_dedup": q_kgx_edge_dedup,
@@ -4463,6 +4500,7 @@ QUERIES = {
     "range_rank": q_range_rank,
     "collect_set": q_collect_set,
     "mix_corpus": q_mix_corpus,
+    "rolling_zscore": q_rolling_zscore,
 }
 
 ORACLES = {
@@ -4587,6 +4625,7 @@ ORACLES = {
     "range_rank": SQL_RANGE_RANK,
     "collect_set": SQL_COLLECT_SET,
     "mix_corpus": SQL_MIX_CORPUS,
+    "rolling_zscore": SQL_ROLLING_ZSCORE,
     # rows-only (non-SQL-expressible): ann_lsh (LSH recall is
     # probabilistic), construct_kg / extract_text (self-checking
     # against generator goldens), multimodal_features (decode stub)

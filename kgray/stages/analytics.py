@@ -36,6 +36,8 @@ __all__ = [
     "merge_intervals",
     "window_dedup",
     "grouped_ewma",
+    "rolling_zscore",
+    "cumulative_users",
 ]
 
 _US_PER_DAY = 86_400_000_000
@@ -571,3 +573,68 @@ def cumulative_users(
     # O(days) rows: one partition is correct AND cheap for the scan.
     return grouped_apply(per_day, ["__all"], _csum, num_partitions=1,
                          map_side=lambda df: _csum_combine(df).assign(__all=0))
+
+
+def rolling_zscore(
+    ds: Dataset,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    window: int = 10,
+    value_scale: float = 100.0,
+    out_col: str = "z",
+    round_digits: int = 6,
+    num_partitions: Optional[int] = None,
+) -> Dataset:
+    """Trailing-window anomaly score: each event's z-score against the
+    key's PRECEDING ``window`` rows (frame excludes the current row —
+    the value being scored must not contaminate its own baseline).
+    NULL where the history has < 2 rows or zero variance.
+
+    Bit-exact against SQL by construction: values integerize
+    (``floor(value·scale)`` int64) so the frame's SUM / SUM-of-squares /
+    COUNT are exact integers in BOTH engines; mean, sample variance and
+    z then derive from identical ints via one pinned closed form —
+    no float-summation-order hazard at all (the same integerization
+    contract as range_window_agg).
+
+    One hash exchange on ``key``; the frame sums are ``window`` shifted
+    int64 adds — O(window) temporaries, no per-group loop.
+    """
+    if num_partitions is None:
+        num_partitions = auto_partitions()
+
+    def _score(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key, ts_col, tiebreak_col],
+                            kind="mergesort").reset_index(drop=True)
+        vi = np.floor(df[value_col].to_numpy(np.float64) * value_scale).astype(np.int64)
+        gid = df[key].to_numpy()
+        new_grp = np.empty(len(df), dtype=bool)
+        if len(df):
+            new_grp[0] = True
+            new_grp[1:] = gid[1:] != gid[:-1]
+        pos = np.arange(len(df)) - np.maximum.accumulate(
+            np.where(new_grp, np.arange(len(df)), 0))
+        s = np.zeros(len(df), dtype=np.int64)
+        sq = np.zeros(len(df), dtype=np.int64)
+        n = np.zeros(len(df), dtype=np.int64)
+        for j in range(1, window + 1):
+            shifted = np.zeros(len(df), dtype=np.int64)
+            shifted[j:] = vi[:-j]
+            valid = pos >= j
+            s = np.where(valid, s + shifted, s)
+            sq = np.where(valid, sq + shifted * shifted, sq)
+            n = np.where(valid, n + 1, n)
+        nf = n.astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            mean = s / nf
+            var = (sq - s.astype(np.float64) * s / nf) / (nf - 1.0)
+            z = (vi - mean) / np.sqrt(var)
+        ok = (n >= 2) & np.isfinite(z)
+        out = df.copy(deep=False)
+        out[out_col] = np.where(ok, np.round(z, round_digits), np.nan)
+        return out
+
+    pruned = ds.select_columns([key, ts_col, tiebreak_col, value_col])
+    return grouped_apply(pruned, [key], _score, num_partitions=num_partitions)
