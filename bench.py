@@ -169,6 +169,7 @@ BENCH_QUERIES = [
     "collect_set",
     "mix_corpus",
     "rolling_zscore",
+    "markov_transitions",
 ]
 
 

@@ -4362,6 +4362,65 @@ FROM f
 """
 
 
+def q_markov_transitions(sf_dir: str):
+    """First-order Markov transition probabilities between consecutive
+    event types per user (the behavioral-model fit): one user-keyed
+    exchange emits adjacent-pair partial counts, a tiny (from, to)
+    combiner exchange totals them, probabilities divide by from-totals
+    derived from the SAME aggregate (no second pass)."""
+    from kgray.kernels.hashagg import auto_partitions, grouped_apply
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_id", "ts", "event_type"])
+
+    def _pairs(df):
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        same = df["user_id"].to_numpy()[1:] == df["user_id"].to_numpy()[:-1]
+        frm = df["event_type"].to_numpy()[:-1][same]
+        to = df["event_type"].to_numpy()[1:][same]
+        out = pd.DataFrame({"efrom": frm, "eto": to})
+        return (out.groupby(["efrom", "eto"], sort=False).size()
+                .rename("n").reset_index())
+
+    import pandas as pd
+
+    pairs = grouped_apply(ds, ["user_id"], _pairs,
+                          num_partitions=auto_partitions(
+                              files=[f"{sf_dir}/events.parquet"]))
+
+    def _sum(df):
+        return df.groupby(["efrom", "eto"], as_index=False, sort=False)["n"].sum()
+
+    def _prob(df):
+        g = df.groupby(["efrom", "eto"], as_index=False, sort=False)["n"].sum()
+        tot = g.groupby("efrom", sort=False)["n"].transform("sum")
+        g["p"] = (g["n"] / tot).round(6)
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    return grouped_apply(pairs, ["efrom"], _prob,
+                         num_partitions=auto_partitions(
+                             files=[f"{sf_dir}/events.parquet"]),
+                         map_side=_sum)
+
+
+SQL_MARKOV_TRANSITIONS = """
+WITH p AS (
+  SELECT event_type AS efrom,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS eto
+  FROM events
+), c AS (
+  SELECT efrom, eto, CAST(COUNT(*) AS BIGINT) AS n
+  FROM p WHERE eto IS NOT NULL GROUP BY efrom, eto
+)
+SELECT efrom, eto, n,
+       ROUND(n * 1.0 / SUM(n) OVER (PARTITION BY efrom), 6) AS p
+FROM c
+"""
+
+
 QUERIES = {
     "kgx_node_merge": q_kgx_node_merge,
     "kgx_edge_dedup": q_kgx_edge_dedup,
@@ -4501,6 +4560,7 @@ QUERIES = {
     "collect_set": q_collect_set,
     "mix_corpus": q_mix_corpus,
     "rolling_zscore": q_rolling_zscore,
+    "markov_transitions": q_markov_transitions,
 }
 
 ORACLES = {
@@ -4626,6 +4686,7 @@ ORACLES = {
     "collect_set": SQL_COLLECT_SET,
     "mix_corpus": SQL_MIX_CORPUS,
     "rolling_zscore": SQL_ROLLING_ZSCORE,
+    "markov_transitions": SQL_MARKOV_TRANSITIONS,
     # rows-only (non-SQL-expressible): ann_lsh (LSH recall is
     # probabilistic), construct_kg / extract_text (self-checking
     # against generator goldens), multimodal_features (decode stub)
