@@ -170,6 +170,7 @@ BENCH_QUERIES = [
     "mix_corpus",
     "rolling_zscore",
     "markov_transitions",
+    "inverted_index",
 ]
 
 

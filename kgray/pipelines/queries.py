@@ -4421,6 +4421,63 @@ FROM c
 """
 
 
+def q_inverted_index(sf_dir: str):
+    """Materialized inverted index: token → document frequency +
+    sorted distinct postings list (pipe-joined at the exchange
+    boundary, the KGX multivalue convention). Map side explodes each
+    batch to DISTINCT (token, doc) pairs; one token-keyed exchange
+    builds every postings list vectorized — the persistent-index
+    counterpart of the scan-based keyword_search."""
+    from kgray.kernels.hashagg import auto_partitions, grouped_apply
+    from kgray.stages.corpus import flat_words
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def _pairs(t: pa.Table) -> pa.Table:
+        flat, off = flat_words(t.column("text"))
+        counts = np.diff(off)
+        row = np.repeat(np.arange(len(t), dtype=np.int64), counts)
+        df = pd.DataFrame({
+            "tok": flat.to_pandas().to_numpy(),
+            "doc": t.column("doc_id").to_pandas().to_numpy()[row].astype(str),
+        }).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    import pandas as pd
+
+    pairs = ds.map_batches(_pairs, batch_format="pyarrow")
+
+    def _dedup(df):
+        return df.drop_duplicates()
+
+    def _index(df):
+        df = df.drop_duplicates().sort_values(["tok", "doc"], kind="mergesort")
+        g = df.groupby("tok", sort=False)["doc"]
+        out = pd.DataFrame({
+            "tok": g.count().index,
+            "df": g.count().to_numpy().astype("int64"),
+            "postings": g.agg("|".join).to_numpy(),
+        })
+        return out
+
+    return grouped_apply(pairs, ["tok"], _index,
+                         num_partitions=auto_partitions(
+                             files=[f"{sf_dir}/documents.parquet"]),
+                         map_side=_dedup)
+
+
+SQL_INVERTED_INDEX = r"""
+WITH w AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS tok FROM documents
+), d AS (
+  SELECT DISTINCT tok, CAST(doc_id AS VARCHAR) AS doc FROM w
+)
+SELECT tok, CAST(COUNT(*) AS BIGINT) AS df,
+       STRING_AGG(doc, '|' ORDER BY doc) AS postings
+FROM d GROUP BY tok
+"""
+
+
 QUERIES = {
     "kgx_node_merge": q_kgx_node_merge,
     "kgx_edge_dedup": q_kgx_edge_dedup,
@@ -4561,6 +4618,7 @@ QUERIES = {
     "mix_corpus": q_mix_corpus,
     "rolling_zscore": q_rolling_zscore,
     "markov_transitions": q_markov_transitions,
+    "inverted_index": q_inverted_index,
 }
 
 ORACLES = {
@@ -4687,6 +4745,7 @@ ORACLES = {
     "mix_corpus": SQL_MIX_CORPUS,
     "rolling_zscore": SQL_ROLLING_ZSCORE,
     "markov_transitions": SQL_MARKOV_TRANSITIONS,
+    "inverted_index": SQL_INVERTED_INDEX,
     # rows-only (non-SQL-expressible): ann_lsh (LSH recall is
     # probabilistic), construct_kg / extract_text (self-checking
     # against generator goldens), multimodal_features (decode stub)
