@@ -171,6 +171,8 @@ BENCH_QUERIES = [
     "rolling_zscore",
     "markov_transitions",
     "inverted_index",
+    "langid_confusion",
+    "journey_prefixes",
 ]
 
 

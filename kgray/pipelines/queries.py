@@ -4478,6 +4478,111 @@ FROM d GROUP BY tok
 """
 
 
+def q_langid_confusion(sf_dir: str):
+    """Language-ID confusion matrix: predicted (stopword-scored actor
+    pool, same operator as `langid`) × labeled lang, with counts — the
+    quality report for the classifier stage. Composition: map-only
+    prediction + one tiny (lang, lang_pred) combiner exchange."""
+    from kgray.stages.text import LangId
+
+    ds = _docs(sf_dir, ["doc_id", "lang", "text"])
+    pred = ds.map_batches(LangId, fn_constructor_kwargs=dict(text_col="text"),
+                          batch_format="pyarrow", concurrency=(1, 4))
+
+    def _pairs(t: pa.Table) -> pa.Table:
+        import pandas as pd
+        df = (pd.DataFrame({"lang": t.column("lang").to_pandas(),
+                            "lang_pred": t.column("lang_pred").to_pandas()})
+              .groupby(["lang", "lang_pred"], sort=False).size()
+              .rename("n").reset_index())
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    from kgray.kernels.hashagg import grouped_apply
+
+    def _sum(df):
+        out = df.groupby(["lang", "lang_pred"], as_index=False, sort=False)["n"].sum()
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    return grouped_apply(pred.map_batches(_pairs, batch_format="pyarrow"),
+                         ["lang", "lang_pred"], _sum, num_partitions=8,
+                         map_side=_sum)
+
+
+SQL_LANGID_CONFUSION = """
+WITH words AS (
+  SELECT doc_id, lower(w) AS w FROM (
+    SELECT doc_id, unnest(regexp_extract_all(text, '[a-zA-ZäöüßéèêàçñÁ-ÿ]+')) AS w
+    FROM documents
+  )
+), hits AS (
+  SELECT doc_id,
+    COUNT(*) FILTER (WHERE w IN ('der','die','das','und','ist','von','mit','für','auf','nicht')) AS de,
+    COUNT(*) FILTER (WHERE w IN ('the','and','of','to','is','in','that','for','with','are','was')) AS en,
+    COUNT(*) FILTER (WHERE w IN ('el','la','los','y','es','de','que','para','con','una')) AS es,
+    COUNT(*) FILTER (WHERE w IN ('le','la','les','et','est','des','que','pour','dans','une')) AS fr
+  FROM words GROUP BY doc_id
+), pred AS (
+  SELECT d.doc_id, d.lang,
+    CASE WHEN COALESCE(greatest(h.de, h.en, h.es, h.fr), 0) = 0 THEN 'und'
+         WHEN h.de = greatest(h.de, h.en, h.es, h.fr) THEN 'de'
+         WHEN h.en = greatest(h.de, h.en, h.es, h.fr) THEN 'en'
+         WHEN h.es = greatest(h.de, h.en, h.es, h.fr) THEN 'es'
+         ELSE 'fr' END AS lang_pred
+  FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+)
+SELECT lang, lang_pred, CAST(COUNT(*) AS BIGINT) AS n
+FROM pred GROUP BY lang, lang_pred
+"""
+
+
+def q_journey_prefixes(sf_dir: str):
+    """Entry-path distribution: users per FIRST-3-event-type sequence
+    (onboarding-funnel shape; identical-prefix mass is the bot/dup
+    signal). Per-user prefixes built in one keyed exchange, counts via
+    a second tiny sequence-keyed combiner exchange."""
+    from kgray.kernels.hashagg import auto_partitions, grouped_apply
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_id", "ts", "event_type"])
+
+    def _seq(df):
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        head = df.groupby("user_id", sort=False).head(3)
+        g = head.groupby("user_id", sort=False)["event_type"].agg(">".join)
+        return g.rename("seq").reset_index()[["seq"]]
+
+    seqs = grouped_apply(ds, ["user_id"], _seq,
+                         num_partitions=auto_partitions(
+                             files=[f"{sf_dir}/events.parquet"]))
+
+    def _cnt(df):
+        out = df.groupby("seq", as_index=False, sort=False).size()
+        return out.rename(columns={"size": "n"})
+
+    def _sum(df):
+        g = df.groupby("seq", as_index=False, sort=False)["n"].sum()
+        g["n"] = g["n"].astype("int64")
+        return g.rename(columns={"n": "n_users"})
+
+    return grouped_apply(seqs, ["seq"], _sum, num_partitions=8, map_side=_cnt)
+
+
+SQL_JOURNEY_PREFIXES = """
+WITH r AS (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+), s AS (
+  SELECT user_id, STRING_AGG(event_type, '>' ORDER BY rn) AS seq
+  FROM r WHERE rn <= 3 GROUP BY user_id
+)
+SELECT seq, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM s GROUP BY seq
+"""
+
+
 QUERIES = {
     "kgx_node_merge": q_kgx_node_merge,
     "kgx_edge_dedup": q_kgx_edge_dedup,
@@ -4619,6 +4724,8 @@ QUERIES = {
     "rolling_zscore": q_rolling_zscore,
     "markov_transitions": q_markov_transitions,
     "inverted_index": q_inverted_index,
+    "langid_confusion": q_langid_confusion,
+    "journey_prefixes": q_journey_prefixes,
 }
 
 ORACLES = {
@@ -4746,6 +4853,8 @@ ORACLES = {
     "rolling_zscore": SQL_ROLLING_ZSCORE,
     "markov_transitions": SQL_MARKOV_TRANSITIONS,
     "inverted_index": SQL_INVERTED_INDEX,
+    "langid_confusion": SQL_LANGID_CONFUSION,
+    "journey_prefixes": SQL_JOURNEY_PREFIXES,
     # rows-only (non-SQL-expressible): ann_lsh (LSH recall is
     # probabilistic), construct_kg / extract_text (self-checking
     # against generator goldens), multimodal_features (decode stub)
