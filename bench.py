@@ -173,6 +173,7 @@ BENCH_QUERIES = [
     "inverted_index",
     "langid_confusion",
     "journey_prefixes",
+    "lexical_diversity",
 ]
 
 

@@ -4583,6 +4583,29 @@ FROM s GROUP BY seq
 """
 
 
+def q_lexical_diversity(sf_dir: str):
+    """Distinct-3-gram ratio per document (lexical diversity / n-gram
+    type-token ratio) — low ratio flags templated or repetitive text.
+    Map-only vectorized gram construction (corpus.lexical_diversity)."""
+    from kgray.stages.corpus import lexical_diversity
+
+    return lexical_diversity(_docs(sf_dir, ["doc_id", "text"]), n=3)
+
+
+SQL_LEXICAL_DIVERSITY = r"""
+WITH g AS (
+  SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+  FROM (SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM documents),
+       UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+  WHERE len(w) >= 3
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(COUNT(DISTINCT s) AS BIGINT) AS n_distinct,
+       ROUND(COUNT(DISTINCT s) * 1.0 / COUNT(*), 6) AS diversity
+FROM g GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "kgx_node_merge": q_kgx_node_merge,
     "kgx_edge_dedup": q_kgx_edge_dedup,
@@ -4726,6 +4749,7 @@ QUERIES = {
     "inverted_index": q_inverted_index,
     "langid_confusion": q_langid_confusion,
     "journey_prefixes": q_journey_prefixes,
+    "lexical_diversity": q_lexical_diversity,
 }
 
 ORACLES = {
@@ -4855,6 +4879,7 @@ ORACLES = {
     "inverted_index": SQL_INVERTED_INDEX,
     "langid_confusion": SQL_LANGID_CONFUSION,
     "journey_prefixes": SQL_JOURNEY_PREFIXES,
+    "lexical_diversity": SQL_LEXICAL_DIVERSITY,
     # rows-only (non-SQL-expressible): ann_lsh (LSH recall is
     # probabilistic), construct_kg / extract_text (self-checking
     # against generator goldens), multimodal_features (decode stub)

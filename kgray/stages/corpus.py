@@ -1501,3 +1501,61 @@ def hash_features(
 
     return ds.select_columns([id_col, text_col]).map_batches(
         _feat, batch_format="pyarrow")
+
+
+def lexical_diversity(
+    ds: Dataset,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_digits: int = 6,
+) -> Dataset:
+    """Distinct-n-gram ratio per document (type/token ratio over
+    n-grams) — the lexical-diversity quality signal complementing
+    doc_entropy (low ratio = templated/repetitive text). Docs with
+    fewer than ``n`` words emit no row (they have no n-gram).
+
+    Map-only, zero shuffle: the gram construction is ngram_strings'
+    offset-shifted element-wise joins with the doc index retained; the
+    per-doc distinct count is one np.unique over a combined
+    (doc, gram-code) key; totals come from the offsets.
+    """
+    def _div(t: pa.Table) -> pa.Table:
+        flat, off = flat_words(t.column(text_col))
+        n_words = off[1:] - off[:-1]
+        n_grams = np.maximum(n_words - (n - 1), 0)
+        total = int(n_grams.sum())
+        if total == 0:
+            return pa.table({
+                id_col: t.column(id_col).slice(0, 0),
+                "n_grams": pa.array([], pa.int64()),
+                "n_distinct": pa.array([], pa.int64()),
+                "diversity": pa.array([], pa.float64()),
+            })
+        doc_idx = np.repeat(np.arange(len(n_words), dtype=np.int64), n_grams)
+        first = np.concatenate([[0], np.cumsum(n_grams)])[:-1]
+        pos = np.arange(total, dtype=np.int64) - np.repeat(first, n_grams)
+        start = off[:-1][doc_idx] + pos
+        parts = [flat.take(pa.array(start + j)) for j in range(n)]
+        sep = pa.scalar(" ")
+        grams = parts[0]
+        for p in parts[1:]:
+            grams = pc.binary_join_element_wise(grams, p, sep)
+        codes, _ = pd.factorize(grams.to_pandas(), sort=False)
+        width = np.int64(codes.max()) + 1
+        # distinct (doc, gram) pairs → per-doc distinct counts;
+        # uniq_docs is exactly the gram-bearing docs, ascending.
+        pair = np.unique(doc_idx * width + codes)
+        uniq_docs, n_distinct = np.unique((pair // width).astype(np.int64),
+                                          return_counts=True)
+        totals = n_grams[uniq_docs]
+        div = np.round(n_distinct / totals.astype(np.float64), round_digits)
+        return pa.table({
+            id_col: t.column(id_col).take(pa.array(uniq_docs)),
+            "n_grams": pa.array(totals.astype(np.int64)),
+            "n_distinct": pa.array(n_distinct.astype(np.int64)),
+            "diversity": pa.array(div),
+        })
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        _div, batch_format="pyarrow")
