@@ -3013,12 +3013,21 @@ def q_revenue_by_nation(sf_dir: str):
 
     import pandas as pd
 
-    out = (joined.map_batches(_partial, batch_format="pyarrow")
-           .groupby("n_name").aggregate(Sum("revenue", alias_name="revenue")))
-    return out.map_batches(
-        lambda t: t.set_column(t.column_names.index("revenue"), "revenue",
-                               stable_round(t.column("revenue"), 2)),
-        batch_format="pyarrow")
+    # The per-batch partials leave O(batches × nations) tiny rows — a
+    # driver-side fold replaces the Ray Aggregate's sort barrier (the
+    # third all-to-all in this plan; the two join exchanges are the
+    # semantic floor).
+    acc: dict = {}
+    for b in (joined.map_batches(_partial, batch_format="pyarrow")
+              .iter_batches(batch_format="pyarrow")):
+        for k, v in zip(b.column("n_name").to_pylist(),
+                        b.column("revenue").to_pylist()):
+            acc[k] = acc.get(k, 0.0) + v
+    out = pa.table({
+        "n_name": pa.array(sorted(acc), pa.string()),
+        "revenue": pa.array([acc[k] for k in sorted(acc)], pa.float64()),
+    })
+    return out.set_column(1, "revenue", stable_round(out.column("revenue"), 2))
 
 
 SQL_REVENUE_BY_NATION = """
