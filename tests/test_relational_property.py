@@ -107,3 +107,78 @@ def test_semi_anti_nullable_int64_keys(ray_session):
     assert _rows(semi[["k", "lv"]]) == [(1.0, 0.0)]
     # NULL left keys match nothing -> kept by anti (NOT EXISTS semantics).
     assert _rows(anti[["k", "lv"]]) == [(-1.0, 2.0), (2.0, 1.0)]
+
+
+@st.composite
+def _intervals(draw):
+    n = draw(st.integers(min_value=1, max_value=40))
+    lo = [draw(st.integers(min_value=0, max_value=50)) for _ in range(n)]
+    length = [draw(st.integers(min_value=0, max_value=20)) for _ in range(n)]
+    return pd.DataFrame({
+        "k": [draw(st.integers(min_value=0, max_value=3)) for _ in range(n)],
+        "lo": np.asarray(lo, dtype=np.int64),
+        "hi": np.asarray(lo, dtype=np.int64) + np.asarray(length, dtype=np.int64),
+    })
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(df=_intervals())
+def test_merge_intervals_matches_duckdb(ray_session, df):
+    from kgray.stages.analytics import merge_intervals
+
+    got = (merge_intervals(ray.data.from_pandas(df), key="k", lo_col="lo",
+                           hi_col="hi", num_partitions=3)
+           .to_pandas())
+    con = duckdb.connect()
+    con.register("iv", df)
+    want = con.execute("""
+        WITH m AS (
+          SELECT k, lo, hi,
+            CASE WHEN lo > MAX(hi) OVER (PARTITION BY k ORDER BY lo, hi
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+            THEN 1 ELSE 0 END AS ni
+          FROM iv
+        ), g AS (
+          SELECT k, lo, hi,
+            SUM(ni) OVER (PARTITION BY k ORDER BY lo, hi
+                          ROWS UNBOUNDED PRECEDING) AS island
+          FROM m
+        )
+        SELECT k, MIN(lo) AS start_ts, MAX(hi) AS end_ts,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM g GROUP BY k, island
+    """).df()
+    assert _rows(got) == _rows(want)
+
+
+@st.composite
+def _events(draw):
+    n = draw(st.integers(min_value=1, max_value=40))
+    return pd.DataFrame({
+        "k": [draw(st.integers(min_value=0, max_value=3)) for _ in range(n)],
+        "t": np.asarray([draw(st.integers(min_value=0, max_value=100))
+                         for _ in range(n)], dtype=np.int64),
+        "i": np.arange(n, dtype=np.int64),
+    })
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(df=_events())
+def test_window_dedup_matches_duckdb(ray_session, df):
+    from kgray.stages.analytics import window_dedup
+
+    got = (window_dedup(ray.data.from_pandas(df), keys=["k"], ts_col="t",
+                        window_us=10, tiebreak_col="i", num_partitions=3)
+           .to_pandas())
+    con = duckdb.connect()
+    con.register("e", df)
+    want = con.execute("""
+        SELECT k, t, i FROM (
+          SELECT k, t, i,
+                 LAG(t) OVER (PARTITION BY k ORDER BY t, i) AS pt
+          FROM e) s
+        WHERE pt IS NULL OR t - pt > 10
+    """).df()
+    assert _rows(got[["k", "t", "i"]]) == _rows(want)
