@@ -1197,12 +1197,26 @@ def pmi_topk(
         })
 
     cand = big.map_batches(_floor_split, batch_format="pyarrow")
-    j1 = hash_join(cand, uni.map_batches(lambda t: t.rename_columns(["w1", "c_a"]),
-                                         batch_format="pyarrow"),
-                   on="w1", num_partitions=num_partitions)
-    j2 = hash_join(j1, uni.map_batches(lambda t: t.rename_columns(["w2", "c_b"]),
-                                       batch_format="pyarrow"),
-                   on="w2", num_partitions=num_partitions)
+    # Size switch (the bfs/embedding-dedup pattern): a vocabulary that
+    # fits the broadcast limit attaches c_a/c_b map-only — two
+    # all-to-all join barriers disappear; a web-scale vocabulary falls
+    # back to the hash joins (the documented no-vocab-broadcast path).
+    n_vocab = uni.count()
+    if n_vocab <= 1_000_000:
+        from kgray.stages.relational import broadcast_join
+
+        uni_tbl = pa.Table.from_pandas(uni.to_pandas(), preserve_index=False)
+        j1 = broadcast_join(cand, uni_tbl.rename_columns(["w1", "c_a"]),
+                            on="w1", how="inner")
+        j2 = broadcast_join(j1, uni_tbl.rename_columns(["w2", "c_b"]),
+                            on="w2", how="inner")
+    else:
+        j1 = hash_join(cand, uni.map_batches(lambda t: t.rename_columns(["w1", "c_a"]),
+                                             batch_format="pyarrow"),
+                       on="w1", num_partitions=num_partitions)
+        j2 = hash_join(j1, uni.map_batches(lambda t: t.rename_columns(["w2", "c_b"]),
+                                           batch_format="pyarrow"),
+                       on="w2", num_partitions=num_partitions)
 
     def _score(t: pa.Table) -> pa.Table:
         c_ab = t.column("c_ab").to_numpy().astype(np.float64)
