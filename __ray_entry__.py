@@ -10,11 +10,12 @@ The driver initialises Ray BEFORE importing this module; nothing here
   canonical (subject, predicate, object) triples.
 * ``queries()``    — one callable per implemented operator/pipeline
   (SURVEY.md §2 + training-data ops); see kgray/pipelines/queries.py.
-* ``oracle_sql()`` — matching DuckDB SQL per query where expressible;
-  non-SQL ops (simhash, LSH-ANN, langid heuristic, the construction
-  pipeline itself) are rows-only by design — their correctness is
-  pinned by tests/ (byte-goldens, P/R vs generator oracle, brute-force
-  ground truth).
+* ``oracle_sql()`` — matching DuckDB SQL per query where expressible
+  (127 of 143); the rows-only rest (approximate ANN/sketches, model
+  scoring, iterative graph/cluster algorithms, the construction and
+  curation pipelines) SELF-ASSERT in-query (recall/error/monotonicity
+  bounds) and are pinned by tests/ (byte-goldens, P/R vs generator
+  oracle, brute-force ground truth).
 """
 
 from __future__ import annotations
