@@ -182,3 +182,64 @@ def test_window_dedup_matches_duckdb(ray_session, df):
         WHERE pt IS NULL OR t - pt > 10
     """).df()
     assert _rows(got[["k", "t", "i"]]) == _rows(want)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(df=_events())
+def test_rolling_zscore_matches_duckdb(ray_session, df):
+    from kgray.stages.analytics import rolling_zscore
+
+    df = df.assign(v=(df["t"] * 7 % 53).astype("float64") / 2.0)
+    got = (rolling_zscore(ray.data.from_pandas(df), key="k", ts_col="t",
+                          value_col="v", tiebreak_col="i", window=4,
+                          num_partitions=3)
+           .to_pandas())
+    con = duckdb.connect()
+    con.register("e", df)
+    want = con.execute("""
+        WITH f AS (
+          SELECT i, CAST(FLOOR(v * 100) AS BIGINT) AS vi,
+                 CAST(SUM(CAST(FLOOR(v * 100) AS BIGINT)) OVER w AS BIGINT) AS s,
+                 CAST(SUM(CAST(FLOOR(v * 100) AS BIGINT)
+                          * CAST(FLOOR(v * 100) AS BIGINT)) OVER w AS BIGINT) AS sq,
+                 CAST(COUNT(*) OVER w AS BIGINT) AS n
+          FROM e WINDOW w AS (PARTITION BY k ORDER BY t, i
+                              ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING)
+        )
+        SELECT i, CASE WHEN n >= 2 AND sq - CAST(s AS DOUBLE) * s / n > 0
+               THEN ROUND((vi - CAST(s AS DOUBLE) / n)
+                          / SQRT((sq - CAST(s AS DOUBLE) * s / n) / (n - 1.0)), 6)
+               ELSE NULL END AS z
+        FROM f
+    """).df()
+    g = got.sort_values("i")["z"].to_numpy()
+    w = want.sort_values("i")["z"].to_numpy()
+    both_nan = np.isnan(g) & np.isnan(w)
+    assert (both_nan | (g == w)).all()
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(df=_events())
+def test_grouped_ewma_matches_duckdb(ray_session, df):
+    from kgray.stages.analytics import grouped_ewma
+
+    df = df.assign(v=(df["t"] * 3 % 17).astype("float64"))
+    got = (grouped_ewma(ray.data.from_pandas(df), key="k", ts_col="t",
+                        value_col="v", tiebreak_col="i", decay=0.5,
+                        window=4, num_partitions=3)
+           .to_pandas())
+    con = duckdb.connect()
+    con.register("e", df)
+    want = con.execute("""
+        WITH r AS (SELECT k, i, v,
+                   ROW_NUMBER() OVER (PARTITION BY k ORDER BY t, i) AS rn FROM e)
+        SELECT a.i,
+          ROUND(SUM(b.v * POWER(0.5, a.rn - b.rn)) / SUM(POWER(0.5, a.rn - b.rn)), 4) AS ewma
+        FROM r a JOIN r b ON b.k = a.k AND b.rn BETWEEN a.rn - 3 AND a.rn
+        GROUP BY a.i
+    """).df()
+    g = got.sort_values("i")["ewma"].to_numpy()
+    w = want.sort_values("i")["ewma"].to_numpy()
+    assert np.allclose(g, w, atol=1e-9)
