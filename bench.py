@@ -174,6 +174,7 @@ BENCH_QUERIES = [
     "langid_confusion",
     "journey_prefixes",
     "lexical_diversity",
+    "attribution",
 ]
 
 

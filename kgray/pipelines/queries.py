@@ -4615,6 +4615,71 @@ FROM g GROUP BY doc_id
 """
 
 
+def q_attribution(sf_dir: str):
+    """Last-touch conversion attribution: each purchase joins its
+    user's most recent click at-or-before it (as-of semantics, clicks
+    per (user, ts) deduped to max id for a total order), attributed
+    iff within a 1-hour lookback. Pure composition: the asof_join
+    exchange + one map — no new machinery."""
+    from kgray.stages.joins import asof_join
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"])
+
+    def _purch(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("event_type"), "purchase"))
+        return pa.table({"purchase_id": t.column("event_id"),
+                         "user_id": t.column("user_id"), "ts": t.column("ts")})
+
+    def _clicks(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("event_type"), "click"))
+        return pa.table({"user_id": t.column("user_id"), "ts": t.column("ts"),
+                         "click_id": t.column("event_id"),
+                         "cts": t.column("ts")})
+
+    def _dedup_clicks(df):
+        df = df.sort_values(["user_id", "ts", "click_id"], kind="mergesort")
+        return df.drop_duplicates(subset=["user_id", "ts"], keep="last")
+
+    j = asof_join(ev.map_batches(_purch, batch_format="pyarrow"),
+                  ev.map_batches(_clicks, batch_format="pyarrow"),
+                  by="user_id", on="ts", right_cols=["click_id", "cts"],
+                  right_prepare=_dedup_clicks)
+
+    def _attr(t: pa.Table) -> pa.Table:
+        gap = pc.subtract(
+            pc.cast(pc.cast(t.column("ts"), pa.timestamp("us")), pa.int64()),
+            pc.cast(pc.cast(t.column("cts"), pa.timestamp("us")), pa.int64()))
+        ok = pc.and_(pc.is_valid(t.column("cts")),
+                     pc.less_equal(gap, pa.scalar(3_600_000_000)))
+        attributed = pc.cast(pc.coalesce(ok, pa.scalar(False)), pa.int64())
+        return pa.table({
+            "purchase_id": t.column("purchase_id"),
+            "user_id": t.column("user_id"),
+            "click_id": t.column("click_id"),
+            "attributed": attributed,
+        })
+
+    return j.map_batches(_attr, batch_format="pyarrow")
+
+
+SQL_ATTRIBUTION = """
+WITH c AS (
+  SELECT user_id, ts AS cts, MAX(event_id) AS click_id
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+), p AS (
+  SELECT event_id AS purchase_id, user_id, ts
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT p.purchase_id, p.user_id, c.click_id,
+  CAST(CASE WHEN c.cts IS NOT NULL
+             AND date_diff('microsecond', c.cts, p.ts) <= 3600000000
+        THEN 1 ELSE 0 END AS BIGINT) AS attributed
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.cts <= p.ts
+"""
+
+
 QUERIES = {
     "kgx_node_merge": q_kgx_node_merge,
     "kgx_edge_dedup": q_kgx_edge_dedup,
@@ -4759,6 +4824,7 @@ QUERIES = {
     "langid_confusion": q_langid_confusion,
     "journey_prefixes": q_journey_prefixes,
     "lexical_diversity": q_lexical_diversity,
+    "attribution": q_attribution,
 }
 
 ORACLES = {
@@ -4889,6 +4955,7 @@ ORACLES = {
     "langid_confusion": SQL_LANGID_CONFUSION,
     "journey_prefixes": SQL_JOURNEY_PREFIXES,
     "lexical_diversity": SQL_LEXICAL_DIVERSITY,
+    "attribution": SQL_ATTRIBUTION,
     # rows-only (non-SQL-expressible): ann_lsh (LSH recall is
     # probabilistic), construct_kg / extract_text (self-checking
     # against generator goldens), multimodal_features (decode stub)
