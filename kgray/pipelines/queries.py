@@ -4680,6 +4680,62 @@ FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.cts <= p.ts
 """
 
 
+def q_multimodal_dedup(sf_dir: str):
+    """SELF-ASSERTING (rows-only): the multimodal near-dup path —
+    binary payloads → actor-pool feature extraction (deterministic
+    stub model) → LSH-bucketed embedding near-dup at cosine ≥ 0.99.
+    Every 10th payload is planted as an exact duplicate under a new
+    id; the assert is zero false negatives on the planted pairs
+    (identical payloads → identical unit vectors → every hyperplane
+    table buckets them together)."""
+    from kgray.stages.multimodal import FeatureExtract
+    from kgray.stages.similarity import lsh_bucketed_near_dup
+
+    paths = construct_corpus_for_sf(sf_dir)
+    ds = ray.data.read_parquet(paths["pages"], columns=["url", "html"])
+
+    def _plant(t: pa.Table) -> pa.Table:
+        import numpy as np
+        idx = np.arange(len(t))
+        keep = idx % 10 == 0
+        dup = t.filter(pa.array(keep))
+        dup = dup.set_column(
+            dup.column_names.index("url"), "url",
+            pc.binary_join_element_wise(dup.column("url"),
+                                        pa.scalar("#dup"), ""))
+        return pa.concat_tables([t, dup])
+
+    planted = ds.map_batches(_plant, batch_format="pyarrow")
+    feats = planted.map_batches(
+        FeatureExtract,
+        fn_constructor_kwargs={"payload_col": "html", "dim": 16,
+                               "out_col": "embedding"},
+        batch_format="pyarrow", batch_size=256, concurrency=(1, 4),
+    ).map_batches(
+        lambda t: pa.table({
+            "vec_id": t.column("url"),
+            "embedding": t.column("embedding").combine_chunks().cast(
+                pa.list_(pa.float32())),
+        }),
+        batch_format="pyarrow",
+    )
+    pairs = lsh_bucketed_near_dup(feats, threshold=0.99, n_tables=12).to_pandas()
+    found = {(str(a), str(b)) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+    # Zero false negatives on the planted exact duplicates: EVERY
+    # planted id in the feature table must be paired with its source
+    # (identical payloads → identical unit vectors → same bucket in
+    # every hyperplane table).
+    planted = [str(r["vec_id"]) for r in feats.select_columns(["vec_id"]).take_all()
+               if str(r["vec_id"]).endswith("#dup")]
+    assert planted, "no duplicates were planted"
+    missing = [p for p in planted
+               if tuple(sorted((p[:-4], p))) not in found]
+    assert not missing, f"planted duplicates not recovered: {missing[:5]}"
+    return pa.Table.from_pandas(
+        pairs.sort_values(["id_a", "id_b"]).reset_index(drop=True),
+        preserve_index=False)
+
+
 QUERIES = {
     "kgx_node_merge": q_kgx_node_merge,
     "kgx_edge_dedup": q_kgx_edge_dedup,
@@ -4825,6 +4881,7 @@ QUERIES = {
     "journey_prefixes": q_journey_prefixes,
     "lexical_diversity": q_lexical_diversity,
     "attribution": q_attribution,
+    "multimodal_dedup": q_multimodal_dedup,
 }
 
 ORACLES = {
