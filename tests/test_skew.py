@@ -106,3 +106,38 @@ def test_mix_corpus_proportions_and_determinism(ray_session):
                         weights=w, num_partitions=7)
              .to_pandas().sort_values("id").reset_index(drop=True))
     assert got["id"].tolist() == again["id"].tolist()
+
+
+def test_hot_key_exchange_correctness(ray_session):
+    """A single key holding 90% of rows must survive the keyed
+    exchanges unchanged (the combiner absorbs duplicate mass before
+    the shuffle; the reduce sees the whole key)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from kgray.kernels.hashagg import grouped_apply
+
+    rng = np.random.default_rng(41)
+    n = 20000
+    hot = rng.random(n) < 0.9
+    df = pd.DataFrame({
+        "k": np.where(hot, 7, rng.integers(0, 50, n)),
+        "v": rng.integers(0, 5, n),
+    })
+
+    def _distinct(d):
+        return d.drop_duplicates()
+
+    def _agg(d):
+        d = d.drop_duplicates().sort_values(["k", "v"], kind="mergesort")
+        g = d.groupby("k", sort=False)["v"].agg(lambda s: "|".join(map(str, s)))
+        return g.rename("vs").reset_index()
+
+    got = (grouped_apply(ray.data.from_pandas(df).repartition(16), ["k"], _agg,
+                         num_partitions=8, map_side=_distinct)
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    exp = (df.drop_duplicates().sort_values(["k", "v"])
+           .groupby("k")["v"].agg(lambda s: "|".join(map(str, s)))
+           .rename("vs").reset_index())
+    pd.testing.assert_frame_equal(got, exp.reset_index(drop=True))
