@@ -45,3 +45,27 @@ def tar_output(output_dir: str, archive_path: str) -> str:
     with tarfile.open(archive_path, "w:gz") as tf:
         tf.add(output_dir, arcname=os.path.basename(output_dir.rstrip("/")))
     return archive_path
+
+
+def compact_parquet(in_dir: str, out_dir: str, target_bytes: int = 128 << 20) -> int:
+    """Small-file compaction: rewrite a fragmented parquet directory
+    (the natural residue of many-task writes and per-shard resume) into
+    ~``target_bytes`` files. Returns the output file count.
+
+    The file-count choice is the on-disk analog of auto_partitions:
+    total on-disk bytes / target, floored at 1. The rewrite streams —
+    ``repartition`` + ``write_parquet``, no driver materialization.
+    """
+    import os
+
+    import ray.data
+
+    total = 0
+    for root, _, files in os.walk(in_dir):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, f))
+    n_files = max(1, -(-total // target_bytes))
+    ds = ray.data.read_parquet(in_dir)
+    ds.repartition(n_files).write_parquet(out_dir)
+    return n_files

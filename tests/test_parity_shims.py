@@ -155,3 +155,22 @@ def test_load_config_reference_schema_yaml(data_dir):
     assert cfg.sources[0].nodes == "data/transformed/ontologies/ncbitaxon_nodes.tsv"
     assert cfg.destinations == ["tsv"]
     assert cfg.operations == ["kgx.graph_operations.summarize_graph.generate_graph_stats"]
+
+
+def test_compact_parquet_roundtrip(ray_session, tmp_path):
+    import os
+
+    import pandas as pd
+    import ray.data
+
+    from kgray.state.packaging import compact_parquet
+
+    src = str(tmp_path / "frag")
+    ray.data.from_pandas(
+        pd.DataFrame({"x": range(5000)})).repartition(40).write_parquet(src)
+    n_in = len([f for f in os.listdir(src) if f.endswith(".parquet")])
+    out = str(tmp_path / "compact")
+    compact_parquet(src, out, target_bytes=1 << 20)
+    n_out = len([f for f in os.listdir(out) if f.endswith(".parquet")])
+    assert n_out < n_in
+    assert ray.data.read_parquet(out).count() == 5000
