@@ -949,9 +949,12 @@ def first_last_by(
 
     def _reduce(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) == 0:
+            # Empty block keeps the value column's NATIVE dtype — a
+            # hardcoded float64 would conflict with non-empty blocks
+            # for int/string value columns (the _BandEmitter lesson).
             return pd.DataFrame({key: df[key],
-                                 "first_value": pd.Series([], dtype="float64"),
-                                 "last_value": pd.Series([], dtype="float64")})
+                                 "first_value": df[value_col],
+                                 "last_value": df[value_col]})
         df = df.sort_values([key] + order_cols, kind="mergesort")
         g = df.groupby(key, sort=False)[value_col]
         return pd.DataFrame({
