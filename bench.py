@@ -175,6 +175,7 @@ BENCH_QUERIES = [
     "journey_prefixes",
     "lexical_diversity",
     "attribution",
+    "shipping_delay",
 ]
 
 

@@ -4736,6 +4736,53 @@ def q_multimodal_dedup(sf_dir: str):
         preserve_index=False)
 
 
+def q_shipping_delay(sf_dir: str):
+    """Composed operations report: order→ship delay percentiles (p50 /
+    p95 in days) per order priority — one orderkey hash-join exchange
+    feeding the grouped percentile_cont kernel. Integer day deltas keep
+    the quantile interpolation exact across engines."""
+    from kgray.stages.relational import hash_join
+    from kgray.stages.sketch import grouped_quantiles_cont
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"])
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"]
+    ).map_batches(lambda t: t.rename_columns(
+        ["l_orderkey", "o_orderdate", "o_orderpriority"]), batch_format="pyarrow")
+    j = hash_join(li, orders, on="l_orderkey", how="inner")
+
+    def _delay(t: pa.Table) -> pa.Table:
+        d = pc.subtract(
+            pc.cast(pc.cast(t.column("l_shipdate"), pa.timestamp("us")), pa.int64()),
+            pc.cast(pc.cast(t.column("o_orderdate"), pa.timestamp("us")), pa.int64()))
+        days = pc.cast(pc.divide(d, pa.scalar(86_400_000_000)), pa.int64())
+        return pa.table({"o_orderpriority": t.column("o_orderpriority"),
+                         "delay_days": days})
+
+    delays = j.map_batches(_delay, batch_format="pyarrow")
+    return grouped_quantiles_cont(delays, key="o_orderpriority",
+                                  value_col="delay_days", qs=(0.5, 0.95))
+
+
+SQL_SHIPPING_DELAY = """
+WITH d AS (
+  SELECT o_orderpriority,
+         CAST(date_diff('microsecond', o_orderdate, l_shipdate) // 86400000000
+              AS BIGINT) AS delay_days
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+)
+SELECT o_orderpriority, CAST(0.5 AS DOUBLE) AS q,
+       ROUND(quantile_cont(delay_days, 0.5), 6) AS value
+FROM d GROUP BY o_orderpriority
+UNION ALL
+SELECT o_orderpriority, CAST(0.95 AS DOUBLE),
+       ROUND(quantile_cont(delay_days, 0.95), 6)
+FROM d GROUP BY o_orderpriority
+"""
+
+
 QUERIES = {
     "kgx_node_merge": q_kgx_node_merge,
     "kgx_edge_dedup": q_kgx_edge_dedup,
@@ -4882,6 +4929,7 @@ QUERIES = {
     "lexical_diversity": q_lexical_diversity,
     "attribution": q_attribution,
     "multimodal_dedup": q_multimodal_dedup,
+    "shipping_delay": q_shipping_delay,
 }
 
 ORACLES = {
@@ -5013,6 +5061,7 @@ ORACLES = {
     "journey_prefixes": SQL_JOURNEY_PREFIXES,
     "lexical_diversity": SQL_LEXICAL_DIVERSITY,
     "attribution": SQL_ATTRIBUTION,
+    "shipping_delay": SQL_SHIPPING_DELAY,
     # rows-only (non-SQL-expressible): ann_lsh (LSH recall is
     # probabilistic), construct_kg / extract_text (self-checking
     # against generator goldens), multimodal_features (decode stub)
