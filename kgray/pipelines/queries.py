@@ -4719,6 +4719,9 @@ def q_multimodal_dedup(sf_dir: str):
         }),
         batch_format="pyarrow",
     )
+    # Two consumers (pair generation + planted-id enumeration): pin the
+    # feature table once so the actor-pool model stage runs once.
+    feats = feats.materialize()
     pairs = lsh_bucketed_near_dup(feats, threshold=0.99, n_tables=12).to_pandas()
     found = {(str(a), str(b)) for a, b in zip(pairs["id_a"], pairs["id_b"])}
     # Zero false negatives on the planted exact duplicates: EVERY
