@@ -94,3 +94,23 @@ def test_cli_convert_roundtrip(ray_session, data_dir, tmp_path):
         parse_options=__import__("pyarrow.csv", fromlist=["ParseOptions"]).ParseOptions(delimiter="\t"),
     ).count()
     assert ray.data.read_parquet(pq_dir).count() == n_tsv
+
+
+def test_cli_convert_to_jsonl(ray_session, data_dir, tmp_path):
+    from kgray.cli import main
+
+    out = str(tmp_path / "jl")
+    rc = main(["convert", "--input", f"{data_dir}/test_nodes_1.tsv",
+               "--output", out, "--to", "jsonl"])
+    assert rc == 0
+    from kgray.sources.jsonl import load_jsonl_files
+
+    back = load_jsonl_files([out])
+    import ray.data
+    import pyarrow.csv as pacsv
+
+    n = ray.data.read_csv(
+        f"{data_dir}/test_nodes_1.tsv",
+        parse_options=pacsv.ParseOptions(delimiter="\t")).count()
+    assert back.count() == n
+    assert "id" in back.schema().names
