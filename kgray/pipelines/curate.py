@@ -14,10 +14,13 @@ Scale shape: stages 1-2 and 6 are map-only (actor pool for the
 stateful language tables); stage 3 is two chunk/doc-keyed exchanges;
 stage 4 one digest-keyed exchange; stage 5 moves only band signatures
 and verified candidate pairs. The document text crosses the wire only
-where an exchange is semantically required, and the whole chain is one
-lazy Dataset — the streaming executor pipelines stages and spills
-between them, nothing materializes except the documented small sides
-(near-dup pair list, counters).
+where an exchange is semantically required. Two stage boundaries
+checkpoint by default (``checkpoint=True`` — see
+:func:`curate_corpus`): the near-dup stage consumes its input three
+times, so pinning its input is strictly cheaper than re-executing the
+upstream prefix per consumer, and splitting the actor-pool front from
+the sort-based exchanges avoids a small-cluster scheduling deadlock.
+Everything between checkpoints streams with backpressure.
 """
 
 from __future__ import annotations
@@ -45,11 +48,27 @@ def curate_corpus(
     num_partitions: Optional[int] = None,
     count_stages: bool = False,
     stream_counters=None,
+    checkpoint: bool = True,
 ) -> Tuple[Dataset, Dict[str, int]]:
     """Run the full curation chain over ``(id_col, text_col)`` rows.
 
     Returns ``(curated, counters)`` where ``curated`` has columns
     ``(id_col, text_col, n_tokens)``.
+
+    ``checkpoint=True`` (default) materializes two stage boundaries —
+    after the map-only langid+quality front and after exact dedup.
+    Both are load-bearing, not a convenience: ``minhash_lsh_dedup``
+    consumes its input three times (band pass, verify semi-filter,
+    survivor filter), so a fully lazy chain re-executes the whole
+    upstream prefix per consumer (measured 60.5 s vs 13.1 s at
+    sf0.1/32 CPUs); and separating the LangId actor pool from the
+    downstream sort-based exchanges into distinct executions removes a
+    real small-cluster deadlock (Ray's sort-boundary sampling blocks
+    the scheduling loop while still-reserved upstream actors hold every
+    CPU slot — reproduced at num_cpus=4). The pinned blocks live in the
+    object store and spill to disk; at 100-TB scale prefer writing the
+    boundary to partitioned parquet (a resumable checkpoint) — set
+    ``checkpoint=False`` and persist externally when composing that.
 
     Two counting modes:
     - ``count_stages=True`` — exact survivor counts: each stage
@@ -68,10 +87,14 @@ def curate_corpus(
     """
     counters: Dict[str, int] = {}
 
+    _CHECKPOINTS = ("after_quality", "after_exact_dedup")
+
     def _mark(stage: str, d: Dataset) -> Dataset:
         if count_stages:
             d = d.materialize()
             counters[stage] = d.count()
+        elif checkpoint and stage in _CHECKPOINTS:
+            d = d.materialize()
         if stream_counters is not None:
             from kgray.state.metrics import counted
 

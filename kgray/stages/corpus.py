@@ -176,19 +176,24 @@ def chunk_dedup(
     (1) partition by chunk text, per-partition vectorized first-wins;
     (2) partition survivors + per-doc chunk counts by doc id,
     per-partition ordered reassembly via one ``binary_join``. The doc
-    text never travels whole; empty docs ride a tiny side table.
+    text never travels whole; chunk-less (empty/whitespace) docs ride
+    sentinel rows through the same two exchanges, so the input is
+    consumed exactly ONCE — no DAG fork (a fork re-runs the whole lazy
+    upstream prefix a second time and can deadlock Ray's sort-boundary
+    sampling on small CPU budgets).
     """
     if num_partitions is None:
         num_partitions = auto_partitions()
 
     def _explode(t: pa.Table) -> pa.Table:
-        chunks, doc_idx, pos = chunk_strings(t.column(text_col), chunk_words)
-        ids = t.column(id_col).combine_chunks().take(pa.array(doc_idx))
-        return pa.table({id_col: ids, "pos": pa.array(pos), "chunk": chunks})
+        return _explode_chunks(t, id_col, text_col, chunk_words)
 
     def _first_wins(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values([ "chunk", id_col, "pos"], kind="mergesort")
         keep = ~df["chunk"].duplicated()
+        # Sentinel rows (pos=-1, chunk-less docs) are never "kept" as
+        # text; _reassemble_kept turns them into empty-output rows.
+        keep &= df["pos"].to_numpy() >= 0
         df = df.assign(__keep=keep)
         return df
 
@@ -197,18 +202,57 @@ def chunk_dedup(
     )
     flagged = grouped_apply(exploded, ["chunk"], _first_wins,
                             num_partitions=num_partitions)
-    deduped = grouped_apply(
+    return grouped_apply(
         flagged, [id_col],
         lambda df: _reassemble_kept(df, id_col, text_col),
         num_partitions=num_partitions,
     )
-    return deduped.union(_empty_doc_rows(ds, id_col, text_col))
+
+
+def _explode_chunks(t: pa.Table, id_col: str, text_col: str, chunk_words: int) -> pa.Table:
+    """Explode docs into ``(id, pos, chunk)`` rows (shared map side of
+    :func:`chunk_dedup` and :func:`boilerplate_filter`).
+
+    Docs that produce ZERO chunks (empty/whitespace text) emit one
+    sentinel row ``(pos=-1, chunk='')`` so they ride the same exchanges
+    as real chunks and come back as empty-output rows from
+    ``_reassemble_kept``. This keeps the operator single-consumption:
+    no second corpus scan for the empty-doc side table, no DAG fork —
+    a fork re-executes the whole lazy upstream prefix and can deadlock
+    Ray's sort-boundary sampling when idle upstream actors hold every
+    CPU slot (observed at num_cpus=4)."""
+    chunks, doc_idx, pos = chunk_strings(t.column(text_col), chunk_words)
+    ids_all = t.column(id_col).combine_chunks()
+    tbl = pa.table({
+        id_col: ids_all.take(pa.array(doc_idx)),
+        "pos": pa.array(pos),
+        "chunk": chunks,
+    })
+    has_chunks = np.zeros(len(t), dtype=bool)
+    if len(doc_idx):
+        has_chunks[doc_idx] = True
+    empty_rows = np.flatnonzero(~has_chunks)
+    if len(empty_rows):
+        sent = pa.table({
+            id_col: ids_all.take(pa.array(empty_rows)),
+            "pos": pa.array(np.full(len(empty_rows), -1, dtype=np.int64)),
+            "chunk": pa.array([""] * len(empty_rows), type=tbl.schema.field("chunk").type),
+        })
+        tbl = pa.concat_tables([tbl, sent.cast(tbl.schema)]).combine_chunks()
+    return tbl
 
 
 def _reassemble_kept(df: pd.DataFrame, id_col: str, text_col: str) -> pd.DataFrame:
     """Rebuild each document from its ``__keep``-flagged chunks in
     ``pos`` order (shared reduce side of :func:`chunk_dedup` and
-    :func:`boilerplate_filter`). Vectorized join via ``binary_join``."""
+    :func:`boilerplate_filter`). Vectorized join via ``binary_join``.
+
+    Sentinel rows (``pos=-1`` — chunk-less docs, see
+    :func:`_explode_chunks`) come back as ``('', 0, 0)`` output rows."""
+    pos_np = df["pos"].to_numpy()
+    sentinel_ids = df.loc[pos_np < 0, id_col].to_numpy()
+    if len(sentinel_ids):
+        df = df[pos_np >= 0]
     df = df.sort_values([id_col, "pos"], kind="mergesort")
     kept = df[df["__keep"]]
     gk = kept.groupby(id_col, sort=False)
@@ -230,25 +274,12 @@ def _reassemble_kept(df: pd.DataFrame, id_col: str, text_col: str) -> pd.DataFra
             ignore_index=True)
     out = out.merge(n_tot.rename("n_total").reset_index(), on=id_col)
     out["n_dropped"] = (out.pop("n_total") - out["n_kept"]).astype(np.int64)
+    if len(sentinel_ids):
+        out = pd.concat([out, pd.DataFrame({
+            id_col: sentinel_ids, text_col: "",
+            "n_kept": np.int64(0), "n_dropped": np.int64(0)})],
+            ignore_index=True)
     return out
-
-
-def _empty_doc_rows(ds: Dataset, id_col: str, text_col: str) -> Dataset:
-    """Documents with zero chunks (empty/whitespace text) never explode;
-    re-attach them with empty output. At scale this side table is the
-    (rare) empty docs only — filtered at the read, unioned at the end."""
-
-    def _empties(t: pa.Table) -> pa.Table:
-        n = pc.count_substring_regex(pc.coalesce(t.column(text_col), pa.scalar("")), r"\S+")
-        mask = pc.equal(n, 0)
-        sub = t.filter(mask)
-        z = pa.array(np.zeros(len(sub), np.int64))
-        return pa.table({id_col: sub.column(id_col),
-                         text_col: pa.array([""] * len(sub), pa.string()),
-                         "n_kept": z, "n_dropped": z})
-
-    return ds.select_columns([id_col, text_col]).map_batches(
-        _empties, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -687,15 +718,15 @@ def boilerplate_filter(
     (by chunk text, then by doc id); the chunk-keyed reduce computes a
     per-chunk distinct-doc count with one sort + one ``duplicated``
     scan, so the exchange carries each chunk occurrence exactly once
-    and nothing is re-shipped for the frequency pass.
+    and nothing is re-shipped for the frequency pass. Chunk-less docs
+    ride sentinel rows (see :func:`_explode_chunks`) — the input is
+    consumed exactly once, no DAG fork.
     """
     if num_partitions is None:
         num_partitions = auto_partitions()
 
     def _explode(t: pa.Table) -> pa.Table:
-        chunks, doc_idx, pos = chunk_strings(t.column(text_col), chunk_words)
-        ids = t.column(id_col).combine_chunks().take(pa.array(doc_idx))
-        return pa.table({id_col: ids, "pos": pa.array(pos), "chunk": chunks})
+        return _explode_chunks(t, id_col, text_col, chunk_words)
 
     def _flag_frequent(df: pd.DataFrame) -> pd.DataFrame:
         # Distinct-doc count per chunk without a nunique() hash pass:
@@ -705,7 +736,9 @@ def boilerplate_filter(
         first_pair = ~df[["chunk", id_col]].duplicated().to_numpy()
         grp = (~df["chunk"].duplicated()).to_numpy().cumsum() - 1
         doc_freq = np.bincount(grp[first_pair], minlength=grp[-1] + 1 if len(grp) else 0)
-        df["__keep"] = doc_freq[grp] < min_docs
+        # Sentinels (pos=-1) are never kept as text; the reassembly
+        # reduce turns them into empty-output rows.
+        df["__keep"] = (doc_freq[grp] < min_docs) & (df["pos"].to_numpy() >= 0)
         return df
 
     exploded = ds.select_columns([id_col, text_col]).map_batches(
@@ -713,12 +746,11 @@ def boilerplate_filter(
     )
     flagged = grouped_apply(exploded, ["chunk"], _flag_frequent,
                             num_partitions=num_partitions)
-    rebuilt = grouped_apply(
+    return grouped_apply(
         flagged, [id_col],
         lambda df: _reassemble_kept(df, id_col, text_col),
         num_partitions=num_partitions,
     )
-    return rebuilt.union(_empty_doc_rows(ds, id_col, text_col))
 
 
 def dsir_score(

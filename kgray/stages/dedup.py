@@ -396,6 +396,14 @@ def minhash_lsh_dedup(
     point of LSH); components are closed on the driver with union-find
     — documented small-side assumption, same as the reference's
     priority-list planning being driver-side.
+
+    CONSUMPTION CONTRACT: ``ds`` is consumed three times (band pass,
+    verify semi-filter, survivor filter). Pass a materialized /
+    checkpointed dataset when the upstream is an expensive lazy chain —
+    otherwise the whole prefix re-executes per consumer
+    (``curate_corpus(checkpoint=True)`` does this for you; a bare
+    ``read_parquet`` input is fine as-is, re-reading is streaming and
+    cheap).
     """
     pairs = minhash_lsh_pairs(ds, text_col, id_col, threshold, **kw)
     plist = [(r["id_a"], r["id_b"]) for r in pairs.take_all()]

@@ -19,4 +19,4 @@ def test_readme_pretraining_example(ray_session, tmp_path):
     packed.write_parquet(out)
     back = ray.data.read_parquet(out)
     assert back.count() > 0
-    assert {"seq_id", "offset"} <= set(back.schema().names)
+    assert {"seq_id", "seq_offset"} <= set(back.schema().names)
