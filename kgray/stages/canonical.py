@@ -102,18 +102,23 @@ def connected_components_distributed(
 
         num_partitions = auto_partitions()
 
-    def _swap(t: pa.Table) -> pa.Table:
-        return pa.table({src: t.column(dst).cast(pa.string()), dst: t.column(src).cast(pa.string())})
+    # Emit both directions inside ONE map pass (no union of two
+    # selections from the same dataset — a fork would execute the edge
+    # list's lazy lineage twice, e.g. a verified-near-dup-pairs join
+    # pipeline, and doubles its shuffle-aggregator actors — enough to
+    # starve a small cluster into deadlock). Materialized because the
+    # symmetrized list is re-read every propagation round.
+    def _both_dirs(t: pa.Table) -> pa.Table:
+        s = t.column(src).cast(pa.string())
+        d = t.column(dst).cast(pa.string())
+        return pa.table({
+            src: pa.chunked_array(s.chunks + d.chunks),
+            dst: pa.chunked_array(d.chunks + s.chunks),
+        })
 
-    # Materialize the input ONCE before the union duplicates its
-    # lineage: the edge list may itself be the output of a join-heavy
-    # pipeline (e.g. verified near-dup pairs), and executing that
-    # lineage twice in one DAG doubles its shuffle-aggregator actors —
-    # enough to starve a small cluster into deadlock. The edge list is
-    # re-read every propagation round anyway, so pinning it is free.
-    fwd = edges.select_columns([src, dst]).materialize()
-    both = fwd.union(fwd.map_batches(_swap, batch_format="pyarrow"))
-    both = both.materialize()
+    both = edges.select_columns([src, dst]).map_batches(
+        _both_dirs, batch_format="pyarrow"
+    ).materialize()
 
     labels = (
         both.groupby(src)

@@ -324,12 +324,19 @@ def bfs_distances(
 
     # Symmetrize once and MATERIALIZE: the edge list is probed by every
     # BFS round — without pinning it in the object store the upstream
-    # (read + symmetrize) would re-execute per round.
-    fwd = edges.select_columns([src_col, dst_col])
-    rev = edges.select_columns([dst_col, src_col]).map_batches(
-        lambda t: t.rename_columns([src_col, dst_col]), batch_format="pyarrow"
-    )
-    und = fwd.union(rev).materialize()
+    # (read + symmetrize) would re-execute per round. Both directions
+    # are emitted inside ONE map pass (not a union of two selections
+    # from the same dataset), so the input is consumed exactly once.
+    def _both_dirs(t: pa.Table) -> pa.Table:
+        s, d = t.column(src_col), t.column(dst_col)
+        return pa.table({
+            src_col: pa.chunked_array(s.chunks + d.chunks),
+            dst_col: pa.chunked_array(d.chunks + s.chunks),
+        })
+
+    und = edges.select_columns([src_col, dst_col]).map_batches(
+        _both_dirs, batch_format="pyarrow"
+    ).materialize()
 
     def _dist_tag(d: int):
         def fn(t: pa.Table) -> pa.Table:

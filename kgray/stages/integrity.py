@@ -50,12 +50,22 @@ def infer_category_batch(t: pa.Table, col: str = "id", prefix_map=None) -> pa.Ta
 
 def edge_endpoints(edges: Dataset, num_partitions: int = 32) -> Dataset:
     """Distinct(subject ∪ object) (reference :46-50) as one column 'id' —
-    hash-partitioned vectorized distinct."""
+    hash-partitioned vectorized distinct.
+
+    Both endpoint columns are stacked inside ONE ``map_batches`` pass
+    (with a batch-local dedup as the combiner), not a union of two
+    selections from the same dataset — the edge list is consumed
+    exactly once and its lazy upstream never forks."""
     from kgray.kernels.hashagg import distinct
 
-    subs = edges.select_columns(["subject"]).rename_columns({"subject": "id"})
-    objs = edges.select_columns(["object"]).rename_columns({"object": "id"})
-    return distinct(subs.union(objs), ["id"], num_partitions=num_partitions)
+    def _stack(t: pa.Table) -> pa.Table:
+        ids = pa.chunked_array(t.column("subject").chunks + t.column("object").chunks)
+        return pa.table({"id": pc.unique(ids)})
+
+    stacked = edges.select_columns(["subject", "object"]).map_batches(
+        _stack, batch_format="pyarrow"
+    )
+    return distinct(stacked, ["id"], num_partitions=num_partitions)
 
 
 def missing_endpoints(
