@@ -200,8 +200,16 @@ def run_bench() -> dict:
         include_dashboard=False,
         ignore_reinit_error=True,
         logging_level="ERROR",
+        # Worker prints (e.g. Ray's per-ReadParquet-task schema-hash
+        # notice) otherwise interleave with the one-line JSON contract;
+        # task/actor EXCEPTIONS still propagate to the driver.
+        log_to_driver=False,
     )
     import ray.data
+
+    from kgray.kernels.hashagg import quiet_empty_block_warnings
+
+    quiet_empty_block_warnings()
 
     ctx = ray.data.DataContext.get_current()
     ctx.enable_progress_bars = False

@@ -124,6 +124,48 @@ def arrow_types(schema) -> dict:
     return {n: arrow_type(t) for n, t in zip(schema.names, types)}
 
 
+class _EmptyBlockSchemaFilter:
+    """Logging filter dropping ONLY the known-harmless empty-block
+    schema notices a fixed-width hash exchange produces: a ``__part``
+    partition that received zero rows makes Ray emit an empty block
+    with an EMPTY schema (``names=[]`` / a blank Arrow schema), and the
+    streaming executor warns about the mismatch on every such block.
+    The blocks are empty, so nothing downstream can misinterpret them —
+    but the warning floods benchmark/driver tails. Genuine mismatches
+    (a non-empty conflicting schema) are left untouched. Ray's
+    schema-hash-for-dedup failure notice ("unhashable type") is dropped
+    for the same reason: metadata-only, fires per empty block."""
+
+    def filter(self, record) -> bool:  # logging.Filter protocol
+        m = record.getMessage()
+        if "produced a RefBundle with a different schema" in m:
+            if "new schema: PandasBlockSchema(names=[]" in m:
+                return False
+            if "new schema: ." in m:  # blank Arrow schema renders as ''
+                return False
+        if "Failed to hash the schemas (for deduplication)" in m:
+            return False
+        return True
+
+
+def quiet_empty_block_warnings() -> None:
+    """Install :class:`_EmptyBlockSchemaFilter` on the two Ray Data
+    loggers that emit per-empty-block noise. Idempotent; call from
+    benchmark / pipeline entry points that tolerate empty exchange
+    partitions by design (``grouped_apply`` with num_partitions >
+    distinct keys)."""
+    import logging
+
+    for name in (
+        "ray.data._internal.execution.streaming_executor_state",
+        "ray.data._internal.planner.plan_udf_map_op",
+        "ray.data._internal.arrow_ops.transform_pyarrow",
+    ):
+        lg = logging.getLogger(name)
+        if not any(isinstance(f, _EmptyBlockSchemaFilter) for f in lg.filters):
+            lg.addFilter(_EmptyBlockSchemaFilter())
+
+
 def auto_partitions(
     input_bytes: Optional[int] = None,
     target_bytes: int = 256 << 20,

@@ -203,3 +203,33 @@ def test_value_rank_matches_row_number(ray_session):
     ).df().sort_values("id").reset_index(drop=True)
     assert got["rnk"].tolist() == want["rnk"].tolist()
     assert got["tile"].tolist() == want["tile"].tolist()
+
+
+def test_empty_block_schema_filter_targets_only_empty_schemas():
+    import logging
+
+    from kgray.kernels.hashagg import _EmptyBlockSchemaFilter
+
+    f = _EmptyBlockSchemaFilter()
+
+    def rec(msg):
+        return logging.LogRecord("x", logging.WARNING, "f.py", 1, msg, (), None)
+
+    # Dropped: the empty-schema variants + the schema-hash notice.
+    assert not f.filter(rec(
+        "Operator produced a RefBundle with a different schema than the "
+        "previous one. Previous schema: PandasBlockSchema(names=['a'], "
+        "types=[dtype('int64')]), new schema: PandasBlockSchema(names=[], "
+        "types=[]). This may lead to unexpected behavior."))
+    assert not f.filter(rec(
+        "Operator produced a RefBundle with a different schema than the "
+        "previous one. Previous schema: a: int64, new schema: . This may "
+        "lead to unexpected behavior."))
+    assert not f.filter(rec(
+        "Failed to hash the schemas (for deduplication): unhashable type: 'dict'"))
+    # Kept: a GENUINE non-empty schema conflict and unrelated warnings.
+    assert f.filter(rec(
+        "Operator produced a RefBundle with a different schema than the "
+        "previous one. Previous schema: a: int64, new schema: a: string. "
+        "This may lead to unexpected behavior."))
+    assert f.filter(rec("some other warning"))
