@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "chunk_dedup",
     "decontaminate",
     "pack_sequences",
+    "bestfit_pack",
     "kmeans",
     "semantic_dedup",
     "shuffle_rank",

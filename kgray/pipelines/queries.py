@@ -1497,6 +1497,38 @@ def q_pack_sequences(sf_dir: str):
     return pack_sequences(_docs(sf_dir, ["doc_id", "text"]), window=2048)
 
 
+def q_bestfit_pack(sf_dir: str):
+    """Whole-doc best-fit-decreasing bin packing (histogram-packing
+    formulation, Krell et al. 2021) into 256-token bins — no document
+    ever splits across sequences. SELF-ASSERTS (rows-only; the packer
+    is sequential-stateful, not SQL-expressible): every doc packed
+    exactly once, no bin overflows, and every partition stripe meets
+    the BFD ``11/9·OPT + 6/9`` bin-count bound against the token-sum
+    lower bound."""
+    import pandas as pd
+
+    from kgray.stages.pack import bestfit_pack
+
+    window, stripe = 256, 1 << 33
+    out = bestfit_pack(_docs(sf_dir, ["doc_id", "text"]), window=window,
+                       stripe=stripe).to_pandas()
+    clipped = np.minimum(out["n_tokens"].to_numpy(), window)
+    fills = pd.Series(clipped).groupby(out["seq_id"].to_numpy()).sum()
+    assert out["doc_id"].is_unique, "bestfit_pack: doc packed twice"
+    assert int(fills.max()) <= window, "bestfit_pack: bin overflow"
+    assert (out["seq_offset"].to_numpy() + clipped <= window).all(), (
+        "bestfit_pack: doc overruns its bin")
+    pk = out["seq_id"].to_numpy() // stripe
+    for p in np.unique(pk):
+        sel = pk == p
+        n_bins = len(np.unique(out["seq_id"].to_numpy()[sel]))
+        lb = -(-int(clipped[sel].sum()) // window)  # ceil
+        assert n_bins <= (11 * lb) // 9 + 1, (
+            f"bestfit_pack: stripe {p} used {n_bins} bins vs BFD bound "
+            f"{(11 * lb) // 9 + 1} (LB {lb})")
+    return out
+
+
 SQL_PACK_SEQUENCES = """
 WITH t AS (
   SELECT doc_id, CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens
@@ -4834,6 +4866,7 @@ QUERIES = {
     "group_quantiles": q_group_quantiles,
     "stratified_sample": q_stratified_sample,
     "pack_sequences": q_pack_sequences,
+    "bestfit_pack": q_bestfit_pack,
     "hash_join": q_hash_join,
     "top_n_per_group": q_top_n_per_group,
     "grouped_distinct_count": q_grouped_distinct_count,

@@ -113,3 +113,158 @@ def pack_sequences(
         })
 
     return grouped_apply(bucketed, ["__bucket"], _scan, num_partitions=P)
+
+
+def _bfd_histogram_pack(lengths: np.ndarray, window: int):
+    """Best-fit-decreasing bin packing on the LENGTH HISTOGRAM — the
+    scalable formulation of Krell et al. 2021's histogram packing
+    ("Efficient Sequence Packing without Cross-contamination",
+    arXiv:2107.02027): all packing decisions operate on counts per
+    length, so the decision loop is O(window·distinct_lengths) —
+    independent of document count — and the doc→bin assignment is
+    replayed afterwards with one vectorized slice per decision event.
+
+    Input: ``lengths`` (int64, each in [1, window]) in the DOC ORDER
+    that assignment should consume (caller sorts by id for
+    determinism). Returns ``(bin_id, offset, n_bins)`` aligned with
+    ``lengths``: ``bin_id`` in [0, n_bins), ``offset`` = bin fill
+    before the doc. Longest lengths pack first; each batch takes the
+    TIGHTEST remaining capacity (best fit); capacity queues are FIFO.
+    """
+    cnt = np.bincount(lengths, minlength=window + 1).astype(np.int64)
+    # remaining-capacity histogram: rem_cnt[r] = open bins with r left.
+    # FIFO bin-id queue per capacity (replay state lives alongside the
+    # decision state so batching and assignment can't diverge).
+    rem_cnt = np.zeros(window + 1, dtype=np.int64)
+    queues: dict = {}  # remaining capacity -> FIFO list of bin ids
+
+    order = np.argsort(-lengths, kind="stable")  # longest first, stable
+    cursor = 0  # docs of each length consumed in `order` sequence
+    bin_of = np.empty(len(lengths), dtype=np.int64)
+    off_of = np.empty(len(lengths), dtype=np.int64)
+    n_bins = 0
+
+    def _fill(bin_ids: np.ndarray, r: int, j: int, t: int, length: int):
+        """Assign the next ``len(bin_ids)`` bins (all at remaining
+        ``r``): ``j`` docs each, last bin ``t`` (0 < t <= j). Bins with
+        remaining >= length after the fill keep absorbing same-length
+        docs ONLY while docs remain — equal to per-doc tightest-fit
+        because a partially filled bin is strictly tighter than its
+        peers at ``r``."""
+        nonlocal cursor
+        b = len(bin_ids)
+        counts = np.full(b, j, dtype=np.int64)
+        counts[-1] = t
+        total = int(counts.sum())
+        docs = order[cursor:cursor + total]
+        cursor += total
+        per_doc_bin = np.repeat(bin_ids, counts)
+        first = np.repeat(np.cumsum(counts) - counts, counts)
+        within = np.arange(total, dtype=np.int64) - first
+        bin_of[docs] = per_doc_bin
+        off_of[docs] = (window - r) + within * length
+        for bid, c_i in zip(bin_ids.tolist(), counts.tolist()):
+            nr = r - int(c_i) * length
+            rem_cnt[nr] += 1
+            queues.setdefault(nr, []).append(bid)
+
+    for length in range(window, 0, -1):
+        c = int(cnt[length])
+        while c > 0:
+            fits = np.flatnonzero(rem_cnt[length:]) + length
+            if len(fits):
+                r = int(fits[0])
+                j = r // length  # docs this bin absorbs before r < length
+                use = min(int(rem_cnt[r]), -(-c // j))  # bins needed at r
+                rem_cnt[r] -= use
+                q = queues[r]
+                ids, queues[r] = np.asarray(q[:use], dtype=np.int64), q[use:]
+                took = min(c, use * j)
+                t = took - (use - 1) * j  # docs in the LAST used bin
+            else:
+                r = window
+                j = r // length
+                use = -(-c // j)
+                ids = np.arange(n_bins, n_bins + use, dtype=np.int64)
+                n_bins += use
+                took = c
+                t = took - (use - 1) * j
+            _fill(ids, r, j, t, length)
+            c -= took
+    return bin_of, off_of, n_bins
+
+
+def bestfit_pack(
+    ds: Dataset,
+    window: int = 2048,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: Optional[int] = None,
+    stripe: int = 1 << 33,
+) -> Dataset:
+    """Whole-document bin packing into ``window``-token bins — the
+    padding-minimizing alternative to :func:`pack_sequences`' GPT-style
+    contiguous split: a document is NEVER split across sequences
+    (no cross-document attention contamination), and best-fit-decreasing
+    keeps padding waste within the classic ``11/9·OPT + 6/9`` bound.
+
+    Output: ``(id_col, n_tokens, seq_id, seq_offset)`` — same schema as
+    :func:`pack_sequences`; ``seq_offset`` is the bin fill before the
+    doc, so pad = window − bin total. Token-less docs drop; docs with
+    ``n_tokens ≥ window`` get a bin of their own (offset 0; the shard
+    writer truncates).
+
+    Scale shape: one text pass compacts to the tiny ``(id, n_tokens)``
+    projection; docs hash-partition by id and each partition packs
+    INDEPENDENTLY with :func:`_bfd_histogram_pack` — the decision loop
+    is on the length histogram (O(window·distinct) regardless of doc
+    count) and assignment replays with one vectorized slice per
+    decision. ``seq_id = partition·stripe + local_bin`` keeps ids
+    globally unique without coordination. Partition-local packing is
+    the documented approximation: each partition independently meets
+    the BFD bound and hash partitions are statistically identical, so
+    the global utilization matches single-node BFD to O(P·window)
+    wasted tokens — while a global packer would serialize the corpus
+    through one node.
+    """
+    if num_partitions is None:
+        num_partitions = auto_partitions()
+    P = num_partitions
+
+    def _count(t: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(
+            pc.coalesce(t.column(text_col), pa.scalar("")), _TOKEN_RE
+        ).cast(pa.int64())
+        out = pa.table({id_col: t.column(id_col), "n_tokens": n})
+        return out.filter(pc.greater(n, 0))
+
+    counts = ds.select_columns([id_col, text_col]).map_batches(
+        _count, batch_format="pyarrow"
+    )
+
+    def _pack(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for pk, g in df.groupby("__pk", sort=True):
+            g = g.sort_values(id_col, kind="mergesort")
+            n = g["n_tokens"].to_numpy()
+            clipped = np.minimum(n, window)
+            bin_of, off_of, _ = _bfd_histogram_pack(clipped, window)
+            out.append(pd.DataFrame({
+                id_col: g[id_col].to_numpy(),
+                "n_tokens": n,
+                "seq_id": int(pk) * stripe + bin_of,
+                "seq_offset": off_of,
+            }))
+        return (pd.concat(out, ignore_index=True) if out else
+                pd.DataFrame({id_col: [], "n_tokens": [], "seq_id": [],
+                              "seq_offset": []}).astype(np.int64, errors="ignore"))
+
+    def _pk(t: pa.Table) -> pa.Table:
+        import pandas as _pd
+
+        h = _pd.util.hash_array(
+            t.column(id_col).to_numpy(zero_copy_only=False)).astype(np.uint64)
+        return t.append_column("__pk", pa.array((h % np.uint64(P)).astype(np.int64)))
+
+    keyed = counts.map_batches(_pk, batch_format="pyarrow")
+    return grouped_apply(keyed, ["__pk"], _pack, num_partitions=P)

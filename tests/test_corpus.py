@@ -361,3 +361,67 @@ def test_chunk_text_windows_and_tails(ray_session):
     assert d1["n_words"].tolist() == [4, 4, 3, 1]
     assert got[got["doc_id"] == 2]["chunk_text"].tolist() == ["x y"]
     assert (got["doc_id"] != 3).all()  # empty doc emits nothing
+
+
+def _bfd_reference(lengths, window):
+    """Naive PER-DOC best-fit-decreasing (longest first, tightest bin,
+    FIFO within each equal-remaining-capacity class) — the O(n·window)
+    ground truth the histogram formulation must reproduce bin-for-bin:
+    the histogram version only BATCHES identical lengths, so with the
+    same capacity-class FIFO discipline the assignments must be equal."""
+    order = np.argsort(-np.asarray(lengths), kind="stable")
+    queues = {}  # remaining capacity -> FIFO list of bin ids
+    assign = {}
+    n_bins = 0
+    for i in order:
+        n = int(lengths[i])
+        fits = sorted(r for r, q in queues.items() if r >= n and q)
+        if not fits:
+            assign[i] = (n_bins, 0)
+            queues.setdefault(window - n, []).append(n_bins)
+            n_bins += 1
+        else:
+            r = fits[0]
+            bid = queues[r].pop(0)
+            assign[i] = (bid, window - r)
+            queues.setdefault(r - n, []).append(bid)
+    return assign, n_bins
+
+
+def test_bestfit_histogram_matches_naive_bfd():
+    from kgray.stages.pack import _bfd_histogram_pack
+
+    rng = np.random.RandomState(11)
+    for trial in range(20):
+        window = int(rng.choice([16, 64, 256]))
+        n = int(rng.randint(1, 120))
+        lengths = rng.randint(1, window + 1, size=n).astype(np.int64)
+        bin_of, off_of, n_bins = _bfd_histogram_pack(lengths, window)
+        ref_assign, ref_bins = _bfd_reference(lengths, window)
+        assert n_bins == ref_bins, (trial, window, lengths.tolist())
+        for i in range(n):
+            assert (bin_of[i], off_of[i]) == ref_assign[i], (
+                trial, i, lengths.tolist())
+
+
+def test_bestfit_pack_invariants_and_determinism(ray_session):
+    from kgray.stages.pack import bestfit_pack
+
+    rng = np.random.RandomState(3)
+    rows = [{"doc_id": int(i), "text": " ".join(["w"] * int(rng.randint(1, 90)))}
+            for i in rng.permutation(300)]
+    # one doc longer than the window -> its own bin at offset 0
+    rows.append({"doc_id": 300, "text": " ".join(["w"] * 100)})
+    ds = ray.data.from_items(rows)
+    a = bestfit_pack(ds, window=64, num_partitions=4).to_pandas()
+    b = bestfit_pack(ds, window=64, num_partitions=4).to_pandas()
+    a = a.sort_values("doc_id").reset_index(drop=True)
+    b = b.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)  # deterministic rerun
+    clipped = np.minimum(a["n_tokens"].to_numpy(), 64)
+    fills = pd.Series(clipped).groupby(a["seq_id"].to_numpy()).sum()
+    assert int(fills.max()) <= 64
+    assert a["doc_id"].is_unique and len(a) == 301
+    long = a[a["doc_id"] == 300]
+    assert long["seq_offset"].iloc[0] == 0
+    assert (fills[long["seq_id"]] == 64).all()  # clipped own bin
