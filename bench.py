@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     "decontaminate",
     "pack_sequences",
     "bestfit_pack",
+    "bpe_train",
     "kmeans",
     "semantic_dedup",
     "shuffle_rank",

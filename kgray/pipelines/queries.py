@@ -2900,6 +2900,31 @@ SELECT doc_id, n_chars FROM keyed ORDER BY key DESC, doc_id LIMIT 50
 """
 
 
+def q_bpe_train(sf_dir: str):
+    """Distributed BPE tokenizer training (Sennrich et al. 2016): learn
+    20 merges over the corpus word histogram. Rows-only (iterative;
+    SQL cannot express the merge loop) with structural SELF-ASSERTS:
+    contiguous ranks, sequential new ids, every merge operand either a
+    code point or a previously created symbol, counts above the floor
+    and bounded by the corpus pair budget. Merge-for-merge equality
+    with a pure-Python reference trainer is pinned in tests/test_bpe.py."""
+    from kgray.stages.bpe import _MERGED_BASE, bpe_train
+
+    out = bpe_train(_docs(sf_dir, ["doc_id", "text"]), num_merges=20).to_pandas()
+    n = len(out)
+    assert list(out["rank"]) == list(range(n)), "bpe_train: ranks not contiguous"
+    assert list(out["new_id"]) == [_MERGED_BASE + i for i in range(n)], (
+        "bpe_train: new ids not sequential")
+    known = set()
+    for _, row in out.iterrows():
+        for s in (int(row["left"]), int(row["right"])):
+            assert s < _MERGED_BASE or s in known, (
+                f"bpe_train: merge references unknown symbol {s}")
+        known.add(int(row["new_id"]))
+        assert int(row["count"]) >= 2, "bpe_train: merge below min_pair_count"
+    return out
+
+
 def q_vocab_build(sf_dir: str):
     """Tokenizer vocabulary: distinct tokens -> (count, contiguous
     frequency-ranked token_id) via the combiner token exchange + the
@@ -4912,6 +4937,7 @@ QUERIES = {
     "degree_distribution": q_degree_distribution,
     "weighted_sample": q_weighted_sample,
     "vocab_build": q_vocab_build,
+    "bpe_train": q_bpe_train,
     "linear_fit": q_linear_fit,
     "triangle_count": q_triangle_count,
     "revenue_by_nation": q_revenue_by_nation,

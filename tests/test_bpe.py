@@ -1,0 +1,67 @@
+"""Distributed BPE training vs the pure-Python reference trainer:
+merge-for-merge equality (ids, tie-breaks, counts) on random corpora,
+plus the vectorized merge-application edge cases."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def test_apply_merge_overlap_and_boundaries():
+    from kgray.stages.bpe import _apply_merge
+
+    # "aaaa" + "aaa" as two words; merge (a,a) -> Z: leftmost pairs
+    # only, never across the word boundary.
+    a, Z = ord("a"), 70000
+    flat = np.array([a] * 7, dtype=np.int32)
+    offsets = np.array([0, 4, 7], dtype=np.int64)
+    out, offs = _apply_merge(flat, offsets, a, a, Z)
+    assert out.tolist() == [Z, Z, Z, a]
+    assert offs.tolist() == [0, 2, 4]
+
+    # distinct pair, no candidates crossing boundary: "ab|ba"
+    b = ord("b")
+    flat = np.array([a, b, b, a], dtype=np.int32)
+    offsets = np.array([0, 2, 4], dtype=np.int64)
+    out, offs = _apply_merge(flat, offsets, b, a, Z)
+    assert out.tolist() == [a, b, Z]
+    assert offs.tolist() == [0, 2, 3]
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_bpe_train_matches_reference(ray_session, seed):
+    import ray.data
+
+    from kgray.stages.bpe import bpe_train, bpe_train_reference
+
+    rng = np.random.RandomState(seed)
+    vocab = ["the", "quick", "brown", "fox", "foxes", "quicker",
+             "aaa", "aaaa", "ab", "abab", "ababab", "ba"]
+    texts = [" ".join(rng.choice(vocab, size=rng.randint(3, 12)))
+             for _ in range(200)]
+    ds = ray.data.from_pandas(pd.DataFrame({"text": texts}))
+    got = bpe_train(ds, num_merges=12, num_partitions=4).to_pandas()
+    ref = bpe_train_reference(texts, num_merges=12)
+    assert len(got) == len(ref)
+    for i, (rank, a, b, new_id, n) in enumerate(ref):
+        row = got.iloc[i]
+        assert (row["rank"], row["left"], row["right"], row["new_id"],
+                row["count"]) == (rank, a, b, new_id, n), (i, ref[i], dict(row))
+
+
+def test_bpe_train_early_stop_and_word_cap(ray_session):
+    import ray.data
+
+    from kgray.stages.bpe import bpe_train
+
+    # Every word unique and short: after exhausting pairs >= 2 the
+    # trainer stops early rather than padding out num_merges.
+    ds = ray.data.from_pandas(pd.DataFrame({
+        "text": ["xy xy xy", "very-long-" + "z" * 100]}))
+    out = bpe_train(ds, num_merges=50, max_word_len=16, num_partitions=2).to_pandas()
+    # "xy" dominates: first merge is (x, y); the 100-char word is capped
+    # away so its z-runs never train.
+    assert len(out) >= 1
+    assert (out.iloc[0]["left"], out.iloc[0]["right"]) == (ord("x"), ord("y"))
+    assert not ((out["left"] == ord("z")) & (out["right"] == ord("z"))).any()
+    assert len(out) < 50  # early stop fired
