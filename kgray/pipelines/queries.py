@@ -2925,6 +2925,40 @@ def q_bpe_train(sf_dir: str):
     return out
 
 
+def q_bpe_encode(sf_dir: str):
+    """Train 10 BPE merges, then tokenize the corpus under them —
+    per-doc token counts (rows-only; iterative). SELF-ASSERTS the
+    count sandwich every valid BPE encoding satisfies: word count ≤
+    n_tokens ≤ total word characters, with equality-at-the-top for
+    docs the merges never touch; exact per-word parity vs the
+    pure-Python encoder is pinned in tests/test_bpe.py."""
+    import pyarrow.compute as pc_
+
+    from kgray.stages.bpe import bpe_encode_count, bpe_train
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    merges = bpe_train(docs, num_merges=10)
+    assert len(merges) > 0, "bpe_encode: training produced no merges"
+    out = bpe_encode_count(docs, merges).to_pandas()
+
+    def _bounds(t):
+        words = pc_.count_substring_regex(
+            pc_.coalesce(t.column("text"), pa.scalar("")), r"\S+")
+        chars = pc_.subtract(
+            pc_.utf8_length(pc_.coalesce(t.column("text"), pa.scalar(""))),
+            pc_.count_substring_regex(
+                pc_.coalesce(t.column("text"), pa.scalar("")), r"\s"))
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "n_words": words.cast(pa.int64()),
+                         "n_chars": chars.cast(pa.int64())})
+
+    b = docs.map_batches(_bounds, batch_format="pyarrow").to_pandas()
+    m = out.merge(b, on="doc_id")
+    assert (m["n_tokens"] >= m["n_words"]).all(), "bpe_encode: below word count"
+    assert (m["n_tokens"] <= m["n_chars"]).all(), "bpe_encode: above char count"
+    return out
+
+
 def q_vocab_build(sf_dir: str):
     """Tokenizer vocabulary: distinct tokens -> (count, contiguous
     frequency-ranked token_id) via the combiner token exchange + the
@@ -4938,6 +4972,7 @@ QUERIES = {
     "weighted_sample": q_weighted_sample,
     "vocab_build": q_vocab_build,
     "bpe_train": q_bpe_train,
+    "bpe_encode": q_bpe_encode,
     "linear_fit": q_linear_fit,
     "triangle_count": q_triangle_count,
     "revenue_by_nation": q_revenue_by_nation,

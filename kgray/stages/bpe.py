@@ -268,6 +268,58 @@ def bpe_train(
     })
 
 
+def bpe_encode_count(
+    ds: Dataset,
+    merges: pa.Table,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> Dataset:
+    """Tokenize the corpus under a learned merge table (the consumer
+    side of :func:`bpe_train`): per-document token count after applying
+    every merge in rank order. Output: ``(id_col, n_tokens)``, one row
+    per input doc (token-less docs count 0).
+
+    Map-only, ONE Dataset pass — the merge table (O(k) ints) broadcasts
+    in the task closure and all k merge applications run in-memory per
+    batch over the batch's DISTINCT words (the per-batch uniq trick:
+    tokenize each unique word once, scatter counts back by inverse
+    index). No cap on word length here — training capped pathological
+    words away from the LEARNED merges, but encoding must still count
+    every word (worst case it stays at character granularity)."""
+    mlist = list(zip(
+        merges.column("left").to_pylist(),
+        merges.column("right").to_pylist(),
+        merges.column("new_id").to_pylist(),
+    ))
+
+    def _count(t: pa.Table) -> pa.Table:
+        flat_w, off_w = flat_words(t.column(text_col))
+        n_docs = len(t)
+        if len(flat_w) == 0:
+            return pa.table({
+                id_col: t.column(id_col),
+                "n_tokens": pa.array(np.zeros(n_docs, np.int64)),
+            })
+        inv, uniques = pd.factorize(flat_w.to_pandas(), sort=False)
+        flat, offsets, _ = _explode_codepoints(
+            uniques.to_numpy() if hasattr(uniques, "to_numpy") else np.asarray(uniques),
+            np.ones(len(uniques), np.int64))
+        for a, b, new_id in mlist:
+            flat, offsets = _apply_merge(flat, offsets, a, b, new_id)
+        per_word = np.diff(offsets)
+        per_instance = per_word[inv]
+        doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), np.diff(off_w))
+        n_tokens = np.bincount(doc_of, weights=per_instance.astype(np.float64),
+                               minlength=n_docs).astype(np.int64)
+        return pa.table({
+            id_col: t.column(id_col),
+            "n_tokens": pa.array(n_tokens),
+        })
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        _count, batch_format="pyarrow")
+
+
 def bpe_train_reference(texts, num_merges=30, max_word_len=64, min_pair_count=2):
     """Pure-Python per-word BPE trainer (the pytest ground truth) —
     same symbol ids, same tie rule, naive dict counting."""

@@ -65,3 +65,43 @@ def test_bpe_train_early_stop_and_word_cap(ray_session):
     assert (out.iloc[0]["left"], out.iloc[0]["right"]) == (ord("x"), ord("y"))
     assert not ((out["left"] == ord("z")) & (out["right"] == ord("z"))).any()
     assert len(out) < 50  # early stop fired
+
+
+def test_bpe_encode_count_matches_reference(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from kgray.stages.bpe import bpe_encode_count, bpe_train, bpe_train_reference
+
+    rng = np.random.RandomState(5)
+    vocab = ["low", "lower", "lowest", "new", "newer", "wider", "aaa a"]
+    texts = [" ".join(rng.choice(vocab, size=rng.randint(1, 8)))
+             for _ in range(120)] + ["", "   "]
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    ds = ray.data.from_pandas(df)
+    merges = bpe_train(ds, num_merges=10, num_partitions=4)
+    got = bpe_encode_count(ds, merges).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+
+    # reference encode: apply reference merges per word
+    ref_merges = bpe_train_reference(texts, num_merges=10)
+    assert [tuple(r) for r in merges.to_pandas().itertuples(index=False)] == ref_merges
+
+    def enc(word):
+        syms = [ord(c) for c in word]
+        for _, a, b, new_id, _n in ref_merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(new_id); i += 2
+                else:
+                    out.append(syms[i]); i += 1
+            syms = out
+        return len(syms)
+
+    import re
+    for _, row in got.iterrows():
+        text = texts[int(row["doc_id"])]
+        want = sum(enc(w) for w in re.findall(r"\S+", text))
+        assert row["n_tokens"] == want, (row["doc_id"], text)
+    assert (got[got["doc_id"] >= 120]["n_tokens"] == 0).all()  # empty docs
