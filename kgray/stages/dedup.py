@@ -821,10 +821,14 @@ def cross_minhash_flag(
             return pa.table({id_col: tagged, text_col: t.column(text_col)})
         return _f
 
+    # Materialized: minhash_lsh_pairs consumes its input twice (band
+    # pass + verify semi-filter) — pin the tagged union once instead of
+    # re-executing both sides' upstreams per consumer (the same
+    # CONSUMPTION CONTRACT as minhash_lsh_dedup).
     union = corpus.select_columns([id_col, text_col]).map_batches(
         _tag("c"), batch_format="pyarrow"
     ).union(reference.select_columns([id_col, text_col]).map_batches(
-        _tag("r"), batch_format="pyarrow"))
+        _tag("r"), batch_format="pyarrow")).materialize()
 
     pairs = minhash_lsh_pairs(union, text_col=text_col, id_col=id_col,
                               threshold=threshold, **kw)
