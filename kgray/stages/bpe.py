@@ -201,6 +201,7 @@ def bpe_train(
     max_word_len: int = 64,
     min_pair_count: int = 2,
     num_partitions: Optional[int] = None,
+    driver_vocab_limit: int = 2_000_000,
 ) -> pa.Table:
     """Learn ``num_merges`` BPE merges over the corpus (see module
     docstring). Returns the merge table ``(rank, left, right, new_id,
@@ -209,9 +210,16 @@ def bpe_train(
     time. Stops early when no pair reaches ``min_pair_count``.
 
     The word histogram (already folded per batch) is the training
-    state; each iteration runs one count pass and one merge pass over
-    it. ``max_word_len`` drops pathological unsplittable tokens (URLs,
-    DNA strings) exactly as production BPE trainers cap word length.
+    state. The only corpus-scale pass is the fold itself: the
+    histogram is orders of magnitude smaller than the corpus (word
+    TYPES, not tokens), so when its distinct-word count fits
+    ``driver_vocab_limit`` the whole merge loop runs driver-local with
+    the same vectorized kernels — zero per-iteration Dataset overhead
+    (measured 9.0 s → sub-second for 20 merges at sf0.1). Above the
+    limit each iteration runs one distributed count pass and one merge
+    pass over the materialized state. ``max_word_len`` drops
+    pathological unsplittable tokens (URLs, DNA strings) exactly as
+    production BPE trainers cap word length.
     """
     hist = ds.select_columns([text_col]).map_batches(
         lambda t: _words_to_symbol_table(t, text_col, max_word_len),
@@ -230,7 +238,36 @@ def bpe_train(
         return df.groupby("word", as_index=False, sort=False)["freq"].sum()
 
     folded = grouped_apply(hist, ["word"], _sum,
-                           num_partitions=num_partitions, map_side=_sum)
+                           num_partitions=num_partitions, map_side=_sum).materialize()
+
+    if folded.count() <= driver_vocab_limit:
+        # Driver-local loop over the folded histogram: same kernels,
+        # no Dataset execution per iteration.
+        df = folded.to_pandas()
+        flat, offsets, freqs = _explode_codepoints(
+            df["word"].to_numpy(), df["freq"].to_numpy())
+        merges: List[Tuple[int, int, int, int, int]] = []
+        next_id = _MERGED_BASE
+        for rank in range(num_merges):
+            key, cnt = _pair_counts(flat, offsets, freqs)
+            if len(key) == 0:
+                break
+            best_n = int(cnt.max())
+            if best_n < min_pair_count:
+                break
+            pair = int(key[cnt == best_n].min())
+            a, b = pair >> 32, pair & 0xFFFFFFFF
+            merges.append((rank, a, b, next_id, best_n))
+            flat, offsets = _apply_merge(flat, offsets, a, b, next_id)
+            next_id += 1
+        return pa.table({
+            "rank": pa.array([m[0] for m in merges], pa.int64()),
+            "left": pa.array([m[1] for m in merges], pa.int64()),
+            "right": pa.array([m[2] for m in merges], pa.int64()),
+            "new_id": pa.array([m[3] for m in merges], pa.int64()),
+            "count": pa.array([m[4] for m in merges], pa.int64()),
+        })
+
     state = folded.map_batches(
         lambda t: _WordSymbols.init_batch(t, max_word_len),
         batch_format="pyarrow",

@@ -28,8 +28,9 @@ def test_apply_merge_overlap_and_boundaries():
     assert offs.tolist() == [0, 2, 3]
 
 
-@pytest.mark.parametrize("seed", [0, 1, 2])
-def test_bpe_train_matches_reference(ray_session, seed):
+@pytest.mark.parametrize("seed,vocab_limit", [(0, 2_000_000), (1, 2_000_000),
+                                               (2, 2_000_000), (0, 0), (2, 0)])
+def test_bpe_train_matches_reference(ray_session, seed, vocab_limit):
     import ray.data
 
     from kgray.stages.bpe import bpe_train, bpe_train_reference
@@ -40,7 +41,8 @@ def test_bpe_train_matches_reference(ray_session, seed):
     texts = [" ".join(rng.choice(vocab, size=rng.randint(3, 12)))
              for _ in range(200)]
     ds = ray.data.from_pandas(pd.DataFrame({"text": texts}))
-    got = bpe_train(ds, num_merges=12, num_partitions=4).to_pandas()
+    got = bpe_train(ds, num_merges=12, num_partitions=4,
+                    driver_vocab_limit=vocab_limit).to_pandas()
     ref = bpe_train_reference(texts, num_merges=12)
     assert len(got) == len(ref)
     for i, (rank, a, b, new_id, n) in enumerate(ref):
