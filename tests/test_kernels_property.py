@@ -233,3 +233,75 @@ def test_empty_block_schema_filter_targets_only_empty_schemas():
         "previous one. Previous schema: a: int64, new schema: a: string. "
         "This may lead to unexpected behavior."))
     assert f.filter(rec("some other warning"))
+
+
+@given(
+    lengths=st.lists(st.integers(min_value=1, max_value=64), min_size=0, max_size=200),
+    window=st.sampled_from([16, 64]),
+)
+@settings(max_examples=60, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_bfd_histogram_pack_properties(lengths, window):
+    """Invariants for ANY input: every doc assigned once, no bin
+    overflow, bins within the BFD 11/9·OPT+1 bound, deterministic."""
+    import numpy as np
+
+    from kgray.stages.pack import _bfd_histogram_pack
+
+    arr = np.minimum(np.array(lengths, dtype=np.int64), window)
+    bin_of, off_of, n_bins = _bfd_histogram_pack(arr, window)
+    assert len(bin_of) == len(arr) and len(off_of) == len(arr)
+    if len(arr) == 0:
+        assert n_bins == 0
+        return
+    fills = np.zeros(n_bins, dtype=np.int64)
+    np.add.at(fills, bin_of, arr)
+    assert fills.max(initial=0) <= window
+    assert (off_of + arr <= window).all()
+    # per-bin offsets are consistent: sorting a bin's docs by offset
+    # reconstructs a prefix sum of its lengths
+    for b in range(n_bins):
+        sel = np.flatnonzero(bin_of == b)
+        o = np.sort(off_of[sel])
+        ln = arr[sel][np.argsort(off_of[sel], kind="stable")]
+        assert (o == np.concatenate([[0], np.cumsum(ln)[:-1]])).all()
+    lb = -(-int(arr.sum()) // window)
+    assert n_bins <= (11 * lb) // 9 + 1
+    b2, o2, n2 = _bfd_histogram_pack(arr, window)
+    assert n2 == n_bins and (b2 == bin_of).all() and (o2 == off_of).all()
+
+
+@given(
+    word_lens=st.lists(st.integers(min_value=1, max_value=6), min_size=1, max_size=30),
+    alphabet=st.sampled_from([2, 3]),
+    seed=st.integers(min_value=0, max_value=99),
+)
+@settings(max_examples=60, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_apply_merge_matches_python_greedy(word_lens, alphabet, seed):
+    """_apply_merge == per-word leftmost-greedy python replacement for
+    random small-alphabet words (maximizes self-overlap cases)."""
+    import numpy as np
+
+    from kgray.stages.bpe import _apply_merge
+
+    rng = np.random.RandomState(seed)
+    words = [rng.randint(97, 97 + alphabet, size=n).tolist() for n in word_lens]
+    flat = np.array([s for w in words for s in w], dtype=np.int32)
+    offsets = np.concatenate([[0], np.cumsum([len(w) for w in words])]).astype(np.int64)
+    a, b = int(rng.randint(97, 97 + alphabet)), int(rng.randint(97, 97 + alphabet))
+    Z = 70000
+    got_flat, got_off = _apply_merge(flat, offsets, a, b, Z)
+
+    def merge_word(w):
+        out, i = [], 0
+        while i < len(w):
+            if i + 1 < len(w) and w[i] == a and w[i + 1] == b:
+                out.append(Z); i += 2
+            else:
+                out.append(w[i]); i += 1
+        return out
+
+    ref = [merge_word(w) for w in words]
+    ref_flat = [s for w in ref for s in w]
+    ref_off = np.concatenate([[0], np.cumsum([len(w) for w in ref])])
+    assert got_flat.tolist() == ref_flat
+    assert got_off.tolist() == ref_off.tolist()
