@@ -2959,6 +2959,33 @@ def q_bpe_encode(sf_dir: str):
     return out
 
 
+def q_bpe_tokenize(sf_dir: str):
+    """Train 10 merges, then emit ACTUAL token-id sequences per doc
+    (the training artifact). Rows-only; SELF-ASSERTS internal
+    consistency: each list's length equals its n_tokens column AND the
+    independent bpe_encode_count pass, and every id is a code point or
+    a learned merge id; exact sequence parity vs the pure-Python
+    encoder is pinned in tests/test_bpe.py."""
+    from kgray.stages.bpe import _MERGED_BASE, bpe_encode_count, bpe_encode_ids, bpe_train
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    merges = bpe_train(docs, num_merges=10)
+    out = bpe_encode_ids(docs, merges).to_pandas()
+    lens = out["token_ids"].map(len)
+    assert (lens == out["n_tokens"]).all(), "bpe_tokenize: length/count mismatch"
+    counts = bpe_encode_count(docs, merges).to_pandas()
+    m = out.merge(counts, on="doc_id", suffixes=("", "_c"))
+    assert (m["n_tokens"] == m["n_tokens_c"]).all(), (
+        "bpe_tokenize: disagrees with bpe_encode_count")
+    valid_hi = _MERGED_BASE + len(merges)
+    for ids in out["token_ids"].head(50):
+        for s in ids:
+            assert s < 0x110000 or (_MERGED_BASE <= s < valid_hi), (
+                f"bpe_tokenize: invalid id {s}")
+    return out[["doc_id", "n_tokens"]].assign(
+        first_id=out["token_ids"].map(lambda x: int(x[0]) if len(x) else -1))
+
+
 def q_vocab_build(sf_dir: str):
     """Tokenizer vocabulary: distinct tokens -> (count, contiguous
     frequency-ranked token_id) via the combiner token exchange + the
@@ -4973,6 +5000,7 @@ QUERIES = {
     "vocab_build": q_vocab_build,
     "bpe_train": q_bpe_train,
     "bpe_encode": q_bpe_encode,
+    "bpe_tokenize": q_bpe_tokenize,
     "linear_fit": q_linear_fit,
     "triangle_count": q_triangle_count,
     "revenue_by_nation": q_revenue_by_nation,

@@ -357,6 +357,68 @@ def bpe_encode_count(
         _count, batch_format="pyarrow")
 
 
+def bpe_encode_ids(
+    ds: Dataset,
+    merges: pa.Table,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> Dataset:
+    """Tokenize to ACTUAL token-id sequences — the training artifact
+    :func:`bpe_encode_count` only sizes. Output: ``(id_col, token_ids
+    list<int32>, n_tokens)``; word tokens concatenate in document
+    order (no between-word separator id — add one downstream if the
+    model wants it). Same map-only one-pass shape and unique-word
+    trick as the count variant; the per-instance id gather is a single
+    vectorized ``take`` built from repeat/cumsum arithmetic."""
+    mlist = list(zip(
+        merges.column("left").to_pylist(),
+        merges.column("right").to_pylist(),
+        merges.column("new_id").to_pylist(),
+    ))
+
+    def _encode(t: pa.Table) -> pa.Table:
+        flat_w, off_w = flat_words(t.column(text_col))
+        n_docs = len(t)
+        if len(flat_w) == 0:
+            empty = pa.ListArray.from_arrays(
+                pa.array(np.zeros(n_docs + 1, np.int32)),
+                pa.array([], type=pa.int32()))
+            return pa.table({id_col: t.column(id_col), "token_ids": empty,
+                             "n_tokens": pa.array(np.zeros(n_docs, np.int64))})
+        inv, uniques = pd.factorize(flat_w.to_pandas(), sort=False)
+        flat, offsets, _ = _explode_codepoints(
+            uniques.to_numpy() if hasattr(uniques, "to_numpy") else np.asarray(uniques),
+            np.ones(len(uniques), np.int64))
+        for a, b, new_id in mlist:
+            flat, offsets = _apply_merge(flat, offsets, a, b, new_id)
+        per_word = np.diff(offsets)
+        # gather indices: for instance j (word u = inv[j]), the range
+        # offsets[u] .. offsets[u]+per_word[u]
+        inst_len = per_word[inv]
+        inst_start = offsets[:-1][inv]
+        total = int(inst_len.sum())
+        first = np.repeat(np.cumsum(inst_len) - inst_len, inst_len)
+        within = np.arange(total, dtype=np.int64) - first
+        take = np.repeat(inst_start, inst_len) + within
+        ids_flat = flat[take]
+        # doc offsets: token count per doc = sum of instance lengths
+        n_words_per_doc = np.diff(off_w)
+        doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), n_words_per_doc)
+        n_tokens = np.bincount(doc_of, weights=inst_len.astype(np.float64),
+                               minlength=n_docs).astype(np.int64)
+        doc_offsets = np.concatenate([[0], np.cumsum(n_tokens)])
+        return pa.table({
+            id_col: t.column(id_col),
+            "token_ids": pa.ListArray.from_arrays(
+                pa.array(doc_offsets, type=pa.int32()),
+                pa.array(ids_flat, type=pa.int32())),
+            "n_tokens": pa.array(n_tokens),
+        })
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        _encode, batch_format="pyarrow")
+
+
 def bpe_train_reference(texts, num_merges=30, max_word_len=64, min_pair_count=2):
     """Pure-Python per-word BPE trainer (the pytest ground truth) —
     same symbol ids, same tie rule, naive dict counting."""

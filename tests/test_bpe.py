@@ -107,3 +107,40 @@ def test_bpe_encode_count_matches_reference(ray_session):
         want = sum(enc(w) for w in re.findall(r"\S+", text))
         assert row["n_tokens"] == want, (row["doc_id"], text)
     assert (got[got["doc_id"] >= 120]["n_tokens"] == 0).all()  # empty docs
+
+
+def test_bpe_encode_ids_matches_reference(ray_session):
+    import ray.data
+
+    from kgray.stages.bpe import bpe_encode_ids, bpe_train, bpe_train_reference
+
+    rng = np.random.RandomState(9)
+    vocab = ["aa", "aab", "ab", "b", "abab", "aaaa"]
+    texts = [" ".join(rng.choice(vocab, size=rng.randint(1, 6)))
+             for _ in range(80)] + [""]
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    ds = ray.data.from_pandas(df)
+    merges = bpe_train(ds, num_merges=8, num_partitions=4)
+    got = bpe_encode_ids(ds, merges).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    ref_merges = bpe_train_reference(texts, num_merges=8)
+
+    def enc(word):
+        syms = [ord(c) for c in word]
+        for _, a, b, new_id, _n in ref_merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(new_id); i += 2
+                else:
+                    out.append(syms[i]); i += 1
+            syms = out
+        return syms
+
+    import re
+    for _, row in got.iterrows():
+        text = texts[int(row["doc_id"])]
+        want = [s for w in re.findall(r"\S+", text) for s in enc(w)]
+        assert list(row["token_ids"]) == want, (row["doc_id"], text)
+        assert row["n_tokens"] == len(want)
+    assert list(got[got["doc_id"] == len(texts) - 1]["token_ids"].iloc[0]) == []
