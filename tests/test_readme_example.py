@@ -20,3 +20,14 @@ def test_readme_pretraining_example(ray_session, tmp_path):
     back = ray.data.read_parquet(out)
     assert back.count() > 0
     assert {"seq_id", "seq_offset"} <= set(back.schema().names)
+
+    # the README's tokenizer-ownership snippet (smaller merge count)
+    from kgray.stages.bpe import bpe_encode_ids, bpe_train
+
+    merges = bpe_train(train, num_merges=8)
+    tokens = bpe_encode_ids(train, merges)
+    tout = str(tmp_path / "tokens")
+    tokens.write_parquet(tout)
+    tback = ray.data.read_parquet(tout)
+    assert tback.count() == train.count()
+    assert {"doc_id", "token_ids", "n_tokens"} <= set(tback.schema().names)
