@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "pack_sequences",
     "bestfit_pack",
     "bpe_train",
+    "corpus_diff",
     "kmeans",
     "semantic_dedup",
     "shuffle_rank",

@@ -2341,6 +2341,57 @@ FROM documents d LEFT JOIN flagged r USING (doc_id) GROUP BY d.doc_id
 """
 
 
+def q_corpus_diff(sf_dir: str):
+    """Snapshot diff between the corpus and a derived second version
+    (every 10th doc removed, every 7th surviving doc upper-cased =
+    changed, every 13th doc re-added under id+1,000,000): classify
+    added/removed/changed by text digest — the incremental-curation
+    work list. Digests-only exchange; documents never move."""
+    from kgray.stages.corpus import corpus_diff
+
+    # Materialized base: both versions derive from the same read —
+    # pinning it keeps the DAG fork-free (consumption-contract rule).
+    docs = _docs(sf_dir, ["doc_id", "text"]).materialize()
+
+    def _version_b(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        keep = ids % 10 != 0
+        kept = t.filter(pa.array(keep))
+        kids = kept.column("doc_id").to_numpy()
+        text = pc.if_else(pa.array(kids % 7 == 0),
+                          pc.utf8_upper(kept.column("text")),
+                          kept.column("text"))
+        base = pa.table({"doc_id": kept.column("doc_id"), "text": text})
+        add = t.filter(pa.array(ids % 13 == 0))
+        added = pa.table({
+            "doc_id": pc.add(add.column("doc_id"), pa.scalar(1_000_000)),
+            "text": add.column("text"),
+        })
+        return pa.concat_tables([base, added.cast(base.schema)])
+
+    ds_b = docs.map_batches(_version_b, batch_format="pyarrow")
+    return corpus_diff(docs, ds_b)
+
+
+SQL_CORPUS_DIFF = """
+WITH a AS (SELECT doc_id, md5(coalesce(text, '')) AS h FROM documents),
+b_src AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN upper(text) ELSE text END AS text
+  FROM documents WHERE doc_id % 10 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 13 = 0
+),
+b AS (SELECT doc_id, md5(coalesce(text, '')) AS h FROM b_src)
+SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+       CASE WHEN a.h IS NULL THEN 'added'
+            WHEN b.h IS NULL THEN 'removed'
+            ELSE 'changed' END AS status
+FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+WHERE a.h IS NULL OR b.h IS NULL OR a.h <> b.h
+"""
+
+
 def q_dsir(sf_dir: str):
     """DSIR-style importance weight vs the English slice as the target
     domain: mean per-token log-ratio of smoothed unigram models
@@ -4977,6 +5028,7 @@ QUERIES = {
     "pivot_status": q_pivot_status,
     "boilerplate": q_boilerplate,
     "dsir": q_dsir,
+    "corpus_diff": q_corpus_diff,
     "pca": q_pca,
     "outlier_filter": q_outlier_filter,
     "value_rank": q_value_rank,
@@ -5118,6 +5170,7 @@ ORACLES = {
     "pivot_status": SQL_PIVOT_STATUS,
     "boilerplate": SQL_BOILERPLATE,
     "dsir": SQL_DSIR,
+    "corpus_diff": SQL_CORPUS_DIFF,
     "outlier_filter": SQL_OUTLIER_FILTER,
     "value_rank": SQL_VALUE_RANK,
     "group_sample": SQL_GROUP_SAMPLE,

@@ -318,6 +318,65 @@ def _gram_hashes(text: pa.ChunkedArray | pa.Array, n: int) -> Tuple[np.ndarray, 
     return gh[first], row_idx
 
 
+def corpus_diff(
+    ds_a: Dataset,
+    ds_b: Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: Optional[int] = None,
+) -> Dataset:
+    """Snapshot diff for INCREMENTAL curation: classify every id across
+    two corpus versions as ``added`` (only in b), ``removed`` (only in
+    a) or ``changed`` (present in both with different text digest);
+    unchanged ids are dropped. Output: ``(id_col, status)`` — the work
+    list a re-run actually needs, so a 100-TB refresh re-curates only
+    the delta instead of the snapshot.
+
+    Scale shape: each side compacts map-side to ``(id, md5, side)`` —
+    32 hex chars per row regardless of document size — then ONE
+    id-keyed exchange classifies per partition with a vectorized outer
+    merge. The documents themselves never move.
+    """
+    import hashlib as _hashlib
+
+    from kgray.kernels.hashagg import auto_partitions as _ap
+    from kgray.kernels.hashagg import grouped_apply as _ga
+
+    if num_partitions is None:
+        num_partitions = _ap()
+
+    def _digest(side: str):
+        def f(t: pa.Table) -> pa.Table:
+            hs = [
+                _hashlib.md5((x or "").encode("utf-8")).hexdigest()
+                for x in t.column(text_col).to_pylist()
+            ]
+            return pa.table({
+                id_col: t.column(id_col),
+                "h": pa.array(hs, pa.string()),
+                "side": pa.array([side] * len(t), pa.string()),
+            })
+        return f
+
+    tagged = ds_a.select_columns([id_col, text_col]).map_batches(
+        _digest("a"), batch_format="pyarrow"
+    ).union(ds_b.select_columns([id_col, text_col]).map_batches(
+        _digest("b"), batch_format="pyarrow"))
+
+    def _classify(df: pd.DataFrame) -> pd.DataFrame:
+        a = df[df["side"] == "a"][[id_col, "h"]]
+        b = df[df["side"] == "b"][[id_col, "h"]]
+        m = a.merge(b, on=id_col, how="outer", suffixes=("_a", "_b"))
+        status = np.where(
+            m["h_a"].isna(), "added",
+            np.where(m["h_b"].isna(), "removed",
+                     np.where(m["h_a"] != m["h_b"], "changed", "same")))
+        out = m.assign(status=status)
+        return out.loc[out["status"] != "same", [id_col, "status"]]
+
+    return _ga(tagged, [id_col], _classify, num_partitions=num_partitions)
+
+
 def decontaminate(
     corpus: Dataset,
     benchmark: Dataset,

@@ -425,3 +425,20 @@ def test_bestfit_pack_invariants_and_determinism(ray_session):
     long = a[a["doc_id"] == 300]
     assert long["seq_offset"].iloc[0] == 0
     assert (fills[long["seq_id"]] == 64).all()  # clipped own bin
+
+
+def test_corpus_diff_classifies(ray_session):
+    import ray.data
+
+    from kgray.stages.corpus import corpus_diff
+
+    a = pd.DataFrame({"doc_id": [1, 2, 3, 4],
+                      "text": ["one", "two", "three", "four"]})
+    b = pd.DataFrame({"doc_id": [2, 3, 5],
+                      "text": ["two", "THREE", "five"]})
+    out = corpus_diff(ray.data.from_pandas(a), ray.data.from_pandas(b),
+                      num_partitions=4).to_pandas()
+    got = dict(zip(out["doc_id"], out["status"]))
+    assert got == {1: "removed", 3: "changed", 4: "removed", 5: "added"}
+    # unchanged id 2 dropped entirely
+    assert 2 not in got
