@@ -1502,9 +1502,13 @@ def q_bestfit_pack(sf_dir: str):
     formulation, Krell et al. 2021) into 256-token bins — no document
     ever splits across sequences. SELF-ASSERTS (rows-only; the packer
     is sequential-stateful, not SQL-expressible): every doc packed
-    exactly once, no bin overflows, and every partition stripe meets
-    the BFD ``11/9·OPT + 6/9`` bin-count bound against the token-sum
-    lower bound."""
+    exactly once, no bin overflows, and every partition stripe is
+    either within the BFD ``11/9·LB + 1`` bound against the token-sum
+    lower bound OR leaves at most one bin ≤ half full (the standard
+    any-fit argument — BFD's 11/9 guarantee is relative to OPT, and for
+    length mixes dominated by (window/2, window] docs OPT ≈ N while the
+    volume LB ≈ N/2, so the LB-relative bound alone would spuriously
+    fail a perfectly valid packing)."""
     import pandas as pd
 
     from kgray.stages.pack import bestfit_pack
@@ -1521,11 +1525,20 @@ def q_bestfit_pack(sf_dir: str):
     pk = out["seq_id"].to_numpy() // stripe
     for p in np.unique(pk):
         sel = pk == p
-        n_bins = len(np.unique(out["seq_id"].to_numpy()[sel]))
+        seq_ids = out["seq_id"].to_numpy()[sel]
+        n_bins = len(np.unique(seq_ids))
         lb = -(-int(clipped[sel].sum()) // window)  # ceil
-        assert n_bins <= (11 * lb) // 9 + 1, (
+        if n_bins <= (11 * lb) // 9 + 1:
+            continue
+        # any-fit fallback: a packing where every bin but one is more
+        # than half full is within 2·LB of optimal — valid regardless
+        # of the length mix (BFD never opens a bin while a half-empty
+        # one could take the item).
+        bin_fill = pd.Series(clipped[sel]).groupby(seq_ids).sum()
+        n_light = int((bin_fill.to_numpy() * 2 <= window).sum())
+        assert n_light <= 1, (
             f"bestfit_pack: stripe {p} used {n_bins} bins vs BFD bound "
-            f"{(11 * lb) // 9 + 1} (LB {lb})")
+            f"{(11 * lb) // 9 + 1} (LB {lb}) with {n_light} bins ≤ half full")
     return out
 
 

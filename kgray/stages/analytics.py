@@ -597,7 +597,12 @@ def rolling_zscore(
     COUNT are exact integers in BOTH engines; mean, sample variance and
     z then derive from identical ints via one pinned closed form —
     no float-summation-order hazard at all (the same integerization
-    contract as range_window_agg).
+    contract as range_window_agg). The exact-int path requires
+    ``window · max(vi)² ≤ INT64_MAX`` (|vi| ≲ 9.6e8 at window=10);
+    above that bound the sum-of-squares accumulates in float64 instead
+    of silently wrapping — values that large exceed float64's 2^53
+    integer range anyway, so the bit-exact property is already gone and
+    the float path is the honest best effort.
 
     One hash exchange on ``key``; the frame sums are ``window`` shifted
     int64 adds — O(window) temporaries, no per-group loop.
@@ -616,15 +621,22 @@ def rolling_zscore(
             new_grp[1:] = gid[1:] != gid[:-1]
         pos = np.arange(len(df)) - np.maximum.accumulate(
             np.where(new_grp, np.arange(len(df)), 0))
+        # int64 sq is exact only while window·vi² can't wrap; beyond the
+        # bound switch the squares to float64 (per-term exact up to 2^53)
+        # instead of silently overflowing.
+        max_abs = int(np.abs(vi).max()) if len(vi) else 0
+        int_exact = max_abs <= int(np.sqrt((2**63 - 1) / max(window, 1)))
+        sq_dtype = np.int64 if int_exact else np.float64
         s = np.zeros(len(df), dtype=np.int64)
-        sq = np.zeros(len(df), dtype=np.int64)
+        sq = np.zeros(len(df), dtype=sq_dtype)
         n = np.zeros(len(df), dtype=np.int64)
         for j in range(1, window + 1):
             shifted = np.zeros(len(df), dtype=np.int64)
             shifted[j:] = vi[:-j]
             valid = pos >= j
             s = np.where(valid, s + shifted, s)
-            sq = np.where(valid, sq + shifted * shifted, sq)
+            sh = shifted if int_exact else shifted.astype(np.float64)
+            sq = np.where(valid, sq + sh * sh, sq)
             n = np.where(valid, n + 1, n)
         nf = n.astype(np.float64)
         with np.errstate(divide="ignore", invalid="ignore"):

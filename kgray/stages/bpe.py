@@ -38,7 +38,9 @@ O(distinct pairs) count fold.
 Determinism: symbol ids are assigned by FIRST-SEEN order scanning the
 initial corpus in ascending ``(doc_id)`` batch order? No — initial
 symbol ids are UNICODE CODE POINTS (stable regardless of data order),
-merged symbols get ids ``65536 + rank``. Pair-count ties break on the
+merged symbols get ids ``0x110000 + rank`` — strictly above every
+possible code point, so raw characters and learned merges can never
+collide. Pair-count ties break on the
 SMALLEST ``(left_id, right_id)`` pair, making the whole merge table a
 pure function of the corpus multiset.
 """
@@ -57,7 +59,13 @@ from ray.data import Dataset
 
 from kgray.stages.corpus import flat_words
 
-_MERGED_BASE = 1 << 16  # first merged-symbol id (above any code point we keep)
+# First merged-symbol id. Must sit ABOVE the entire Unicode code-point
+# range (0x10FFFF): initial symbols are raw code points from a utf-32
+# decode, so a smaller base (e.g. 1<<16) would collide merge ids with
+# supplementary-plane characters (emoji, CJK Ext-B), silently corrupting
+# pair counts and making emitted token ids ambiguous. 0x110000 + rank
+# still fits comfortably in int32.
+_MERGED_BASE = 0x110000
 
 
 def _words_to_symbol_table(t: pa.Table, text_col: str, max_word_len: int) -> pa.Table:
@@ -205,8 +213,9 @@ def bpe_train(
 ) -> pa.Table:
     """Learn ``num_merges`` BPE merges over the corpus (see module
     docstring). Returns the merge table ``(rank, left, right, new_id,
-    count)`` — ``left``/``right`` are symbol ids (code points < 65536,
-    merged ids ≥ 65536), ``count`` the pair frequency at selection
+    count)`` — ``left``/``right`` are symbol ids (code points <
+    0x110000, merged ids ≥ 0x110000), ``count`` the pair frequency at
+    selection
     time. Stops early when no pair reaches ``min_pair_count``.
 
     The word histogram (already folded per batch) is the training

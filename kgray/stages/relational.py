@@ -836,6 +836,13 @@ def max_by(
     ``order_cols`` — give it a unique final column and the winner is
     total-order unique.
 
+    NULL semantics match the SQL ``ORDER BY ... DESC`` under DuckDB's
+    default NULLS LAST: a NULL in any order column sorts as SMALLEST,
+    so it can never beat a non-null value (pandas would otherwise place
+    NaN last regardless of direction and let it win the argmax). A key
+    whose rows are all-NULL in the leading order column still emits its
+    rn=1 row, tie-broken by the remaining columns.
+
     Scale shape: the per-batch best-row-per-key partial is the SAME
     idempotent kernel as the reduce (a monoid), so only O(groups) rows
     per batch enter the exchange — unlike ``top_n_per_group`` this
@@ -848,7 +855,8 @@ def max_by(
     def _best(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) == 0:
             return df
-        df = df.sort_values([key] + order_cols, kind="mergesort")
+        df = df.sort_values([key] + order_cols, kind="mergesort",
+                            na_position="first")
         return df.drop_duplicates(subset=[key], keep="last")
 
     return grouped_apply(ds, [key], _best, num_partitions=num_partitions,
@@ -929,6 +937,12 @@ def first_last_by(
     """Per-group FIRST_VALUE and LAST_VALUE of ``value_col`` in
     ``order_cols`` order (full-frame window semantics, deterministic
     when the order is total — give it a unique final column).
+
+    NULL semantics: ascending order with NULLS LAST (DuckDB's default
+    for ``ORDER BY ... ASC`` — and pandas' default NaN placement, kept
+    deliberately): a NULL order value sorts LARGEST, so it can claim
+    LAST_VALUE but never FIRST_VALUE, exactly as the ROW_NUMBER oracle
+    ranks it.
 
     Same O(groups)-partial monoid shape as :func:`max_by`: each batch
     keeps only its per-key first+last rows, the exchange moves ≤ 2 rows

@@ -527,6 +527,10 @@ def grouped_approx_quantiles(
     qs = [float(q) for q in qs]
 
     def _mm_partial(df: pd.DataFrame) -> pd.DataFrame:
+        # Nulls carry no rank information: drop them BEFORE counting so
+        # n, lo/hi and the histogram all describe non-null values only
+        # (an all-null group vanishes, matching grouped_quantiles_cont).
+        df = df.dropna(subset=[value_col])
         g = df.groupby(key, sort=False)[value_col]
         out = g.agg(lo="min", hi="max", n="size").reset_index()
         out["n"] = out["n"].astype("int64")
@@ -554,6 +558,9 @@ def grouped_approx_quantiles(
 
     def _hist(df: pd.DataFrame) -> pd.DataFrame:
         lo_m, w_m = ray.get(bref) if not isinstance(bref, tuple) else bref
+        # same null rule as _mm_partial — a NaN would otherwise cast to
+        # INT64_MIN and clip into bin 0, inflating the low tail
+        df = df.dropna(subset=[value_col])
         x = df[value_col].to_numpy(np.float64)
         lo = df[key].map(lo_m).to_numpy(np.float64)
         w = df[key].map(w_m).to_numpy(np.float64)

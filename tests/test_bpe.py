@@ -69,6 +69,40 @@ def test_bpe_train_early_stop_and_word_cap(ray_session):
     assert len(out) < 50  # early stop fired
 
 
+def test_bpe_astral_codepoints_never_collide_with_merge_ids(ray_session):
+    """Supplementary-plane characters (code points ≥ 0x10000, e.g. emoji)
+    are valid initial symbols; merge ids must start ABOVE 0x10FFFF so a
+    raw astral code point can never be mistaken for a learned merge
+    (the old base of 1<<16 collided)."""
+    import ray.data
+
+    from kgray.stages.bpe import (_MERGED_BASE, bpe_encode_ids, bpe_train,
+                                  bpe_train_reference)
+
+    assert _MERGED_BASE == 0x110000
+
+    emoji = "\U0001F600\U0001F680"  # two astral chars, frequent pair
+    texts = [f"{emoji} ab ab" for _ in range(20)] + [f"{emoji} cd"] * 5
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    ds = ray.data.from_pandas(df)
+    merges_t = bpe_train(ds, num_merges=4, num_partitions=2)
+    got = [tuple(r) for r in merges_t.to_pandas().itertuples(index=False)]
+    ref = bpe_train_reference(texts, num_merges=4)
+    assert got == ref
+    # the emoji pair trains (25 occurrences): its LEFT/RIGHT are raw
+    # astral code points, its new_id is above the whole Unicode range
+    assert any(a == 0x1F600 and b == 0x1F680 for _, a, b, _, _ in got)
+    for _, a, b, new_id, _n in got:
+        assert new_id >= 0x110000
+        assert a < 0x110000 or a >= _MERGED_BASE  # no ambiguous band
+    # encoded ids partition cleanly: raw code point XOR learned merge
+    enc = bpe_encode_ids(ds, merges_t).to_pandas()
+    valid_hi = _MERGED_BASE + len(got)
+    for ids in enc["token_ids"]:
+        for s in ids:
+            assert s < 0x110000 or (_MERGED_BASE <= s < valid_hi)
+
+
 def test_bpe_encode_count_matches_reference(ray_session):
     import pyarrow as pa
     import ray.data

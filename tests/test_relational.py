@@ -270,6 +270,55 @@ def test_max_by_partial_monoid_and_ties(ray_session):
     assert got["v"].tolist() == [9.0, 1.0, 7.0]
 
 
+def test_max_by_nulls_lose_like_sql_nulls_last(ray_session):
+    """A NULL in an order column must never beat a non-null value —
+    matching ROW_NUMBER() ... ORDER BY v DESC, id DESC under DuckDB's
+    NULLS LAST (pandas' default NaN-last sort would let the NULL win)."""
+    import duckdb
+
+    from kgray.stages.relational import max_by
+
+    df = pd.DataFrame({
+        "g": [1, 1, 1, 2, 2, 3, 3],
+        "v": [5.0, np.nan, 4.0, np.nan, np.nan, 7.0, np.nan],
+        "id": [10, 11, 12, 20, 21, 30, 31],
+    })
+    got = (
+        max_by(ray.data.from_pandas(df), key="g", order_cols=["v", "id"],
+               num_partitions=3)
+        .to_pandas().sort_values("g").reset_index(drop=True)
+    )
+    exp = duckdb.sql("""
+        SELECT g, v, id FROM (
+          SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY g ORDER BY v DESC, id DESC) AS rn FROM df) s
+        WHERE rn = 1 ORDER BY g
+    """).df()
+    assert got["id"].tolist() == exp["id"].tolist() == [10, 21, 30]
+
+
+def test_first_last_by_null_order_matches_sql(ray_session):
+    """ASC NULLS LAST: a NULL order value may claim LAST_VALUE but
+    never FIRST_VALUE, exactly as the ROW_NUMBER oracle ranks it."""
+    from kgray.stages.relational import first_last_by
+
+    df = pd.DataFrame({
+        "g": [1, 1, 1, 2, 2],
+        "ts": [5.0, np.nan, 3.0, 1.0, 2.0],
+        "id": [10, 11, 12, 20, 21],
+        "val": [100, 200, 300, 400, 500],
+    })
+    got = (
+        first_last_by(ray.data.from_pandas(df), key="g",
+                      order_cols=["ts", "id"], value_col="val",
+                      num_partitions=2)
+        .to_pandas().sort_values("g").reset_index(drop=True)
+    )
+    # g=1: ASC order is ts=3 (300), ts=5 (100), ts=NULL (200)
+    assert got["first_value"].tolist() == [300, 400]
+    assert got["last_value"].tolist() == [200, 500]
+
+
 def test_unpivot_shape_and_values(ray_session):
     from kgray.stages.relational import unpivot
 

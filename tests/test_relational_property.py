@@ -219,6 +219,28 @@ def test_rolling_zscore_matches_duckdb(ray_session, df):
     assert (both_nan | (g == w)).all()
 
 
+def test_rolling_zscore_huge_values_no_int64_wrap(ray_session):
+    """Values with |floor(v·100)| > ~9.6e8 would wrap the int64
+    sum-of-squares under the old accumulator; the float64 fallback must
+    produce the mathematically correct z, not wraparound garbage."""
+    from kgray.stages.analytics import rolling_zscore
+
+    base = 2.5e7  # vi ≈ 2.5e9, vi² ≈ 6.25e18 — two terms overflow int64
+    vals = np.array([base, base * 1.1, base * 0.9, base * 1.05, base])
+    df = pd.DataFrame({"k": [1] * 5, "t": range(5), "i": range(5), "v": vals})
+    got = (rolling_zscore(ray.data.from_pandas(df), key="k", ts_col="t",
+                          value_col="v", tiebreak_col="i", window=10,
+                          num_partitions=1)
+           .to_pandas().sort_values("i"))
+    vi = np.floor(vals * 100.0)
+    z = got["z"].to_numpy()
+    assert np.isnan(z[0]) and np.isnan(z[1])  # history < 2
+    for j in range(2, 5):
+        hist = vi[:j]
+        want = (vi[j] - hist.mean()) / hist.std(ddof=1)
+        assert abs(z[j] - want) < 1e-4, (j, z[j], want)
+
+
 @settings(max_examples=8, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(df=_events())

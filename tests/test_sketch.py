@@ -183,6 +183,32 @@ def test_grouped_approx_quantiles_rank_guarantee(ray_session):
     assert abs(dense["value_est"] - exact) <= 2 * width
 
 
+def test_grouped_approx_quantiles_ignores_nulls(ray_session):
+    """Nulls carry no rank information: a group with 50% NaN must
+    estimate quantiles of its non-null values only (not a low tail
+    inflated by NaN→bin-0 casts), and an all-null group vanishes —
+    matching grouped_quantiles_cont's dropna semantics."""
+    import ray.data
+
+    from kgray.stages.sketch import grouped_approx_quantiles
+
+    rng = np.random.default_rng(77)
+    vals = rng.uniform(100, 200, 2000)
+    df = pd.DataFrame({
+        "g": np.concatenate([np.zeros(4000, np.int64), np.full(30, 9, np.int64)]),
+        "v": np.concatenate([vals, np.full(2000, np.nan), np.full(30, np.nan)]),
+    })
+    got = grouped_approx_quantiles(ray.data.from_pandas(df), key="g",
+                                   value_col="v", qs=(0.1, 0.5), n_bins=256,
+                                   num_partitions=3)
+    assert set(got["g"]) == {0}  # all-null group 9 emits nothing
+    for _, r in got.iterrows():
+        assert r["n"] == 2000  # non-null count, not group size
+        exact = np.quantile(vals, r["q"])
+        width = (vals.max() - vals.min()) / 256
+        assert abs(r["value_est"] - exact) <= 2 * width, (r["q"], r["value_est"], exact)
+
+
 def test_grouped_approx_distinct_accuracy(ray_session):
     import ray.data
 
