@@ -83,6 +83,7 @@ def connected_components_distributed(
     dst: str = "dst",
     max_iters: int = 25,
     num_partitions: Optional[int] = None,
+    cast_ids: bool = True,
 ) -> Dataset:
     """Min-label propagation over an edge Dataset → Dataset(node, label).
 
@@ -92,6 +93,12 @@ def connected_components_distributed(
     shuffle moves partial minima, not raw messages). Terminates when a
     round changes no label or at ``max_iters``; star-shaped
     equivalence sets converge in 2 rounds, chains in O(diameter).
+
+    ``cast_ids=False`` keeps the endpoints' NATIVE dtype (caller
+    guarantees src/dst share one comparable type): min-label then means
+    NUMERIC min for integer ids — matching :func:`union_find` run on
+    the same pairs — instead of the lexicographic string min the
+    default cast would impose ("10" < "9").
     """
     from kgray.kernels.kgx_agg import MinAny
 
@@ -109,8 +116,9 @@ def connected_components_distributed(
     # starve a small cluster into deadlock). Materialized because the
     # symmetrized list is re-read every propagation round.
     def _both_dirs(t: pa.Table) -> pa.Table:
-        s = t.column(src).cast(pa.string())
-        d = t.column(dst).cast(pa.string())
+        s, d = t.column(src), t.column(dst)
+        if cast_ids:
+            s, d = s.cast(pa.string()), d.cast(pa.string())
         return pa.table({
             src: pa.chunked_array(s.chunks + d.chunks),
             dst: pa.chunked_array(d.chunks + s.chunks),

@@ -388,14 +388,23 @@ def minhash_lsh_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.7,
+    pair_broadcast_limit: int = 1_000_000,
     **kw,
 ) -> Dataset:
     """Survivors after near-dup clustering: min id per connected component.
 
-    The verified pair set is tiny relative to the corpus (that is the
-    point of LSH); components are closed on the driver with union-find
-    — documented small-side assumption, same as the reference's
-    priority-list planning being driver-side.
+    The verified pair set is usually tiny relative to the corpus (that
+    is the point of LSH), so the default path closes components on the
+    driver with union-find and broadcasts the drop set. But a 100-TB
+    corpus with a high duplicate rate gives no such guarantee — when
+    the verified-pair COUNT (cheap: metadata of the materialized pairs
+    dataset) exceeds ``pair_broadcast_limit``, clustering size-switches
+    to :func:`kgray.stages.canonical.connected_components_distributed`
+    (min-label propagation; ``cast_ids=False`` so integer ids take the
+    NUMERIC min exactly like union-find) and the survivor filter
+    becomes a distributed anti-join — the corpus rides ONE hash
+    exchange on ``id_col`` instead of a broadcast lookup. Same output
+    either way (pinned by the forced-switch pytest).
 
     CONSUMPTION CONTRACT: ``ds`` is consumed three times (band pass,
     verify semi-filter, survivor filter). Pass a materialized /
@@ -405,21 +414,40 @@ def minhash_lsh_dedup(
     ``read_parquet`` input is fine as-is, re-reading is streaming and
     cheap).
     """
-    pairs = minhash_lsh_pairs(ds, text_col, id_col, threshold, **kw)
-    plist = [(r["id_a"], r["id_b"]) for r in pairs.take_all()]
-    labels = union_find(plist)
-    drop_ids = [n for n, lab in labels.items() if lab != n]
-    if not drop_ids:
+    pairs = minhash_lsh_pairs(ds, text_col, id_col, threshold, **kw).materialize()
+    n_pairs = pairs.count()
+    if n_pairs == 0:
         return ds
-    drop = pa.array(drop_ids)
-    dref = ray.put(drop)
 
-    def _filter(t: pa.Table) -> pa.Table:
-        d = ray.get(dref) if isinstance(dref, ray.ObjectRef) else dref
-        mask = pc.invert(pc.is_in(t.column(id_col), value_set=d))
-        return t.filter(mask)
+    if n_pairs <= pair_broadcast_limit:
+        plist = [(r["id_a"], r["id_b"]) for r in pairs.take_all()]
+        labels = union_find(plist)
+        drop_ids = [n for n, lab in labels.items() if lab != n]
+        if not drop_ids:
+            return ds
+        drop = pa.array(drop_ids)
+        dref = ray.put(drop)
 
-    return ds.map_batches(_filter, batch_format="pyarrow")
+        def _filter(t: pa.Table) -> pa.Table:
+            d = ray.get(dref) if isinstance(dref, ray.ObjectRef) else dref
+            mask = pc.invert(pc.is_in(t.column(id_col), value_set=d))
+            return t.filter(mask)
+
+        return ds.map_batches(_filter, batch_format="pyarrow")
+
+    # Distributed path: pair set too large for a driver fold.
+    from kgray.stages.canonical import connected_components_distributed
+    from kgray.stages.relational import hash_join
+
+    labels = connected_components_distributed(
+        pairs, src="id_a", dst="id_b", cast_ids=False)
+
+    def _drops(t: pa.Table) -> pa.Table:
+        keep = pc.invert(pc.equal(t.column("node"), t.column("label")))
+        return pa.table({id_col: t.column("node").filter(keep)})
+
+    drop_ds = labels.map_batches(_drops, batch_format="pyarrow")
+    return hash_join(ds, drop_ds, on=id_col, how="anti")
 
 
 # ---------------------------------------------------------------------------
@@ -792,6 +820,7 @@ def cross_minhash_flag(
     id_col: str = "doc_id",
     threshold: float = 0.7,
     flag_col: str = "is_dup",
+    hit_broadcast_limit: int = 1_000_000,
     **kw,
 ) -> Dataset:
     """Cross-corpus near-dup flagging: mark every ``corpus`` document
@@ -807,9 +836,14 @@ def cross_minhash_flag(
     are also generated and verified — wasted verify work bounded by the
     corpora's own near-dup rates; a dedicated cross-side bucket filter
     inside pair generation is the optimization if a profile ever shows
-    it binding. The verified cross-pair list is the documented small
-    side (same contract as :func:`minhash_lsh_dedup`); the corpus is
-    flagged map-only against the broadcast hit set.
+    it binding. The verified cross-pair list is USUALLY small, and the
+    corpus is then flagged map-only against the broadcast hit set; when
+    the cross-hit row count exceeds ``hit_broadcast_limit`` (a heavily
+    contaminated crawl at 100 TB) the flag size-switches to a
+    distributed LEFT join — distinct hit ids ride one hash exchange
+    with the corpus's id column, nothing driver-side (same pattern as
+    :func:`minhash_lsh_dedup`'s anti-join path, pinned equal by the
+    forced-switch pytest).
 
     Output: every corpus row as ``(id_col, flag_col)``.
     """
@@ -832,17 +866,54 @@ def cross_minhash_flag(
 
     pairs = minhash_lsh_pairs(union, text_col=text_col, id_col=id_col,
                               threshold=threshold, **kw)
+
     # 'c|' < 'r|' lexicographically, so a cross pair is exactly
-    # (id_a startswith c|, id_b startswith r|).
-    hit_ids: set = set()
-    for r in pairs.take_all():
-        if r["id_a"].startswith("c|") and r["id_b"].startswith("r|"):
-            hit_ids.add(r["id_a"][2:])
-    href = ray.put(pa.array(sorted(hit_ids), type=pa.string()))
+    # (id_a startswith c|, id_b startswith r|). Strip the tag back off.
+    def _cross_hits(t: pa.Table) -> pa.Table:
+        a = pc.cast(t.column("id_a"), pa.string())
+        b = pc.cast(t.column("id_b"), pa.string())
+        mask = pc.and_(pc.starts_with(a, "c|"), pc.starts_with(b, "r|"))
+        return pa.table({"__sid": pc.utf8_slice_codeunits(
+            a.filter(mask), 2, 2_147_483_647)})
 
-    def _flag(t: pa.Table) -> pa.Table:
-        h = ray.get(href) if isinstance(href, ray.ObjectRef) else href
-        mask = pc.is_in(pc.cast(t.column(id_col), pa.string()), value_set=h)
-        return pa.table({id_col: t.column(id_col), flag_col: mask})
+    hits = pairs.map_batches(_cross_hits, batch_format="pyarrow").materialize()
 
-    return corpus.select_columns([id_col]).map_batches(_flag, batch_format="pyarrow")
+    if hits.count() <= hit_broadcast_limit:
+        hit_ids = {r["__sid"] for r in hits.take_all()}
+        href = ray.put(pa.array(sorted(hit_ids), type=pa.string()))
+
+        def _flag(t: pa.Table) -> pa.Table:
+            h = ray.get(href) if isinstance(href, ray.ObjectRef) else href
+            mask = pc.is_in(pc.cast(t.column(id_col), pa.string()), value_set=h)
+            return pa.table({id_col: t.column(id_col), flag_col: mask})
+
+        return corpus.select_columns([id_col]).map_batches(
+            _flag, batch_format="pyarrow")
+
+    # Distributed path: hit set too large for a driver fold / broadcast.
+    # Distinct the hits (a doc near-dup to many reference docs emits
+    # many rows), then LEFT-join the corpus's stringified id against
+    # them — one hash exchange of ids only, flag = matched.
+    from kgray.kernels.hashagg import grouped_apply
+    from kgray.stages.relational import hash_join
+
+    def _distinct(df):
+        return df.drop_duplicates(subset=["__sid"])
+
+    hits_d = grouped_apply(hits, ["__sid"], _distinct, map_side=_distinct)
+    hits_d = hits_d.map_batches(
+        lambda t: pa.table({"__sid": t.column("__sid"),
+                            "__hit": pa.array(np.ones(len(t), np.int8))}),
+        batch_format="pyarrow")
+
+    ids = corpus.select_columns([id_col]).map_batches(
+        lambda t: pa.table({id_col: t.column(id_col),
+                            "__sid": pc.cast(t.column(id_col), pa.string())}),
+        batch_format="pyarrow")
+    joined = hash_join(ids, hits_d, on="__sid", how="left")
+
+    def _finish(t: pa.Table) -> pa.Table:
+        return pa.table({id_col: t.column(id_col),
+                         flag_col: pc.is_valid(t.column("__hit"))})
+
+    return joined.map_batches(_finish, batch_format="pyarrow")

@@ -57,6 +57,60 @@ def test_minhash_lsh_pairs_and_dedup(ray_session):
     assert ids == list(range(60))
 
 
+def test_minhash_dedup_distributed_cc_matches_driver_path(ray_session):
+    """Forced size-switch (pair_broadcast_limit=0): survivor clustering
+    through the distributed connected-components + anti-join must equal
+    the driver union-find + broadcast path exactly — including numeric
+    min-id semantics for integer ids (cast_ids=False; lexicographic
+    string min would pick a different survivor for ids like 9 vs 10)."""
+    t = _docs_with_near_dups(30)
+    ds = ray.data.from_arrow(t)
+    broadcast = sorted(
+        r["doc_id"] for r in minhash_lsh_dedup(ds, threshold=0.7)
+        .select_columns(["doc_id"]).take_all())
+    distributed = sorted(
+        r["doc_id"] for r in minhash_lsh_dedup(
+            ds, threshold=0.7, pair_broadcast_limit=0)
+        .select_columns(["doc_id"]).take_all())
+    assert broadcast == distributed == list(range(30))
+
+
+def test_cross_minhash_flag_distributed_join_matches_broadcast(ray_session):
+    """Forced size-switch (hit_broadcast_limit=0): the distributed
+    distinct-hits LEFT join must flag exactly the same corpus docs as
+    the broadcast hit-set path."""
+    from kgray.stages.dedup import cross_minhash_flag
+
+    t = _docs_with_near_dups(25)
+    ids = t.column("doc_id").to_pylist()
+    texts = t.column("text").to_pylist()
+    # corpus = originals, reference = the near-dup copies -> every
+    # corpus doc is contaminated; plus 5 clean corpus docs.
+    corpus = pa.table({
+        "doc_id": pa.array([i for i in ids if i < 100000]
+                           + [900 + j for j in range(5)], type=pa.int64()),
+        "text": pa.array([x for i, x in zip(ids, texts) if i < 100000]
+                         + [f"unique doc {j} " + " ".join(
+                             f"tok{j}{k}" for k in range(30)) for j in range(5)]),
+    })
+    reference = pa.table({
+        "doc_id": pa.array([i for i in ids if i >= 100000], type=pa.int64()),
+        "text": pa.array([x for i, x in zip(ids, texts) if i >= 100000]),
+    })
+    cds, rds = ray.data.from_arrow(corpus), ray.data.from_arrow(reference)
+
+    def _flags(**kw):
+        out = cross_minhash_flag(cds, rds, threshold=0.7, **kw).take_all()
+        return sorted((r["doc_id"], r["is_dup"]) for r in out)
+
+    broadcast = _flags()
+    distributed = _flags(hit_broadcast_limit=0)
+    assert broadcast == distributed
+    assert len(broadcast) == len(corpus)
+    flagged = {d for d, f in broadcast if f}
+    assert flagged == {i for i in ids if i < 100000}  # clean docs unflagged
+
+
 def test_simhash_pairs(ray_session):
     from kgray.stages.dedup import _SimHasher
 
