@@ -56,19 +56,31 @@ def exact_dedup(
 ) -> Dataset:
     """Keep the min-id row per distinct text. Output: (id_col, text_col).
 
-    Hash-partition on md5(text) — the exchange key is 32 hex chars
-    regardless of document size. Combiner keeps the min-id row per hash
-    within each batch; the per-partition reduce repeats the same
-    C-speed sort + drop_duplicates. Fully vectorized end to end.
+    Hash-partition on a 64-bit vectorized content hash
+    (``pd.util.hash_array`` — one C pass per batch, no per-row Python;
+    the md5-hexdigest list comprehension this replaced was the stage's
+    wall-clock) — the exchange key is 8 bytes regardless of document
+    size. COLLISION-SAFE despite the short key: the combiner/reduce
+    deduplicate on ``(hash, text)``, so two distinct texts that share a
+    64-bit hash merely co-locate in one partition and both survive;
+    the hash only routes, equality is always decided on the full text.
+    Combiner keeps the min-id row per (hash, text) within each batch;
+    the per-partition reduce repeats the same C-speed sort +
+    drop_duplicates. Fully vectorized end to end.
     """
 
     def _hash(t: pa.Table) -> pa.Table:
-        hs = [hashlib.md5(x.encode("utf-8")).hexdigest() if x is not None else None
-              for x in t.column(text_col).to_pylist()]
-        return t.select([id_col, text_col]).append_column("__h", pa.array(hs, type=pa.string()))
+        if len(t):
+            arr = t.column(text_col).to_pandas().to_numpy(dtype=object)
+            h = pd.util.hash_array(arr).astype(np.uint64)
+        else:
+            h = np.array([], dtype=np.uint64)
+        return t.select([id_col, text_col]).append_column(
+            "__h", pa.array(h, type=pa.uint64()))
 
     def _keep_min(df: pd.DataFrame) -> pd.DataFrame:
-        return df.sort_values(["__h", id_col], kind="mergesort").drop_duplicates("__h")
+        return df.sort_values(["__h", id_col],
+                              kind="mergesort").drop_duplicates(["__h", text_col])
 
     from kgray.kernels.hashagg import auto_partitions, grouped_apply
 
