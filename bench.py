@@ -653,6 +653,15 @@ if __name__ == "__main__":
     elif "--probe" in sys.argv:
         print(json.dumps(run_probe()))
     elif "--scaling" in sys.argv:
-        print(json.dumps(run_scaling()))
+        result = run_scaling()
+        # Persist next to the stdout print: the driver's tail capture
+        # truncates long lines (BENCH_r03 lost the per-operator table),
+        # so the file is the durable record.
+        with open("bench_out_scaling.json", "w") as f:
+            json.dump(result, f, indent=1)
+        print(json.dumps(result))
     else:
-        print(json.dumps(run_bench()))
+        result = run_bench()
+        with open("bench_out.json", "w") as f:
+            json.dump(result, f, indent=1)
+        print(json.dumps(result))
