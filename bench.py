@@ -179,6 +179,7 @@ BENCH_QUERIES = [
     "lexical_diversity",
     "attribution",
     "shipping_delay",
+    "edge_holdout",
 ]
 
 

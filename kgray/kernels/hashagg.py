@@ -166,6 +166,31 @@ def quiet_empty_block_warnings() -> None:
             lg.addFilter(_EmptyBlockSchemaFilter())
 
 
+def pin_blocks(ds: "Dataset", num_blocks: int) -> "Dataset":
+    """Materialize with a BOUNDED block count and a SEVERED lineage —
+    the mandatory checkpoint form for ITERATIVE Dataset algorithms
+    (label propagation, pointer jumping, Borůvka, k-core peeling).
+
+    Two exponential blowups bite loops that re-join their own previous
+    iterate (both measured in the spanning-forest work):
+
+    * a tagged-union exchange doubles its inputs' block count and the
+      sort preserves it — blocks double per iteration (3 → 768 over 8
+      pointer jumps on a 70-row table); ``repartition(n)`` (local block
+      merge, not an exchange) bounds them;
+    * a join consumes the previous iterate on BOTH sides, so the
+      stats/lineage parents form a BINARY TREE of depth = iterations —
+      2^k stats nodes that every later execution walks (wall time
+      doubled per jump even with blocks pinned). Rebuilding from the
+      materialized block refs (zero-copy, same objects) severs the
+      parent chain.
+    """
+    import ray.data as _rd
+
+    m = ds.repartition(num_blocks).materialize()
+    return _rd.from_arrow_refs(m.to_arrow_refs())
+
+
 def auto_partitions(
     input_bytes: Optional[int] = None,
     target_bytes: int = 256 << 20,

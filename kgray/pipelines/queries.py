@@ -4968,6 +4968,78 @@ FROM d GROUP BY o_orderpriority
 """
 
 
+def q_edge_holdout(sf_dir: str):
+    """Graph-aware ML edge holdout (reference run.py:210-273 semantics):
+    spanning-forest-preserving positive test edges + matched negative
+    non-edges over the order–part bipartite graph (orderkey ↔ partkey
+    via lineitem — plenty of cycles, so non-tree edges exist).
+
+    SELF-ASSERTS (rows-only; the forest choice and hash sampling are
+    sequential/stateful, not SQL-expressible):
+    1. pos_train ∪ pos_test EXACTLY partitions the distinct canonical
+       edge set;
+    2. removing the test positives preserves every connected component
+       (union-find over pos_train vs the full graph);
+    3. pos_test count = min((1−0.8)·|E|, non-forest edge count);
+    4. negatives: same count as positives, absent from the graph in
+       either direction, endpoints drawn from the graph's node set.
+    """
+    import pandas as pd
+
+    from kgray.stages.holdout import edge_holdout
+
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_orderkey", "l_partkey"])
+    OFF = 1_000_000_000  # disjoint id namespaces for the two sides
+
+    def _mk_edges(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": t.column("l_orderkey"),
+            "dst": pc.add(t.column("l_partkey"), pa.scalar(OFF, pa.int64())),
+        })
+
+    edges = li.map_batches(_mk_edges, batch_format="pyarrow")
+    out = edge_holdout(edges, train_fraction=0.8, seed=13)
+    df = out.to_pandas()
+
+    raw = pd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                          columns=["l_orderkey", "l_partkey"])
+    E = set(zip(raw["l_orderkey"].astype("int64"),
+                (raw["l_partkey"].astype("int64") + OFF)))
+    nodes = {n for ab in E for n in ab}
+
+    def _comps(pairs):
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:
+                parent[x], x = r, parent[x]
+            return r
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {n: find(n) for n in nodes}
+
+    by = {s: set(zip(g["u"], g["v"])) for s, g in df.groupby("split")}
+    ptr, pte = by.get("pos_train", set()), by.get("pos_test", set())
+    neg = by.get("neg_test", set())
+    assert ptr | pte == E and not (ptr & pte), "edge_holdout: bad partition"
+    full = _comps(E)
+    k = min(int((1.0 - 0.8) * len(E) + 1e-9),
+            len(E) - (len(nodes) - len(set(full.values()))))
+    assert len(pte) == k, f"edge_holdout: k={k} got {len(pte)}"
+    assert _comps(ptr) == full, "edge_holdout: components changed"
+    assert len(neg) == k and not (neg & E), "edge_holdout: bad negatives"
+    assert all(u in nodes and v in nodes and u < v for u, v in neg), (
+        "edge_holdout: negative endpoints outside graph")
+    return out
+
+
 QUERIES = {
     "kgx_node_merge": q_kgx_node_merge,
     "kgx_edge_dedup": q_kgx_edge_dedup,
@@ -5120,6 +5192,7 @@ QUERIES = {
     "attribution": q_attribution,
     "multimodal_dedup": q_multimodal_dedup,
     "shipping_delay": q_shipping_delay,
+    "edge_holdout": q_edge_holdout,
 }
 
 ORACLES = {
