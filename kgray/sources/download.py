@@ -1,11 +1,12 @@
-"""Download planner shim (S6).
+"""Download source (S6).
 
 The reference's ``kg download`` is a YAML-driven URL fetcher
 (download.py:6-27 over kghub_downloader; config download.yaml) with a
-``snippet_only`` mode (first 5 kB). No network exists here, so the
-fetch is gated; the config parsing/planning half is real so pipelines
-can validate their download manifests offline.
-"""
+``snippet_only`` mode (first 5 kB). The planner half parses/validates
+manifests offline; the fetch half is a real stdlib-urllib HTTP client
+— exercised in pytest against a localhost fixture server (this sandbox
+has no external network, and the driver rule forbids external data, so
+tests never leave loopback)."""
 
 from __future__ import annotations
 
@@ -35,21 +36,67 @@ def plan_downloads(yaml_path: str) -> List[DownloadItem]:
     return out
 
 
-def download(yaml_path: str, output_dir: str, snippet_only: bool = False) -> None:
-    """Gated: fetching needs network access, unavailable here."""
-    raise NotImplementedError(
-        "downloads need network access; synthesize fixtures locally (driver rule: no external data)"
-    )
+SNIPPET_BYTES = 5 * 1024  # reference parity: snippet_only keeps 5 kB
+
+
+def fetch(url: str, out_path: str, snippet_only: bool = False,
+          timeout: float = 30.0) -> str:
+    """Fetch ONE http(s) URL to ``out_path`` (streaming, 64 kB chunks;
+    ``snippet_only`` stops after the first 5 kB, reference parity).
+    Only http/https schemes are accepted — a file:// or custom scheme
+    in a downloaded manifest must fail loudly, not read local disk."""
+    import os
+    import urllib.request
+    from urllib.parse import urlparse
+
+    scheme = urlparse(url).scheme
+    if scheme not in ("http", "https"):
+        raise ValueError(f"fetch: unsupported URL scheme {scheme!r} in {url!r}")
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    limit = SNIPPET_BYTES if snippet_only else None
+    got = 0
+    with urllib.request.urlopen(url, timeout=timeout) as resp, \
+            open(out_path, "wb") as f:
+        while True:
+            want = 65536 if limit is None else min(65536, limit - got)
+            if want <= 0:
+                break
+            chunk = resp.read(want)
+            if not chunk:
+                break
+            f.write(chunk)
+            got += len(chunk)
+    return out_path
+
+
+def download(yaml_path: str, output_dir: str, snippet_only: bool = False) -> List[str]:
+    """Reference ``kg download``: fetch every manifest entry into
+    ``output_dir`` (named by ``local_name`` or the URL basename).
+    Returns the written paths."""
+    import os
+    from urllib.parse import urlparse
+
+    out = []
+    for item in plan_downloads(yaml_path):
+        name = item.local_name or os.path.basename(urlparse(item.url).path)
+        if not name:
+            raise ValueError(f"download: cannot derive a file name from {item.url!r}")
+        out.append(fetch(item.url, os.path.join(output_dir, name),
+                         snippet_only=snippet_only))
+    return out
 
 
 def holdout_split(*args, **kwargs):
     """O8 parity: the reference declares a spanning-tree-preserving
     positive/negative edge holdout split and raises NotImplementedError
-    (run.py:210-273). Kept unimplemented here too, faithfully — a real
-    deterministic hash-based split operator exists separately as
+    (run.py:210-273). This shim mirrors the reference's raise; the
+    WORKING implementation of the declared contract is
+    ``kgray.stages.holdout.edge_holdout`` (distributed spanning forest
+    + sampled negatives), and a plain deterministic doc split is
     ``kgray.stages.split.hash_split``."""
     raise NotImplementedError(
         "edge holdout splitting is declared but unimplemented in the reference "
-        "(run.py:273); for a working deterministic split use "
-        "kgray.stages.split.hash_split"
+        "(run.py:273); the working implementation here is "
+        "kgray.stages.holdout.edge_holdout (or kgray.stages.split.hash_split "
+        "for a plain deterministic split)"
     )

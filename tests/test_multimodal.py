@@ -45,3 +45,73 @@ def test_frame_sample_explodes(ray_session):
     u2 = [r for r in out if r["url"] == "u2"]
     assert len(u2) >= 3  # 30k bytes → 8 chunks → stride 2 → 4 frames
     assert all(isinstance(r["frame"], bytes) for r in out)
+
+
+def test_image_decode_injected_real_decoder(ray_session):
+    """A user-supplied decode callable replaces the stub — here a tiny
+    REAL parser for a 12-byte header format (stands in for Pillow,
+    which is not in this container)."""
+    import struct
+
+    def mk(w, h, mode):
+        return struct.pack("<II4s", w, h, mode.encode().ljust(4)) + b"pixels"
+
+    def real_decoder(payload):
+        w, h, m = struct.unpack_from("<II4s", payload)
+        return (w, h, m.rstrip(b"\x00 ").decode())
+
+    t = pa.table({
+        "url": pa.array(["a", "b"]),
+        "payload": pa.array([mk(640, 480, "RGB"), mk(32, 16, "L")],
+                            type=pa.binary()),
+    })
+    out = (ray.data.from_arrow(t)
+           .map_batches(ImageDecode,
+                        fn_constructor_kwargs={"decoder": real_decoder},
+                        batch_format="pyarrow", concurrency=1)
+           .take_all())
+    got = {r["url"]: (r["width"], r["height"], r["mode"]) for r in out}
+    assert got == {"a": (640, 480, "RGB"), "b": (32, 16, "L")}
+
+
+def test_pillow_decoder_factory_gated():
+    """pillow_decoder raises ImportError here (no PIL) — and would
+    return a real callable where Pillow is installed."""
+    from kgray.stages.multimodal import pillow_decoder
+    try:
+        dec = pillow_decoder()
+    except ImportError:
+        return  # expected in this sandbox
+    assert callable(dec)
+
+
+def test_feature_extract_injected_featurizer(ray_session):
+    import numpy as np
+
+    def real_featurizer(payload):
+        # e.g. a trivial byte-histogram "model"
+        h = np.bincount(np.frombuffer(payload or b"\x00", np.uint8) % 8,
+                        minlength=8).astype(np.float32)
+        return h / max(np.linalg.norm(h), 1e-12)
+
+    ds = ray.data.from_arrow(_payloads())
+    out = ds.map_batches(
+        FeatureExtract,
+        fn_constructor_kwargs={"dim": 8, "featurizer": real_featurizer},
+        batch_format="pyarrow", concurrency=1).take_all()
+    assert all(len(r["features"]) == 8 for r in out)
+    assert all(abs(float(np.linalg.norm(r["features"])) - 1.0) < 1e-5
+               for r in out)
+
+
+def test_frame_sample_injected_sampler(ray_session):
+    def every_byte_pairs(payload):
+        for i in range(0, min(len(payload), 6), 2):
+            yield i // 2, payload[i:i + 2]
+
+    ds = ray.data.from_arrow(_payloads())
+    out = ds.map_batches(
+        FrameSample, fn_constructor_kwargs={"sampler": every_byte_pairs},
+        batch_format="pyarrow", concurrency=1).take_all()
+    assert all(len(r["frame"]) <= 2 for r in out)
+    assert {r["frame_index"] for r in out} <= {0, 1, 2}

@@ -70,8 +70,8 @@ def test_sparql_conversion(tmp_path):
     }
     out = result_dict_to_tsv(result, str(tmp_path / "q.tsv"))
     assert open(out).read() == "s\to\nA\tB\nC\t\n"
-    with pytest.raises(NotImplementedError):
-        run_query("SELECT *", "http://example.org/sparql")
+    with pytest.raises(ValueError):  # non-http scheme rejected loudly
+        run_query("SELECT *", "ftp://example.org/sparql")
 
 
 def test_download_plan(tmp_path):
