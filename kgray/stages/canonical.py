@@ -88,11 +88,14 @@ def connected_components_distributed(
     """Min-label propagation over an edge Dataset → Dataset(node, label).
 
     Each round: every node sends its current label to its neighbors
-    (hash join on the edge endpoint), then takes the min over received
-    and own labels (groupby-min — an algebraic aggregate, so the
-    shuffle moves partial minima, not raw messages). Terminates when a
-    round changes no label or at ``max_iters``; star-shaped
-    equivalence sets converge in 2 rounds, chains in O(diameter).
+    (hash join on the edge endpoint), takes the min over received and
+    own labels (groupby-min — an algebraic aggregate, so the shuffle
+    moves partial minima, not raw messages), then POINTER-JUMP
+    shortcuts ``label ← min(label, label[label])`` with one self-join.
+    Terminates when a round changes no label or at ``max_iters``;
+    star-shaped equivalence sets converge in 2 rounds, chains in
+    O(log diameter) (the shortcut doubles how far the min label has
+    travelled each round — plain propagation would need O(diameter)).
 
     ``cast_ids=False`` keeps the endpoints' NATIVE dtype (caller
     guarantees src/dst share one comparable type): min-label then means
@@ -165,12 +168,43 @@ def connected_components_distributed(
             lambda t: pa.table({"node": t.column(dst), "label": t.column("label")}),
             batch_format="pyarrow",
         )
-        new_labels = (
+        # pin_blocks, not bare materialize: each round consumes `labels`
+        # twice (message join + changed-count join) and unions with
+        # msgs — without bounding blocks and severing stats lineage the
+        # loop doubles block count AND stats-tree size per round (the
+        # measured exponential from the Borůvka work; see
+        # hashagg.pin_blocks).
+        from kgray.kernels.hashagg import pin_blocks
+
+        prop = pin_blocks(
             labels.union(msgs)
             .groupby("node")
             .aggregate(MinAny("label", alias_name="label"))
-            .map_batches(_as_arrow([("node", "node"), ("label", "label")]), batch_format="pyarrow")
-        ).materialize()
+            .map_batches(_as_arrow([("node", "node"), ("label", "label")]), batch_format="pyarrow"),
+            num_partitions,
+        )
+        # Pointer-jump SHORTCUT: label ← min(label, label[label]) — one
+        # self-join per round turns plain min-label propagation's
+        # O(diameter) rounds into O(log diameter) (a chain's min label
+        # otherwise travels ONE hop per round; squaring the pointer
+        # doubles the hop). Labels are themselves node ids, so every
+        # label resolves in the label table (inner join is total).
+        short = prop.join(
+            prop.map_batches(_as_arrow([("node", "lnode"), ("label", "llabel")]),
+                             batch_format="pyarrow"),
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("label",),
+            right_on=("lnode",),
+        ).map_batches(
+            lambda t: pa.table({
+                "node": t.column("node"),
+                "label": pc.min_element_wise(t.column("label"),
+                                             t.column("llabel")),
+            }),
+            batch_format="pyarrow",
+        )
+        new_labels = pin_blocks(short, num_partitions)
         changed = (
             new_labels.map_batches(
                 _as_arrow([("node", "node"), ("label", "new_label")]), batch_format="pyarrow"
@@ -196,7 +230,7 @@ def connected_components_distributed(
         raise RuntimeError(
             f"connected_components_distributed did not converge in "
             f"{max_iters} rounds (last round changed {changed} labels); "
-            "raise max_iters (component diameter exceeds it)."
+            "raise max_iters (log2 of the component diameter exceeds it)."
         )
     return labels
 

@@ -221,6 +221,28 @@ def test_distributed_cc_raises_on_nonconvergence(ray_session):
     assert set(got.values()) == {"N:0"}
 
 
+def test_distributed_cc_long_chain_log_rounds(ray_session):
+    """Pointer-jump shortcutting: a 60-node chain converges well inside
+    25 rounds (plain min-label propagation would need 60 — this exact
+    input raised non-convergence before the shortcut)."""
+    import pyarrow as pa
+    import ray.data
+    from kgray.stages.canonical import connected_components_distributed
+
+    n = 60
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([f"N:{i:03d}" for i in range(n - 1)]),
+                "dst": pa.array([f"N:{i+1:03d}" for i in range(n - 1)]),
+            }
+        )
+    )
+    labels = connected_components_distributed(ds, num_partitions=2, max_iters=25)
+    got = {r["node"]: r["label"] for r in labels.take_all()}
+    assert len(got) == n and set(got.values()) == {"N:000"}
+
+
 def test_linker_non_ascii_curie():
     """UTF-8 curies/aliases survive the vectorized exact path (ADVICE
     r2: numpy .astype(str) decoded as ASCII and crashed)."""
