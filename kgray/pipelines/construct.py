@@ -560,7 +560,14 @@ def construct_kg(
 
         from kgray.kernels.hashagg import add_partition_column_arrow
 
-        P = max(8, num_partitions)
+        # Cap the node fleet WELL below the edge fleet: these tasks run
+        # while every core is busy with edge reduces, and each extra
+        # queued raw task can spawn a fresh worker process whose kgray
+        # import costs ~1-2 s — measured: P=64 node tasks alongside 64
+        # edge tasks ballooned the reduce half 8.8 → 28.7 s purely in
+        # worker spawn/import storm. 8 tasks × tens of kilorows is
+        # sub-second compute each.
+        P = 8
         tp = add_partition_column_arrow(nodes_t, ["id"], P)
         part_col = tp.column("__part")
         tp = tp.drop_columns(["__part"])
