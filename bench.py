@@ -180,6 +180,10 @@ BENCH_QUERIES = [
     "attribution",
     "shipping_delay",
     "edge_holdout",
+    "quality_classifier",
+    "string_agg",
+    "percentile_disc",
+    "cume_dist",
 ]
 
 

@@ -5040,6 +5040,131 @@ def q_edge_holdout(sf_dir: str):
     return out
 
 
+def q_string_agg(sf_dir: str):
+    """Per-user ORDERED event-type concatenation (SQL string_agg with
+    ORDER BY): one key exchange, partition-wide sort, vectorized
+    group-offset join (relational.string_agg_by)."""
+    from kgray.stages.relational import string_agg_by
+
+    ds = _events(sf_dir, ["user_id", "event_id", "event_type", "ts"])
+    return string_agg_by(ds, key="user_id", value_col="event_type",
+                         order_cols=["ts", "event_id"], sep="|",
+                         out_col="events")
+
+
+SQL_STRING_AGG = """
+SELECT user_id, string_agg(event_type, '|' ORDER BY ts, event_id) AS events
+FROM events GROUP BY user_id
+"""
+
+
+def q_percentile_disc(sf_dir: str):
+    """Per-event-type DISCRETE percentiles (always an actual member of
+    the group, unlike quantile_cont's interpolation): index arithmetic
+    over the sorted partition's group offsets
+    (relational.percentile_disc_by)."""
+    from kgray.stages.relational import percentile_disc_by
+
+    ds = _events(sf_dir, ["event_type", "value"])
+    return percentile_disc_by(ds, key="event_type", value_col="value",
+                              qs=(0.25, 0.9))
+
+
+SQL_PERCENTILE_DISC = """
+SELECT event_type, CAST(0.25 AS DOUBLE) AS q,
+       quantile_disc(value, 0.25) AS value
+FROM events GROUP BY event_type
+UNION ALL
+SELECT event_type, CAST(0.9 AS DOUBLE), quantile_disc(value, 0.9)
+FROM events GROUP BY event_type
+"""
+
+
+def q_cume_dist(sf_dir: str):
+    """CUME_DIST window function per event type over value — the tie
+    blocks resolve with one reverse-cummax over run ends, no per-group
+    Python (relational.cume_dist_by)."""
+    from kgray.stages.relational import cume_dist_by
+
+    ds = _events(sf_dir, ["event_type", "value"])
+    return cume_dist_by(ds, key="event_type", value_col="value")
+
+
+SQL_CUME_DIST = """
+SELECT event_type, value,
+       ROUND(cume_dist() OVER (PARTITION BY event_type ORDER BY value), 6) AS cd
+FROM events
+"""
+
+
+def q_quality_classifier(sf_dir: str):
+    """Distributed quality-classifier TRAINING (fastText-style filter
+    models): logistic regression fit by Newton/IRLS where every
+    iteration is one map pass emitting O(d²) algebraic partials — the
+    corpus never shuffles (kgray.stages.classify). Labels here are a
+    PLANTED linear rule over real per-doc features (log tokens, mean
+    word length, 'the'-rate) — the synthetic corpus carries no genuine
+    quality signal, so recovering the plant is the honest test of the
+    TRAINER, like the k-means / PCA self-asserts.
+
+    SELF-ASSERTS (rows-only; iterative optimization, not
+    SQL-expressible): Newton loss decreases monotonically, training
+    accuracy ≥ 0.97 against the planted rule, weights finite with the
+    plant's signs. Output: one row per coefficient + summary rows."""
+    import numpy as np
+
+    from kgray.stages.classify import logistic_regression, logistic_score
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def _feat(t: pa.Table) -> pa.Table:
+        text = t.column("text")
+        toks = pc.count_substring_regex(text, r"\S+").cast(pa.float64())
+        safe_t = pc.max_element_wise(toks, pa.scalar(1.0))
+        lt = pc.ln(pc.add(toks, pa.scalar(1.0)))
+        nonspace = pc.subtract(pc.utf8_length(text).cast(pa.float64()),
+                               pc.count_substring(text, " ").cast(pa.float64()))
+        awl = pc.divide(nonspace, safe_t)
+        tr = pc.divide(
+            pc.count_substring_regex(text, r"\bthe\b").cast(pa.float64()), safe_t)
+        z = (3.0 * lt.to_numpy(zero_copy_only=False)
+             + 2.0 * awl.to_numpy(zero_copy_only=False)
+             + 30.0 * tr.to_numpy(zero_copy_only=False) - 21.1)
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "lt": lt, "awl": awl, "tr": tr,
+            "y": pa.array((z > 0).astype(np.float64)),
+        })
+
+    # materialized: consumed once per Newton iteration + once to score
+    feats = docs.map_batches(_feat, batch_format="pyarrow").materialize()
+    cols = ["lt", "awl", "tr"]
+    fit = logistic_regression(feats, cols, "y", iters=10, l2=1e-3)
+    w = fit["weights"]
+    h = fit["history"]
+    assert all(h[i + 1] <= h[i] + 1e-9 for i in range(len(h) - 1)), (
+        "quality_classifier: Newton loss not monotone")
+    assert np.isfinite(w).all(), "quality_classifier: non-finite weights"
+    assert w[0] > 0 and w[1] > 0, "quality_classifier: plant signs lost"
+
+    # training accuracy via one distributed scoring pass + partial sums
+    def _acc(t: pa.Table) -> pa.Table:
+        pred = pc.greater_equal(t.column("score"), pa.scalar(0.5)).cast(pa.float64())
+        hit = pc.equal(pred, t.column("y")).cast(pa.int64())
+        return pa.table({"hits": pa.array([pc.sum(hit).as_py() or 0], pa.int64()),
+                         "n": pa.array([len(t)], pa.int64())})
+
+    parts = logistic_score(feats, w, cols).map_batches(
+        _acc, batch_format="pyarrow").to_pandas()
+    acc = float(parts["hits"].sum()) / max(int(parts["n"].sum()), 1)
+    assert acc >= 0.97, f"quality_classifier: train accuracy {acc:.3f} < 0.97"
+
+    names = cols + ["__intercept", "__train_accuracy", "__iters"]
+    vals = list(np.round(w, 6)) + [round(acc, 6), float(len(h))]
+    return pa.table({"name": pa.array(names, pa.string()),
+                     "value": pa.array(vals, pa.float64())})
+
+
 QUERIES = {
     "kgx_node_merge": q_kgx_node_merge,
     "kgx_edge_dedup": q_kgx_edge_dedup,
@@ -5193,6 +5318,10 @@ QUERIES = {
     "multimodal_dedup": q_multimodal_dedup,
     "shipping_delay": q_shipping_delay,
     "edge_holdout": q_edge_holdout,
+    "quality_classifier": q_quality_classifier,
+    "string_agg": q_string_agg,
+    "percentile_disc": q_percentile_disc,
+    "cume_dist": q_cume_dist,
 }
 
 ORACLES = {
@@ -5326,6 +5455,9 @@ ORACLES = {
     "lexical_diversity": SQL_LEXICAL_DIVERSITY,
     "attribution": SQL_ATTRIBUTION,
     "shipping_delay": SQL_SHIPPING_DELAY,
+    "string_agg": SQL_STRING_AGG,
+    "percentile_disc": SQL_PERCENTILE_DISC,
+    "cume_dist": SQL_CUME_DIST,
     # rows-only (non-SQL-expressible): ann_lsh (LSH recall is
     # probabilistic), construct_kg / extract_text (self-checking
     # against generator goldens), multimodal_features (decode stub)

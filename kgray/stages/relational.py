@@ -979,3 +979,135 @@ def first_last_by(
 
     return grouped_apply(ds, [key], _reduce, num_partitions=num_partitions,
                          map_side=_ends)
+
+
+def string_agg_by(
+    ds: Dataset,
+    key: str,
+    value_col: str,
+    order_cols: Sequence[str],
+    sep: str = "|",
+    out_col: str = "agg",
+    num_partitions: Optional[int] = None,
+) -> Dataset:
+    """Per-group ORDERED string concatenation (SQL ``string_agg(v, sep
+    ORDER BY ...)``) — give ``order_cols`` a unique final column and the
+    output is total-order deterministic.
+
+    One key-hash exchange moves ``(key, order_cols, value)`` rows; the
+    reduce sorts its whole partition once (C mergesort) and joins each
+    group's values via one vectorized offset pass (np.add.reduceat-
+    style building through ''.join over precomputed slices — no
+    per-group Python re-dispatch beyond the final join calls). Ordered
+    concat is NOT a monoid without carrying the order key, so there is
+    deliberately no map-side combiner — the rows must meet sorted.
+    """
+    order_cols = list(order_cols)
+    if num_partitions is None:
+        num_partitions = auto_partitions()
+
+    def _agg(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({key: df[key], out_col: df[value_col]})
+        df = df.sort_values([key] + order_cols, kind="mergesort")
+        vals = df[value_col].astype(str).to_numpy()
+        keys = df[key].to_numpy()
+        starts = np.concatenate([[0], 1 + np.flatnonzero(keys[1:] != keys[:-1])])
+        ends = np.concatenate([starts[1:], [len(keys)]])
+        return pd.DataFrame({
+            key: keys[starts],
+            out_col: [sep.join(vals[s:e]) for s, e in zip(starts, ends)],
+        })
+
+    pruned = ds.select_columns([key] + order_cols + [value_col])
+    return grouped_apply(pruned, [key], _agg, num_partitions=num_partitions)
+
+
+def percentile_disc_by(
+    ds: Dataset,
+    key: str,
+    value_col: str,
+    qs: Sequence[float] = (0.5,),
+    num_partitions: Optional[int] = None,
+) -> Dataset:
+    """Per-group DISCRETE percentile (SQL ``quantile_disc`` /
+    ``percentile_disc``): the element at 1-based rank ``ceil(q·n)`` of
+    the sorted group — always an actual group member, never an
+    interpolation. One key-hash exchange; the reduce sorts its
+    partition once and gathers every (group, q) answer with pure index
+    arithmetic over the group offsets."""
+    qs = [float(q) for q in qs]
+    if num_partitions is None:
+        num_partitions = auto_partitions()
+
+    def _disc(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({key: df[key], "q": pd.Series(dtype="float64"),
+                                 "value": df[value_col]})
+        df = df.sort_values([key, value_col], kind="mergesort")
+        keys = df[key].to_numpy()
+        vals = df[value_col].to_numpy()
+        starts = np.concatenate([[0], 1 + np.flatnonzero(keys[1:] != keys[:-1])])
+        ends = np.concatenate([starts[1:], [len(keys)]])
+        n = ends - starts
+        out_k, out_q, out_v = [], [], []
+        for q in qs:
+            # epsilon guards the exact-integer products against float
+            # drift (0.7·10 must stay rank 7, not ceil to 8)
+            idx = starts + np.maximum(
+                np.ceil(q * n - 1e-9).astype(np.int64), 1) - 1
+            out_k.append(keys[starts])
+            out_q.append(np.full(len(starts), q))
+            out_v.append(vals[idx])
+        return pd.DataFrame({key: np.concatenate(out_k),
+                             "q": np.concatenate(out_q),
+                             "value": np.concatenate(out_v)})
+
+    pruned = ds.select_columns([key, value_col])
+    return grouped_apply(pruned, [key], _disc, num_partitions=num_partitions)
+
+
+def cume_dist_by(
+    ds: Dataset,
+    key: str,
+    value_col: str,
+    out_col: str = "cd",
+    round_digits: int = 6,
+    num_partitions: Optional[int] = None,
+) -> Dataset:
+    """SQL ``CUME_DIST() OVER (PARTITION BY key ORDER BY value)``: for
+    each row, (number of peers with value ≤ its value) / group size —
+    ties share one value (the count of the LAST peer in the tie). One
+    key-hash exchange; the reduce sorts once and resolves every tie
+    block with one reverse-cummax over the run-end positions."""
+    if num_partitions is None:
+        num_partitions = auto_partitions()
+
+    def _cd(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            out = df.copy()
+            out[out_col] = pd.Series(dtype="float64")
+            return out
+        df = df.sort_values([key, value_col], kind="mergesort").reset_index(drop=True)
+        keys = df[key].to_numpy()
+        vals = df[value_col].to_numpy()
+        m = len(df)
+        gstart = np.concatenate([[0], 1 + np.flatnonzero(keys[1:] != keys[:-1])])
+        gid = np.zeros(m, np.int64)
+        gid[gstart] = 1
+        gid = np.cumsum(gid) - 1
+        gends = np.concatenate([gstart[1:], [m]])
+        n = (gends - gstart)[gid].astype(np.float64)
+        # position of the LAST row of each tie run, +1 = "<= count"
+        new_run = np.ones(m, bool)
+        new_run[1:] = (vals[1:] != vals[:-1]) | (keys[1:] != keys[:-1])
+        run_id = np.cumsum(new_run) - 1
+        run_last = np.zeros(run_id[-1] + 1, np.int64)
+        np.maximum.at(run_last, run_id, np.arange(m))
+        le_count = (run_last[run_id] + 1 - gstart[gid]).astype(np.float64)
+        out = df
+        out[out_col] = np.round(le_count / n, round_digits)
+        return out
+
+    pruned = ds.select_columns([key, value_col])
+    return grouped_apply(pruned, [key], _cd, num_partitions=num_partitions)

@@ -346,3 +346,61 @@ def test_explode_list_nulls_empties_positions(ray_session):
     assert got["id"].tolist() == [1, 1, 1, 4]
     assert got["pos"].tolist() == [0, 1, 2, 0]
     assert got["val"].tolist() == [10, 11, 12, 7]
+
+
+def test_string_agg_by_order_and_types(ray_session):
+    import duckdb
+
+    from kgray.stages.relational import string_agg_by
+
+    df = pd.DataFrame({
+        "g": [1, 1, 1, 2, 2],
+        "t": [3, 1, 2, 5, 4],
+        "i": [30, 10, 20, 50, 40],
+        "v": ["c", "a", "b", "e", "d"],
+    })
+    got = (string_agg_by(ray.data.from_pandas(df), key="g", value_col="v",
+                         order_cols=["t", "i"], sep=",", num_partitions=3)
+           .to_pandas().sort_values("g").reset_index(drop=True))
+    want = duckdb.sql("""
+        SELECT g, string_agg(v, ',' ORDER BY t, i) AS agg
+        FROM df GROUP BY g ORDER BY g""").df()
+    assert got["agg"].tolist() == want["agg"].tolist() == ["a,b,c", "d,e"]
+
+
+def test_percentile_disc_matches_duckdb(ray_session):
+    import duckdb
+
+    from kgray.stages.relational import percentile_disc_by
+
+    rng = np.random.RandomState(4)
+    df = pd.DataFrame({"g": rng.randint(0, 5, 300),
+                       "v": rng.randn(300).round(3)})
+    got = (percentile_disc_by(ray.data.from_pandas(df), key="g",
+                              value_col="v", qs=(0.1, 0.5, 0.7),
+                              num_partitions=3)
+           .to_pandas().sort_values(["g", "q"]).reset_index(drop=True))
+    want = duckdb.sql("""
+        SELECT g, 0.1 AS q, quantile_disc(v, 0.1) AS value FROM df GROUP BY g
+        UNION ALL
+        SELECT g, 0.5, quantile_disc(v, 0.5) FROM df GROUP BY g
+        UNION ALL
+        SELECT g, 0.7, quantile_disc(v, 0.7) FROM df GROUP BY g
+        ORDER BY g, q""").df()
+    assert np.allclose(got["value"].to_numpy(), want["value"].to_numpy())
+
+
+def test_cume_dist_ties_match_duckdb(ray_session):
+    import duckdb
+
+    from kgray.stages.relational import cume_dist_by
+
+    df = pd.DataFrame({"g": [1] * 6 + [2] * 3,
+                       "v": [1.0, 2.0, 2.0, 2.0, 3.0, 3.0, 7.0, 7.0, 9.0]})
+    got = (cume_dist_by(ray.data.from_pandas(df), key="g", value_col="v",
+                        num_partitions=2)
+           .to_pandas().sort_values(["g", "v"]).reset_index(drop=True))
+    want = duckdb.sql("""
+        SELECT g, v, ROUND(cume_dist() OVER (PARTITION BY g ORDER BY v), 6) AS cd
+        FROM df ORDER BY g, v""").df()
+    assert got["cd"].tolist() == want["cd"].tolist()
