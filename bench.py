@@ -184,6 +184,7 @@ BENCH_QUERIES = [
     "string_agg",
     "percentile_disc",
     "cume_dist",
+    "bigram_nll",
 ]
 
 

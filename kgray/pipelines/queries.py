@@ -5040,6 +5040,42 @@ def q_edge_holdout(sf_dir: str):
     return out
 
 
+def q_bigram_nll(sf_dir: str):
+    """Interpolated bigram LM quality score (the CCNet filter one order
+    up from unigram_nll): two combiner-fronted model exchanges, then a
+    size-switched scoring pass — broadcast map-only here, three-join
+    path above the model limit (corpus.bigram_nll)."""
+    from kgray.stages.corpus import bigram_nll
+
+    return bigram_nll(_docs(sf_dir, ["doc_id", "text"]))
+
+
+SQL_BIGRAM_NLL = """
+WITH words AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM documents
+), tok AS (
+  SELECT doc_id, unnest(w) AS tok FROM words
+), uni AS (
+  SELECT tok, CAST(COUNT(*) AS DOUBLE) AS c FROM tok GROUP BY 1
+), tot AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM tok
+), bg AS (
+  SELECT doc_id, w[i] AS cur, w[i+1] AS nxt
+  FROM words, UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+  WHERE len(w) >= 2
+), bc AS (
+  SELECT cur, nxt, CAST(COUNT(*) AS DOUBLE) AS c12 FROM bg GROUP BY 1, 2
+)
+SELECT bg.doc_id,
+       ROUND(-AVG(LN(0.9 * (bc.c12 / u1.c) + 0.1 * (u2.c / tot.n))), 6) AS nll
+FROM bg JOIN bc USING (cur, nxt)
+        JOIN uni u1 ON u1.tok = bg.cur
+        JOIN uni u2 ON u2.tok = bg.nxt
+        CROSS JOIN tot
+GROUP BY bg.doc_id
+"""
+
+
 def q_string_agg(sf_dir: str):
     """Per-user ORDERED event-type concatenation (SQL string_agg with
     ORDER BY): one key exchange, partition-wide sort, vectorized
@@ -5320,6 +5356,7 @@ QUERIES = {
     "edge_holdout": q_edge_holdout,
     "quality_classifier": q_quality_classifier,
     "string_agg": q_string_agg,
+    "bigram_nll": q_bigram_nll,
     "percentile_disc": q_percentile_disc,
     "cume_dist": q_cume_dist,
 }
@@ -5456,6 +5493,7 @@ ORACLES = {
     "attribution": SQL_ATTRIBUTION,
     "shipping_delay": SQL_SHIPPING_DELAY,
     "string_agg": SQL_STRING_AGG,
+    "bigram_nll": SQL_BIGRAM_NLL,
     "percentile_disc": SQL_PERCENTILE_DISC,
     "cume_dist": SQL_CUME_DIST,
     # rows-only (non-SQL-expressible): ann_lsh (LSH recall is

@@ -1664,3 +1664,161 @@ def lexical_diversity(
 
     return ds.select_columns([id_col, text_col]).map_batches(
         _div, batch_format="pyarrow")
+
+
+def bigram_nll(
+    ds: Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lam: float = 0.9,
+    num_partitions: Optional[int] = None,
+    model_broadcast_limit: int = 2_000_000,
+) -> Dataset:
+    """Interpolated BIGRAM LM quality score (the CCNet/KenLM filter one
+    order up from :func:`unigram_nll`): per-doc mean negative
+    log-likelihood of its adjacent word pairs under the corpus-trained
+    model ``p(w2|w1) = λ·c12/c1 + (1−λ)·c2/N``. Docs with < 2 tokens
+    are dropped (no bigrams — SQL GROUP BY semantics). Self-trained on
+    the scored corpus, so every doc bigram has c12 ≥ 1 and the model is
+    total.
+
+    Two model-statistics exchanges (unigram counts keyed by token,
+    bigram counts keyed by the pair — both combiner-fronted), then a
+    SIZE-SWITCHED scoring pass:
+
+    * model rows ≤ ``model_broadcast_limit``: counts broadcast via one
+      ``ray.put`` each and scoring is map-only — the corpus never
+      shuffles (the sf-scale and modest-vocab path);
+    * above the limit (web-scale vocabularies): the corpus's exploded
+      ``(doc_id, cur, nxt)`` bigram rows ride THREE hash joins against
+      the count Datasets (pair, left unigram, right unigram) and a
+      final doc-keyed grouped mean with a (sum, count) map-side monoid
+      — nothing driver-side. Both paths pinned equal by the
+      forced-switch pytest.
+    """
+    import ray
+
+    from kgray.kernels.hashagg import (auto_partitions, grouped_apply,
+                                       register_schema, stable_round)
+
+    if num_partitions is None:
+        num_partitions = auto_partitions()
+
+    def _bigrams(t: pa.Table, with_doc: bool) -> pa.Table:
+        flat, off = flat_words(t.column(text_col))
+        words = flat.to_numpy(zero_copy_only=False)
+        n = len(words)
+        if n < 1:
+            cols = {"cur": pa.array([], pa.string()),
+                    "nxt": pa.array([], pa.string())}
+            if with_doc:
+                cols[id_col] = t.column(id_col).slice(0, 0)
+            return pa.table(cols)
+        starts = np.zeros(n, dtype=bool)
+        starts[off[:-1][off[:-1] < n]] = True
+        inside = ~starts[1:]
+        cur, nxt = words[:-1][inside], words[1:][inside]
+        cols = {"cur": pa.array(cur, pa.string()),
+                "nxt": pa.array(nxt, pa.string())}
+        if with_doc:
+            doc_of = (np.cumsum(starts) - 1)[:-1][inside]
+            cols[id_col] = t.column(id_col).take(pa.array(doc_of))
+        return pa.table(cols)
+
+    def _uni_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("tok", as_index=False, sort=False)["c"].sum()
+
+    def _toks(t: pa.Table) -> pa.Table:
+        flat, _ = flat_words(t.column(text_col))
+        return pa.table({"tok": flat, "c": pa.array(np.ones(len(flat), np.int64))})
+
+    pruned = ds.select_columns([id_col, text_col])
+    uni = grouped_apply(pruned.map_batches(_toks, batch_format="pyarrow"),
+                        ["tok"], _uni_partial, num_partitions=num_partitions,
+                        map_side=_uni_partial).materialize()
+
+    def _bi_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["cur", "nxt"], as_index=False, sort=False)["c"].sum()
+
+    bi = grouped_apply(
+        pruned.map_batches(lambda t: _bigrams(t, False), batch_format="pyarrow")
+        .map_batches(lambda t: t.append_column(
+            "c", pa.array(np.ones(len(t), np.int64))), batch_format="pyarrow"),
+        ["cur", "nxt"], _bi_partial, num_partitions=num_partitions,
+        map_side=_bi_partial).materialize()
+
+    n_total = 0
+    for b in uni.map_batches(
+            lambda df: pd.DataFrame({"n": [int(df["c"].sum())]}),
+            batch_format="pandas").iter_batches(batch_format="pyarrow"):
+        n_total += int(b.column("n").to_numpy().sum())
+    N = float(n_total)
+
+    if uni.count() + bi.count() <= model_broadcast_limit:
+        uref = ray.put({r["tok"]: r["c"] for r in uni.take_all()})
+        bref = ray.put({f'{r["cur"]}\x1f{r["nxt"]}': r["c"] for r in bi.take_all()})
+
+        def _score(t: pa.Table) -> pa.Table:
+            um = ray.get(uref) if isinstance(uref, ray.ObjectRef) else uref
+            bm = ray.get(bref) if isinstance(bref, ray.ObjectRef) else bref
+            bt = _bigrams(t, True)
+            if len(bt) == 0:
+                return pa.table({id_col: t.column(id_col).slice(0, 0),
+                                 "nll": pa.array([], pa.float64())})
+            cur = bt.column("cur").to_pandas()
+            nxt = bt.column("nxt").to_pandas()
+            keys = cur.str.cat(nxt, sep="\x1f")
+            c12 = keys.map(bm).to_numpy(np.float64)
+            c1 = cur.map(um).to_numpy(np.float64)
+            c2 = nxt.map(um).to_numpy(np.float64)
+            logp = np.log(lam * (c12 / c1) + (1.0 - lam) * (c2 / N))
+            df = pd.DataFrame({id_col: bt.column(id_col).to_pandas(), "lp": logp})
+            g = df.groupby(id_col, sort=False)["lp"].agg(["sum", "size"])
+            return pa.table({
+                id_col: pa.array(g.index.to_numpy(),
+                                 type=t.column(id_col).type),
+                "nll": stable_round(
+                    pa.array(-(g["sum"] / g["size"]).to_numpy(), pa.float64()), 6),
+            })
+
+        return pruned.map_batches(_score, batch_format="pyarrow")
+
+    # ---- join path (model too large to broadcast) -----------------------
+    from kgray.stages.relational import hash_join
+
+    id_type = None  # resolved lazily from the first join's schema hints
+    bg = pruned.map_batches(lambda t: _bigrams(t, True), batch_format="pyarrow")
+    bi_j = bi.map_batches(
+        lambda df: df.rename(columns={"c": "c12"}), batch_format="pandas")
+    j1 = hash_join(bg, bi_j, on=["cur", "nxt"], how="inner",
+                   num_partitions=num_partitions)
+    u1 = uni.map_batches(lambda df: df.rename(columns={"tok": "cur", "c": "c1"}),
+                         batch_format="pandas")
+    j2 = hash_join(j1, u1, on="cur", how="inner", num_partitions=num_partitions)
+    u2 = uni.map_batches(lambda df: df.rename(columns={"tok": "nxt", "c": "c2"}),
+                         batch_format="pandas")
+    j3 = hash_join(j2, u2, on="nxt", how="inner", num_partitions=num_partitions)
+
+    def _lp(t: pa.Table) -> pa.Table:
+        c12 = t.column("c12").to_numpy(zero_copy_only=False).astype(np.float64)
+        c1 = t.column("c1").to_numpy(zero_copy_only=False).astype(np.float64)
+        c2 = t.column("c2").to_numpy(zero_copy_only=False).astype(np.float64)
+        lp = np.log(lam * (c12 / c1) + (1.0 - lam) * (c2 / N))
+        return pa.table({id_col: t.column(id_col),
+                         "lp_sum": pa.array(lp, pa.float64()),
+                         "n": pa.array(np.ones(len(t), np.int64))})
+
+    def _fold(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(id_col, as_index=False, sort=False).agg(
+            lp_sum=("lp_sum", "sum"), n=("n", "sum"))
+
+    def _finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = _fold(df)
+        out = pd.DataFrame({id_col: df[id_col],
+                            "nll": -(df["lp_sum"] / df["n"])})
+        out["nll"] = out["nll"].round(6)
+        return out
+
+    return grouped_apply(j3.map_batches(_lp, batch_format="pyarrow"),
+                         [id_col], _finish, num_partitions=num_partitions,
+                         map_side=_fold)

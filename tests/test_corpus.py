@@ -442,3 +442,54 @@ def test_corpus_diff_classifies(ray_session):
     assert got == {1: "removed", 3: "changed", 4: "removed", 5: "added"}
     # unchanged id 2 dropped entirely
     assert 2 not in got
+
+
+def test_bigram_nll_hand_example_and_forced_join_path(ray_session):
+    """Interpolated bigram NLL: hand-computed on a 3-doc corpus, and the
+    forced join path (model_broadcast_limit=0) equals the broadcast
+    path to float tolerance."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from kgray.stages.corpus import bigram_nll
+
+    texts = ["a b a b", "a b", "c"]  # doc 2 has no bigrams -> dropped
+    df = pd.DataFrame({"doc_id": [0, 1, 2], "text": texts})
+    ds = ray.data.from_pandas(df)
+    got = (bigram_nll(ds, model_broadcast_limit=2_000_000)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    # model: tokens a:3 b:3 c:1, N=7; bigrams: (a,b):3 (b,a):1
+    N = 7.0
+    p_ab = 0.9 * (3 / 3) + 0.1 * (3 / N)
+    p_ba = 0.9 * (1 / 3) + 0.1 * (3 / N)
+    want0 = -(2 * np.log(p_ab) + np.log(p_ba)) / 3
+    want1 = -np.log(p_ab)
+    assert got["doc_id"].tolist() == [0, 1]
+    assert np.allclose(got["nll"], [round(want0, 6), round(want1, 6)], atol=2e-6)
+
+    joined = (bigram_nll(ds, model_broadcast_limit=0)
+              .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert joined["doc_id"].tolist() == got["doc_id"].tolist()
+    assert np.allclose(joined["nll"], got["nll"], atol=2e-6)
+
+
+def test_bigram_nll_join_path_matches_broadcast_random(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from kgray.stages.corpus import bigram_nll
+
+    rng = np.random.RandomState(8)
+    vocab = [f"w{j}" for j in range(30)]
+    texts = [" ".join(rng.choice(vocab, size=rng.randint(2, 40)))
+             for _ in range(150)]
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    ds = ray.data.from_pandas(df).repartition(4)
+    a = (bigram_nll(ds).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    b = (bigram_nll(ds, model_broadcast_limit=0).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    assert a["doc_id"].tolist() == b["doc_id"].tolist()
+    assert np.allclose(a["nll"], b["nll"], atol=2e-6)
