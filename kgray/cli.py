@@ -5,8 +5,12 @@ Subcommands mirror the reference's click CLI (run.py:56-273):
   merge      — reference-conformant KGX merge from a YAML config or a
                data directory (naming-convention discovery, S8)
   construct  — the web-scale pages→KG construction pipeline
-  download   — gated (no network; validates the YAML plan only)
-  query      — gated (SPARQL endpoint; converts saved JSON instead)
+  download   — validate a YAML plan; --fetch downloads over HTTP(S)
+  query      — convert saved SPARQL JSON to TSV, or --endpoint to run
+               the query over the SPARQL 1.1 protocol
+  holdouts   — connectivity-preserving ML edge holdouts (the reference
+               declares this command but raises NotImplementedError;
+               here it runs: spanning forest + sampled negatives)
 
 This entry point OWNS the Ray session (guarded init); library code
 never initializes Ray.
@@ -69,12 +73,25 @@ def main(argv=None) -> int:
     pc.add_argument("--out", required=True)
     pc.add_argument("--no-resume", action="store_true")
 
-    pd = sub.add_parser("download", help="validate a download YAML plan (fetch is gated)")
+    pd = sub.add_parser("download", help="validate a download YAML plan; --fetch to download")
     pd.add_argument("--config", required=True)
+    pd.add_argument("--fetch", action="store_true")
+    pd.add_argument("--output-dir", default="data/raw")
+    pd.add_argument("--snippet-only", action="store_true")
 
-    pq = sub.add_parser("query", help="convert saved SPARQL JSON results to TSV")
-    pq.add_argument("--input-json", required=True)
+    pq = sub.add_parser("query", help="SPARQL: saved JSON → TSV, or --endpoint to execute")
+    pq.add_argument("--input-json")
+    pq.add_argument("--query")
+    pq.add_argument("--endpoint")
     pq.add_argument("--output-tsv", required=True)
+
+    ph = sub.add_parser("holdouts", help="connectivity-preserving ML edge holdouts")
+    ph.add_argument("-n", "--nodes", help="nodes KGX TSV (unused; parity with the reference signature)")
+    ph.add_argument("-e", "--edges", required=True, help="edges KGX TSV")
+    ph.add_argument("-o", "--output-dir", required=True)
+    ph.add_argument("-t", "--train-fraction", type=float, default=0.8)
+    ph.add_argument("-v", "--validation", action="store_true")
+    ph.add_argument("--seed", type=int, default=13)
 
     pv = sub.add_parser("convert", help="convert between tsv / jsonl / parquet")
     pv.add_argument("--input", required=True, nargs="+")
@@ -114,11 +131,43 @@ def main(argv=None) -> int:
         return 0
 
     if args.cmd == "download":
-        from kgray.sources.download import plan_downloads
+        from kgray.sources.download import download, plan_downloads
 
         plan = plan_downloads(args.config)
         print(json.dumps([vars(i) for i in plan]))
-        print("fetch is gated in this environment (no network)", file=sys.stderr)
+        if args.fetch:
+            paths = download(args.config, args.output_dir,
+                             snippet_only=args.snippet_only)
+            print(json.dumps(paths))
+        return 0
+
+    if args.cmd == "holdouts":
+        _ensure_ray(args.num_cpus)
+        import os
+
+        from kgray.sources.kgx_tsv import load_kgx_files
+        from kgray.stages.holdout import edge_holdout
+
+        edges = load_kgx_files([args.edges])
+        out = edge_holdout(edges, src="subject", dst="object",
+                           train_fraction=args.train_fraction,
+                           seed=args.seed, validation=args.validation,
+                           neg_train=True)
+        os.makedirs(args.output_dir, exist_ok=True)
+        df = out.to_pandas().sort_values(["split", "u", "v"])
+        name_map = {"pos_train": "pos_train_edges.tsv",
+                    "pos_test": "pos_test_edges.tsv",
+                    "pos_valid": "pos_valid_edges.tsv",
+                    "neg_train": "neg_train.tsv",
+                    "neg_test": "neg_test.tsv",
+                    "neg_valid": "neg_valid.tsv"}
+        written = {}
+        for split, g in df.groupby("split"):
+            path = os.path.join(args.output_dir, name_map[str(split)])
+            g[["u", "v"]].rename(columns={"u": "subject", "v": "object"}).to_csv(
+                path, sep="\t", index=False)
+            written[str(split)] = len(g)
+        print(json.dumps(written))
         return 0
 
     if args.cmd == "convert":
@@ -139,10 +188,18 @@ def main(argv=None) -> int:
         return 0
 
     if args.cmd == "query":
-        from kgray.sources.sparql import result_dict_to_tsv
+        from kgray.sources.sparql import result_dict_to_tsv, run_query
 
-        with open(args.input_json) as f:
-            result_dict_to_tsv(json.load(f), args.output_tsv)
+        if args.endpoint:
+            if not args.query:
+                p.error("--endpoint requires --query")
+            result = run_query(args.query, args.endpoint)
+        else:
+            if not args.input_json:
+                p.error("provide --input-json or --endpoint/--query")
+            with open(args.input_json) as f:
+                result = json.load(f)
+        result_dict_to_tsv(result, args.output_tsv)
         print(args.output_tsv)
         return 0
 

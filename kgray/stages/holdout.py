@@ -389,12 +389,16 @@ def edge_holdout(
     node_broadcast_limit: int = 5_000_000,
     num_partitions: Optional[int] = None,
     neg_oversample: float = 1.6,
+    neg_train: bool = False,
 ) -> Dataset:
     """Connectivity-preserving positive/negative edge holdout (module
     docstring; reference ``run.py:210-273`` semantics). Output: one row
     per edge as ``(u, v, split)`` with split ∈ {pos_train, pos_test,
     neg_test} (+ pos_valid/neg_valid under ``validation=True``, test
     hash-parity-halved as the reference's "divided equally").
+    ``neg_train=True`` additionally samples ``|pos_train|`` more
+    negatives emitted as split ``neg_train`` — the reference CLI writes
+    BOTH negative files.
 
     Guarantees (each pinned by pytest + the registry self-asserts):
     pos_train ∪ pos_test = the distinct canonical edge set, disjoint;
@@ -472,8 +476,9 @@ def edge_holdout(
         assert n2 == n_nodes
         idx = idx.materialize()  # joined twice (both candidate endpoints)
 
-    if k > 0 and n_nodes >= 2:
-        n_cand = int(k * neg_oversample) + 64
+    k_neg = k + (m - k if neg_train else 0)
+    if k_neg > 0 and n_nodes >= 2:
+        n_cand = int(k_neg * neg_oversample) + 64
         s = np.uint64((seed * 0x9E3779B1 + 0xA5A5) & 0xFFFFFFFFFFFFFFFF)
 
         def _mk(t: pa.Table) -> pa.Table:
@@ -532,14 +537,23 @@ def edge_holdout(
             pa.schema([("u", ntype), ("v", ntype), ("i", pa.int64())]))
         neg_pool = hash_join(cand_e, E, on=["u", "v"], how="anti",
                              num_partitions=num_partitions)
-        negs = neg_pool.sort(["i"]).limit(k).drop_columns(["i"]).materialize()
-        if negs.count() < k:
+        neg_all = neg_pool.sort(["i"]).limit(k_neg).materialize()
+        if neg_all.count() < k_neg:
             raise ValueError(
-                f"edge_holdout: only {negs.count()} negative pairs found for "
-                f"{k} requested — graph too dense for neg_oversample="
+                f"edge_holdout: only {neg_all.count()} negative pairs found "
+                f"for {k_neg} requested — graph too dense for neg_oversample="
                 f"{neg_oversample}; raise it.")
+        # deterministic split by candidate rank: the k lowest-rank
+        # negatives are the test pool, the rest the train pool
+        ranks = sorted(r["i"] for r in neg_all.select_columns(["i"]).take_all())
+        cut = ranks[k - 1] if k > 0 else -1
+        negs = (neg_all.filter(expr=f"i <= {cut}").drop_columns(["i"])
+                .materialize() if k > 0 else E.limit(0))
+        negs_train = (neg_all.filter(expr=f"i > {cut}").drop_columns(["i"])
+                      .materialize() if neg_train and k_neg > k else None)
     else:
         negs = E.limit(0)
+        negs_train = None
 
     # ---- assemble -------------------------------------------------------
     def _tag(name: str):
@@ -567,6 +581,9 @@ def edge_holdout(
     else:
         parts.append(pos_test.map_batches(_tag("pos_test"), batch_format="pyarrow"))
         parts.append(negs.map_batches(_tag("neg_test"), batch_format="pyarrow"))
+    if negs_train is not None:
+        parts.append(negs_train.map_batches(_tag("neg_train"),
+                                            batch_format="pyarrow"))
     out = parts[0]
     for p in parts[1:]:
         out = out.union(p)

@@ -188,3 +188,34 @@ def test_boruvka_random_graph_matches_components(ray_session, limit):
     n_comp = len(set(comps.values()))
     assert len(F) == len(nodes) - n_comp
     assert _uf_components(F, nodes) == comps
+
+
+def test_cli_holdouts(tmp_path):
+    """Reference `kg holdouts` CLI surface — runs end-to-end and writes
+    the documented file set (pos_train/pos_test edges + both negative
+    files; the reference declares this command but raises)."""
+    import json
+    import subprocess
+    import sys
+
+    # a graph with cycles so non-tree edges exist
+    edges = tmp_path / "edges.tsv"
+    rows = ["subject\tpredicate\tobject"]
+    for i in range(8):
+        rows.append(f"N:{i}\tp\tN:{(i + 1) % 8}")   # 8-cycle
+    rows += ["N:0\tp\tN:4", "N:1\tp\tN:5"]          # chords
+    edges.write_text("\n".join(rows) + "\n")
+    out = tmp_path / "holdouts"
+    r = subprocess.run(
+        [sys.executable, "-m", "kgray.cli", "--num-cpus", "4", "holdouts",
+         "-e", str(edges), "-o", str(out), "-t", "0.8"],
+        capture_output=True, text=True, cwd="/root/repo")
+    assert r.returncode == 0, r.stderr[-2000:]
+    counts = json.loads(r.stdout.strip().splitlines()[-1])
+    assert counts["pos_test"] == 2  # int(0.2 * 10)
+    assert counts["pos_train"] == 8
+    assert counts["neg_test"] == 2 and counts["neg_train"] == 8
+    got = (out / "pos_test_edges.tsv").read_text().splitlines()
+    assert got[0] == "subject\tobject" and len(got) == 3
+    for f in ("pos_train_edges.tsv", "neg_train.tsv", "neg_test.tsv"):
+        assert (out / f).exists()
