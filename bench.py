@@ -185,6 +185,7 @@ BENCH_QUERIES = [
     "percentile_disc",
     "cume_dist",
     "bigram_nll",
+    "profile",
 ]
 
 

@@ -5040,6 +5040,42 @@ def q_edge_holdout(sf_dir: str):
     return out
 
 
+def q_profile(sf_dir: str):
+    """Data-profiling summary per column (null count, exact distinct,
+    native-typed min/max rendered as strings): algebraic partials for
+    the scalar stats + ONE melted (column, value) exchange for the
+    exact distincts — shuffle volume O(distinct pairs), never
+    rows × columns (relational.profile_columns)."""
+    from kgray.stages.relational import profile_columns
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_orderkey"])
+    return profile_columns(ds, ["l_returnflag", "l_quantity", "l_orderkey"])
+
+
+SQL_PROFILE = """
+SELECT 'l_returnflag' AS "column", CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(COUNT(*) - COUNT(l_returnflag) AS BIGINT) AS n_null,
+  CAST(COUNT(DISTINCT l_returnflag) AS BIGINT) AS n_distinct,
+  CAST(MIN(l_returnflag) AS VARCHAR) AS min_str,
+  CAST(MAX(l_returnflag) AS VARCHAR) AS max_str
+FROM lineitem
+UNION ALL
+SELECT 'l_quantity', CAST(COUNT(*) AS BIGINT),
+  CAST(COUNT(*) - COUNT(l_quantity) AS BIGINT),
+  CAST(COUNT(DISTINCT l_quantity) AS BIGINT),
+  CAST(MIN(l_quantity) AS VARCHAR), CAST(MAX(l_quantity) AS VARCHAR)
+FROM lineitem
+UNION ALL
+SELECT 'l_orderkey', CAST(COUNT(*) AS BIGINT),
+  CAST(COUNT(*) - COUNT(l_orderkey) AS BIGINT),
+  CAST(COUNT(DISTINCT l_orderkey) AS BIGINT),
+  CAST(MIN(l_orderkey) AS VARCHAR), CAST(MAX(l_orderkey) AS VARCHAR)
+FROM lineitem
+"""
+
+
 def q_bigram_nll(sf_dir: str):
     """Interpolated bigram LM quality score (the CCNet filter one order
     up from unigram_nll): two combiner-fronted model exchanges, then a
@@ -5357,6 +5393,7 @@ QUERIES = {
     "quality_classifier": q_quality_classifier,
     "string_agg": q_string_agg,
     "bigram_nll": q_bigram_nll,
+    "profile": q_profile,
     "percentile_disc": q_percentile_disc,
     "cume_dist": q_cume_dist,
 }
@@ -5494,6 +5531,7 @@ ORACLES = {
     "shipping_delay": SQL_SHIPPING_DELAY,
     "string_agg": SQL_STRING_AGG,
     "bigram_nll": SQL_BIGRAM_NLL,
+    "profile": SQL_PROFILE,
     "percentile_disc": SQL_PERCENTILE_DISC,
     "cume_dist": SQL_CUME_DIST,
     # rows-only (non-SQL-expressible): ann_lsh (LSH recall is

@@ -1111,3 +1111,93 @@ def cume_dist_by(
 
     pruned = ds.select_columns([key, value_col])
     return grouped_apply(pruned, [key], _cd, num_partitions=num_partitions)
+
+
+def profile_columns(
+    ds: Dataset,
+    columns: Sequence[str],
+    num_partitions: Optional[int] = None,
+) -> "pd.DataFrame":
+    """Data-profiling summary — one row per column: ``(column, n_rows,
+    n_null, n_distinct, min_str, max_str)`` with min/max computed on
+    the NATIVE type first and then rendered as strings (ISO dates,
+    repr'd numbers — matching SQL ``CAST(MIN(col) AS VARCHAR)``).
+
+    Scale shape: null counts and native min/max are algebraic partials
+    (O(columns) rows per batch, driver fold); the exact distinct counts
+    ride ONE melted exchange — every batch emits its DISTINCT
+    ``(column, value-as-string)`` pairs (map-side combine), the reduce
+    deduplicates and counts per column. Shuffle volume is O(distinct
+    pairs), never O(rows × columns).
+    """
+    import pyarrow.compute as _pc
+
+    from kgray.kernels.hashagg import auto_partitions, grouped_apply
+
+    columns = list(columns)
+    if num_partitions is None:
+        num_partitions = auto_partitions()
+    pruned = ds.select_columns(columns)
+
+    # ---- algebraic partials: n_rows / n_null / native min / max --------
+    def _stats(t: pa.Table) -> pa.Table:
+        rows = []
+        for c in columns:
+            col = t.column(c)
+            mn = _pc.min(col).as_py()
+            mx = _pc.max(col).as_py()
+            rows.append({
+                "column": c,
+                "n_rows": len(t),
+                "n_null": col.null_count,
+                "min_str": None if mn is None else str(mn),
+                "max_str": None if mx is None else str(mx),
+            })
+        return pa.Table.from_pylist(rows)
+
+    agg: dict = {}
+    for b in pruned.map_batches(_stats, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"):
+        for r in b.to_pylist():
+            a = agg.setdefault(r["column"], {"n_rows": 0, "n_null": 0,
+                                             "min_str": None, "max_str": None})
+            a["n_rows"] += r["n_rows"]
+            a["n_null"] += r["n_null"]
+            for k, op in (("min_str", min), ("max_str", max)):
+                if r[k] is not None:
+                    a[k] = r[k] if a[k] is None else op(a[k], r[k])
+
+    # ---- exact distinct: one melted (column, value) exchange ------------
+    def _melt(t: pa.Table) -> pa.Table:
+        cols, vals = [], []
+        for c in columns:
+            v = _pc.unique(_pc.cast(t.column(c), pa.string()).drop_null())
+            cols.append(pa.array([c] * len(v), pa.string()))
+            vals.append(v)
+        return pa.table({"column": pa.chunked_array(cols),
+                         "value": pa.chunked_array([v if isinstance(v, pa.Array)
+                                                    else v.combine_chunks()
+                                                    for v in vals])})
+
+    def _dd(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["column", "value"])
+
+    def _count(df: pd.DataFrame) -> pd.DataFrame:
+        df = _dd(df)
+        return df.groupby("column", as_index=False, sort=False).size().rename(
+            columns={"size": "n_distinct"})
+
+    parts = grouped_apply(pruned.map_batches(_melt, batch_format="pyarrow"),
+                          ["column", "value"], _count,
+                          num_partitions=num_partitions, map_side=_dd).to_pandas()
+    nd = parts.groupby("column")["n_distinct"].sum().to_dict()
+
+    out = pd.DataFrame([
+        {"column": c, "n_rows": agg.get(c, {}).get("n_rows", 0),
+         "n_null": agg.get(c, {}).get("n_null", 0),
+         "n_distinct": int(nd.get(c, 0)),
+         "min_str": agg.get(c, {}).get("min_str"),
+         "max_str": agg.get(c, {}).get("max_str")}
+        for c in columns
+    ])
+    return out

@@ -404,3 +404,19 @@ def test_cume_dist_ties_match_duckdb(ray_session):
         SELECT g, v, ROUND(cume_dist() OVER (PARTITION BY g ORDER BY v), 6) AS cd
         FROM df ORDER BY g, v""").df()
     assert got["cd"].tolist() == want["cd"].tolist()
+
+
+def test_profile_columns_nulls_and_distinct(ray_session):
+    from kgray.stages.relational import profile_columns
+
+    df = pd.DataFrame({
+        "s": ["b", "a", None, "a", "c"],
+        "x": [1.5, None, None, 2.5, 1.5],
+    })
+    got = profile_columns(ray.data.from_pandas(df).repartition(3),
+                          ["s", "x"], num_partitions=3).set_index("column")
+    assert got.loc["s", "n_rows"] == 5 and got.loc["s", "n_null"] == 1
+    assert got.loc["s", "n_distinct"] == 3
+    assert got.loc["s", "min_str"] == "a" and got.loc["s", "max_str"] == "c"
+    assert got.loc["x", "n_null"] == 2 and got.loc["x", "n_distinct"] == 2
+    assert got.loc["x", "min_str"] == "1.5" and got.loc["x", "max_str"] == "2.5"
