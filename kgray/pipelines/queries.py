@@ -4975,14 +4975,14 @@ def q_edge_holdout(sf_dir: str):
     via lineitem — plenty of cycles, so non-tree edges exist).
 
     SELF-ASSERTS (rows-only; the forest choice and hash sampling are
-    sequential/stateful, not SQL-expressible):
-    1. pos_train ∪ pos_test EXACTLY partitions the distinct canonical
-       edge set;
-    2. removing the test positives preserves every connected component
-       (union-find over pos_train vs the full graph);
-    3. pos_test count = min((1−0.8)·|E|, non-forest edge count);
-    4. negatives: same count as positives, absent from the graph in
-       either direction, endpoints drawn from the graph's node set.
+    sequential/stateful, not SQL-expressible) — count-based + sampled
+    so the bench measures the pipeline, not a verifier (the full
+    invariants — exact partition of E, forest-preserving components,
+    every negative a non-edge — are pinned in tests/test_holdout.py):
+    1. split sizes plausible: pos_test ≤ (1−0.8)·(pos_train+pos_test);
+    2. |neg_test| = |pos_test|;
+    3. a 256-row negative sample is canonical (u < v) and disjoint
+       from the input edge set (one vectorized streaming pass).
     """
     import pandas as pd
 
@@ -4999,44 +4999,52 @@ def q_edge_holdout(sf_dir: str):
         })
 
     edges = li.map_batches(_mk_edges, batch_format="pyarrow")
-    out = edge_holdout(edges, train_fraction=0.8, seed=13)
-    df = out.to_pandas()
+    out = edge_holdout(edges, train_fraction=0.8, seed=13).materialize()
 
-    raw = pd.read_parquet(f"{sf_dir}/lineitem.parquet",
-                          columns=["l_orderkey", "l_partkey"])
-    E = set(zip(raw["l_orderkey"].astype("int64"),
-                (raw["l_partkey"].astype("int64") + OFF)))
-    nodes = {n for ab in E for n in ab}
+    # Count-based + SAMPLED self-asserts only — the full invariants
+    # (exact partition of E, forest-preserving components, every
+    # negative absent from E) live in tests/test_holdout.py on hand
+    # graphs and forced paths; an O(E) driver-side union-find verifier
+    # here would dominate the benched query (it did: 78 s at sf0.1).
+    sizes: dict = {}
+    for b in out.map_batches(
+            lambda t: t.group_by("split").aggregate([("split", "count")]),
+            batch_format="pyarrow").iter_batches(batch_format="pyarrow"):
+        for r in b.to_pylist():
+            sizes[r["split"]] = sizes.get(r["split"], 0) + r["split_count"]
+    m = sizes.get("pos_train", 0) + sizes.get("pos_test", 0)
+    k = sizes.get("pos_test", 0)
+    assert m > 0 and 0 < k <= int(0.2 * m + 1e-9 + m * 1e-12), (
+        f"edge_holdout: implausible split sizes {sizes}")
+    assert sizes.get("neg_test", 0) == k, (
+        f"edge_holdout: negatives {sizes.get('neg_test', 0)} != positives {k}")
 
-    def _comps(pairs):
-        parent: dict = {}
+    # sampled membership check: no sampled negative may be a real edge,
+    # every sampled negative is canonical (u < v)
+    neg_sample = out.filter(expr="split == 'neg_test'").limit(256).take_all()
+    assert all(r["u"] < r["v"] for r in neg_sample), (
+        "edge_holdout: non-canonical negative pair")
+    sample_set = {(r["u"], r["v"]) for r in neg_sample}
 
-        def find(x):
-            r = x
-            while parent.get(r, r) != r:
-                r = parent[r]
-            while parent.get(x, x) != x:
-                parent[x], x = r, parent[x]
-            return r
+    sample_u = np.unique(np.array([u for u, _ in sample_set], np.int64))
 
-        for a, b in pairs:
-            ra, rb = find(a), find(b)
-            if ra != rb:
-                parent[max(ra, rb)] = min(ra, rb)
-        return {n: find(n) for n in nodes}
+    def _hits(t: pa.Table) -> pa.Table:
+        u = t.column("l_orderkey").to_numpy()
+        v = t.column("l_partkey").to_numpy() + OFF
+        # vectorized prefilter on u (expected ~0 survivors), exact
+        # pair check only on the survivors
+        pre = np.isin(u, sample_u)
+        n = sum((int(a), int(b)) in sample_set
+                for a, b in zip(u[pre], v[pre]))
+        return pa.table({"hits": pa.array([n], pa.int64())})
 
-    by = {s: set(zip(g["u"], g["v"])) for s, g in df.groupby("split")}
-    ptr, pte = by.get("pos_train", set()), by.get("pos_test", set())
-    neg = by.get("neg_test", set())
-    assert ptr | pte == E and not (ptr & pte), "edge_holdout: bad partition"
-    full = _comps(E)
-    k = min(int((1.0 - 0.8) * len(E) + 1e-9),
-            len(E) - (len(nodes) - len(set(full.values()))))
-    assert len(pte) == k, f"edge_holdout: k={k} got {len(pte)}"
-    assert _comps(ptr) == full, "edge_holdout: components changed"
-    assert len(neg) == k and not (neg & E), "edge_holdout: bad negatives"
-    assert all(u in nodes and v in nodes and u < v for u, v in neg), (
-        "edge_holdout: negative endpoints outside graph")
+    li2 = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                                columns=["l_orderkey", "l_partkey"])
+    n_hits = 0
+    for b in li2.map_batches(_hits, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"):
+        n_hits += int(b.column("hits").to_numpy().sum())
+    assert n_hits == 0, f"edge_holdout: {n_hits} sampled negatives are real edges"
     return out
 
 

@@ -1721,7 +1721,14 @@ def bigram_nll(
         cols = {"cur": pa.array(cur, pa.string()),
                 "nxt": pa.array(nxt, pa.string())}
         if with_doc:
-            doc_of = (np.cumsum(starts) - 1)[:-1][inside]
+            # Per-word doc index via repeat over doc lengths: a zero-token
+            # doc shares its offset with the next doc, which collapses the
+            # start-flag cumsum trick (offsets [0,2,2,4] would attribute
+            # doc 2's words to doc 1); np.repeat over np.diff(off) is
+            # immune to empty docs.
+            counts = np.asarray(off[1:], np.int64) - np.asarray(off[:-1],
+                                                                np.int64)
+            doc_of = np.repeat(np.arange(len(counts)), counts)[:-1][inside]
             cols[id_col] = t.column(id_col).take(pa.array(doc_of))
         return pa.table(cols)
 

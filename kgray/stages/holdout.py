@@ -20,9 +20,10 @@ Ray shapes
 ----------
 ``spanning_forest`` is size-switched like the engine's BFS/CC family:
 
-* **driver path** (edge count ≤ ``edge_broadcast_limit``): Kruskal
-  over the SORTED distinct edge list with union-find retention — exact
-  and deterministic.
+* **driver path** (edge count ≤ ``edge_broadcast_limit``): the same
+  Borůvka, vectorized in numpy over factorized node codes — no
+  per-edge Python loop, deterministic (value-ordered ties, never block
+  arrival order).
 * **distributed path**: textbook parallel Borůvka. Each round every
   current component picks its minimum inter-component edge (ONE
   grouped min-exchange over the still-live edges — the pick is an
@@ -37,11 +38,14 @@ Ray shapes
 
 ``edge_holdout`` samples deterministically (splitmix64 over the
 representation-stable key hash + seed): test positives are the k
-smallest-hash non-tree edges (one sort + limit — no driver
-materialization), negatives are hash-generated candidate node-index
-pairs mapped through a distributed node index (two-pass
-partition-offset ranking), anti-joined against the edge set, and
-truncated to exactly the positive count.
+smallest-hash non-tree edges — selected by an exact distributed
+k-th-element threshold (:func:`kgray.kernels.selection.kth_smallest`,
+O(histogram) driver memory) plus a map-only filter, never a global
+range-partitioning sort; negatives are hash-generated candidate
+node-index pairs mapped through a distributed node index (two-pass
+partition-offset ranking), anti-joined against the edge set, and cut
+to exactly the positive count by the same k-th-element threshold on
+their unique candidate ranks.
 """
 
 from __future__ import annotations
@@ -122,30 +126,80 @@ def canonical_edges(
                                    num_partitions=num_partitions, map_side=_dd))
 
 
+def _collect_factorize(E: Dataset):
+    """Collect a (small, ≤ edge_broadcast_limit) canonical edge Dataset
+    and factorize its endpoints to value-sorted int codes.  Returns
+    ``(tbl, iu, iv, uniq)`` — code order equals value order, so code
+    comparisons reproduce value comparisons (canonical u < v ⇒
+    iu < iv)."""
+    tbl = pa.concat_tables(
+        E.select_columns(["u", "v"]).iter_batches(batch_format="pyarrow"),
+        promote_options="default")
+    if len(tbl) == 0:
+        return tbl, None, None, None
+    us = tbl.column("u").to_pandas()
+    vs = tbl.column("v").to_pandas()
+    codes, uniq = pd.factorize(pd.concat([us, vs], ignore_index=True),
+                               sort=True)
+    mm = len(tbl)
+    return (tbl, codes[:mm].astype(np.int64), codes[mm:].astype(np.int64),
+            np.asarray(uniq))
+
+
+def _boruvka_np(iu: np.ndarray, iv: np.ndarray, n: int) -> np.ndarray:
+    """Vectorized numpy Borůvka over int edge codes → boolean in-forest
+    mask.  The same algorithm `_forest_boruvka` runs distributed, so
+    both paths share pick semantics.  No per-edge Python loop: each
+    round is a lexsort + first-per-group min-pick + pointer-jump
+    contraction, all array ops.  Deterministic for a given distinct
+    edge set: picks break ties by (nbr, u, v) code order (= value
+    order), never by block arrival order."""
+    mm = len(iu)
+    labels = np.arange(n, dtype=np.int64)
+    in_forest = np.zeros(mm, dtype=bool)
+    eids = np.arange(mm, dtype=np.int64)
+    n_jumps = max(1, int(np.ceil(np.log2(max(n, 2)))) + 1)
+
+    live = eids
+    while True:
+        lu, lv = labels[iu[live]], labels[iv[live]]
+        inter = lu != lv
+        live, lu, lv = live[inter], lu[inter], lv[inter]
+        if len(live) == 0:
+            break
+        # min-(nbr, u, v) pick per component, both directions
+        comp = np.concatenate([lu, lv])
+        nbr = np.concatenate([lv, lu])
+        eid2 = np.concatenate([live, live])
+        order = np.lexsort((iv[eid2], iu[eid2], nbr, comp))
+        comp_s, first = comp[order], np.ones(len(order), bool)
+        first[1:] = comp_s[1:] != comp_s[:-1]
+        pick_c = comp_s[first]
+        pick_p = nbr[order][first]
+        in_forest[eid2[order][first]] = True
+        # contract the pick pseudo-forest: break 2-cycles at the min
+        # member, then pointer-jump to roots
+        parent = np.arange(n, dtype=np.int64)
+        parent[pick_c] = pick_p
+        gp = parent[parent]
+        idx = np.arange(n, dtype=np.int64)
+        parent[(gp == idx) & (idx < parent)] = idx[(gp == idx) & (idx < parent)]
+        for _ in range(n_jumps):
+            parent = parent[parent]
+        labels = parent[labels]
+
+    return in_forest
+
+
 def _forest_driver(E: Dataset) -> Dataset:
-    """Kruskal with union-find retention over the SORTED edge list —
-    deterministic regardless of block arrival order."""
-    rows = sorted((r["u"], r["v"]) for r in E.take_all())
-    parent: dict = {}
-
-    def find(x):
-        r = x
-        while parent.get(r, r) != r:
-            r = parent[r]
-        while parent.get(x, x) != x:
-            parent[x], x = r, parent[x]
-        return r
-
-    tu, tv = [], []
-    for u, v in rows:
-        ru, rv = find(u), find(v)
-        if ru != rv:
-            parent[max(ru, rv)] = min(ru, rv)
-            tu.append(u)
-            tv.append(v)
-    if not tu:
+    """Driver-local spanning forest: one collect + :func:`_boruvka_np`."""
+    tbl, iu, iv, uniq = _collect_factorize(E)
+    if len(tbl) == 0:
         return E.limit(0)
-    return ray.data.from_arrow(pa.table({"u": pa.array(tu), "v": pa.array(tv)}))
+    in_forest = _boruvka_np(iu, iv, len(uniq))
+    if not in_forest.any():
+        return E.limit(0)
+    return ray.data.from_arrow(tbl.filter(pa.array(in_forest)))
 
 
 def _rename(ds: Dataset, mapping, types=None) -> Dataset:
@@ -319,8 +373,9 @@ def spanning_forest(
 ) -> Dataset:
     """A spanning forest of the undirected simple graph → Dataset(u, v).
 
-    Size-switched (see module docstring): exact driver Kruskal below
-    ``edge_broadcast_limit`` distinct edges, distributed Borůvka above.
+    Size-switched (see module docstring): vectorized driver Borůvka
+    below ``edge_broadcast_limit`` distinct edges, distributed Borůvka
+    above.
     Both produce A forest spanning every component (|F| = nodes −
     components); WHICH forest differs between paths — callers must
     depend only on forest properties, as :func:`edge_holdout` does.
@@ -378,6 +433,139 @@ def _edge_hash(t: pa.Table, seed: int) -> np.ndarray:
                   + np.uint64(seed & 0xFFFFFFFFFFFFFFFF))
 
 
+def _edge_holdout_driver(
+    E: Dataset,
+    m: int,
+    ntype: pa.DataType,
+    train_fraction: float,
+    seed: int,
+    validation: bool,
+    neg_oversample: float,
+    neg_train: bool,
+    num_partitions: int,
+    node_broadcast_limit: int,
+) -> Optional[Dataset]:
+    """Driver fast-path for ``edge_holdout`` below the edge broadcast
+    limit: ONE collect of the (already distributed-deduplicated)
+    canonical edge set, then every remaining step — forest, non-tree
+    hash ranking, negative candidate generation / dedup / anti-check /
+    rank cut — is a vectorized numpy pass.  Semantically IDENTICAL to
+    the distributed structure (same Borůvka picks, same splitmix64
+    ranks, same partition-major node bijection, same min-i candidate
+    dedup, same cut rule) — pinned by the path-equality pytest.  The
+    distributed path it replaces spent ~5 exchange barriers moving
+    ≤ 2 M rows; this spends zero.
+
+    Returns ``None`` when the node set exceeds ``node_broadcast_limit``
+    (caller falls through to the distributed structure)."""
+    tbl, iu, iv, uniq = _collect_factorize(E)
+    n_nodes = len(uniq) if uniq is not None else 0
+    if n_nodes > node_broadcast_limit:
+        return None
+
+    in_forest = _boruvka_np(iu, iv, n_nodes)
+    nt_idx = np.flatnonzero(~in_forest)
+    k = min(int((1.0 - train_fraction) * m + 1e-9 + m * 1e-12), len(nt_idx))
+
+    h_all = _edge_hash(tbl, seed)
+    if k > 0:
+        order = np.lexsort((iv[nt_idx], iu[nt_idx], h_all[nt_idx]))
+        test_idx = nt_idx[order[:k]]
+    else:
+        test_idx = nt_idx[:0]
+    test_mask = np.zeros(len(tbl), dtype=bool)
+    test_mask[test_idx] = True
+
+    # ---- negatives: same sampling pipeline, vectorized ------------------
+    k_neg = k + (m - k if neg_train else 0)
+    neg_u = neg_v = None
+    nt_cut = k  # rows of the neg pool that go to neg_test
+    if k_neg > 0 and n_nodes >= 2:
+        # the distributed paths' index→node bijection: partition-major,
+        # node-sorted within partition (built with the same helper)
+        ndf = pd.DataFrame({"node": uniq})
+        ndf = add_partition_column(ndf, ["node"], num_partitions)
+        ndf = ndf.sort_values(["__part", "node"], kind="mergesort")
+        perm = ndf.index.to_numpy(np.int64)  # position → factorize code
+
+        n_cand = int(k_neg * neg_oversample) + 64
+        s = np.uint64((seed * 0x9E3779B1 + 0xA5A5) & 0xFFFFFFFFFFFFFFFF)
+        i = np.arange(n_cand, dtype=np.uint64)
+        ia = (_mix64(i * np.uint64(2) + s) % np.uint64(n_nodes)).astype(np.int64)
+        ib = (_mix64(i * np.uint64(2) + np.uint64(1) + s)
+              % np.uint64(n_nodes)).astype(np.int64)
+        keep = ia != ib
+        i, ia, ib = i[keep].astype(np.int64), ia[keep], ib[keep]
+        ca, cb = perm[ia], perm[ib]
+        cu, cv = np.minimum(ca, cb), np.maximum(ca, cb)  # code order = value order
+        key = cu * np.int64(n_nodes) + cv
+        # dedup (u, v) keeping the min candidate id
+        o = np.lexsort((i, key))
+        key_s, i_s = key[o], i[o]
+        first = np.ones(len(o), dtype=bool)
+        first[1:] = key_s[1:] != key_s[:-1]
+        key_d, i_d = key_s[first], i_s[first]
+        cu_d, cv_d = cu[o][first], cv[o][first]
+        # anti vs the edge set (code-keyed sorted membership)
+        ekeys = np.sort(iu * np.int64(n_nodes) + iv)
+        pos = np.searchsorted(ekeys, key_d)
+        hit = (pos < len(ekeys)) & (ekeys[np.minimum(pos, len(ekeys) - 1)]
+                                    == key_d)
+        i_p, cu_p, cv_p = i_d[~hit], cu_d[~hit], cv_d[~hit]
+        if len(i_p) < k_neg:
+            raise ValueError(
+                f"edge_holdout: only {len(i_p)} negative pairs found "
+                f"for {k_neg} requested — graph too dense for neg_oversample="
+                f"{neg_oversample}; raise it.")
+        sel = np.argsort(i_p)[:k_neg]  # candidate ids are unique
+        neg_u, neg_v = uniq[cu_p[sel]], uniq[cv_p[sel]]
+
+    # ---- assemble --------------------------------------------------------
+    def _col(vals) -> pa.Array:
+        return pa.array(vals, type=ntype)
+
+    def _split_tbl(u_vals, v_vals, names) -> pa.Table:
+        return pa.table({"u": _col(u_vals), "v": _col(v_vals),
+                         "split": pa.array(names, pa.string())})
+
+    def _parity_names(u_vals, v_vals, even: str, odd: str) -> np.ndarray:
+        t2 = pa.table({"u": _col(u_vals), "v": _col(v_vals)})
+        h2 = _edge_hash(t2, seed + 101)
+        return np.where((h2 & np.uint64(1)).astype(bool), odd, even)
+
+    uu = tbl.column("u").to_numpy(zero_copy_only=False)
+    vv = tbl.column("v").to_numpy(zero_copy_only=False)
+    blocks = []
+    tr_u, tr_v = uu[~test_mask], vv[~test_mask]
+    blocks.append(_split_tbl(tr_u, tr_v, ["pos_train"] * len(tr_u)))
+    te_u, te_v = uu[test_mask], vv[test_mask]
+    if validation:
+        blocks.append(_split_tbl(
+            te_u, te_v, _parity_names(te_u, te_v, "pos_test", "pos_valid")))
+    else:
+        blocks.append(_split_tbl(te_u, te_v, ["pos_test"] * len(te_u)))
+    if neg_u is not None and k > 0:
+        nu, nv = neg_u[:nt_cut], neg_v[:nt_cut]
+        if validation:
+            blocks.append(_split_tbl(
+                nu, nv, _parity_names(nu, nv, "neg_test", "neg_valid")))
+        else:
+            blocks.append(_split_tbl(nu, nv, ["neg_test"] * len(nu)))
+    if neg_u is not None and neg_train and len(neg_u) > nt_cut:
+        blocks.append(_split_tbl(neg_u[nt_cut:], neg_v[nt_cut:],
+                                 ["neg_train"] * (len(neg_u) - nt_cut)))
+
+    # bound block sizes so downstream stages parallelize
+    out_blocks = []
+    target = max(1, -(-sum(len(b) for b in blocks) // num_partitions))
+    for b in blocks:
+        for off in range(0, max(len(b), 1), target):
+            sl = b.slice(off, target)
+            if len(sl) or not out_blocks:
+                out_blocks.append(sl)
+    return ray.data.from_arrow(out_blocks)
+
+
 def edge_holdout(
     edges: Dataset,
     src: str = "src",
@@ -429,6 +617,17 @@ def edge_holdout(
     m = E.count()
     if m == 0:
         raise ValueError("edge_holdout: no usable edges after canonicalization")
+    ntype = arrow_types(E.schema())["u"]
+
+    if m <= edge_broadcast_limit:
+        # driver fast-path: one collect, zero further exchanges (falls
+        # through to the distributed structure if the node set exceeds
+        # node_broadcast_limit — forced-path tests exercise both)
+        out = _edge_holdout_driver(E, m, ntype, train_fraction, seed,
+                                   validation, neg_oversample, neg_train,
+                                   num_partitions, node_broadcast_limit)
+        if out is not None:
+            return out
 
     F = spanning_forest(E, edge_broadcast_limit=edge_broadcast_limit,
                         num_partitions=num_partitions, pre_canonical=True)
@@ -436,17 +635,52 @@ def edge_holdout(
                         num_partitions=num_partitions).materialize()
     # floor of the exact fraction: the naive float product under-counts
     # ((1.0-0.8)*m = 0.19999...*m), so nudge by an epsilon before floor
-    k = min(int((1.0 - train_fraction) * m + 1e-9), nontree.count())
+    # Relative epsilon: float error in (1-f)*m scales with m, so an
+    # absolute 1e-9 under-floors for m ≳ 1e8 (0.2*1e9 = 199999999.99...
+    # would lose one edge vs the documented (1-f)*|E| count).
+    n_nontree = nontree.count()
+    k = min(int((1.0 - train_fraction) * m + 1e-9 + m * 1e-12), n_nontree)
 
     def _score(t: pa.Table) -> pa.Table:
         return t.append_column("__h", pa.array(_edge_hash(t, seed)))
 
-    if k > 0:
-        pos_test = (nontree.map_batches(_score, batch_format="pyarrow")
-                    .sort(["__h", "u", "v"]).limit(k)
-                    .drop_columns(["__h"]).materialize())
-    else:
+    if k == 0:
         pos_test = E.limit(0)
+    elif k == n_nontree:
+        pos_test = nontree
+    else:
+        # k smallest-hash non-tree edges WITHOUT a global sort: exact
+        # distributed k-th element gives the hash threshold, a map-only
+        # filter takes everything under it; 64-bit-hash ties at the
+        # threshold (≈ m²/2⁶⁴ expected, usually zero) resolve by (u, v)
+        # on the driver.
+        from kgray.kernels.selection import kth_smallest
+
+        scored = nontree.map_batches(_score, batch_format="pyarrow").materialize()
+        hstar = kth_smallest(scored, "__h", k, bounds=(0, 2**64 - 1))
+        le = _pin(scored.map_batches(
+            lambda t: t.filter(pc.less_equal(
+                t.column("__h"), pa.scalar(hstar, pa.uint64()))),
+            batch_format="pyarrow"), num_partitions)
+        n_le = le.count()
+        if n_le == k:
+            pos_test = le.drop_columns(["__h"]).materialize()
+        else:
+            lt = le.map_batches(
+                lambda t: t.filter(pc.less(
+                    t.column("__h"), pa.scalar(hstar, pa.uint64()))),
+                batch_format="pyarrow")
+            ties = sorted(
+                ((r["u"], r["v"]) for r in le.map_batches(
+                    lambda t: t.filter(pc.equal(
+                        t.column("__h"), pa.scalar(hstar, pa.uint64()))),
+                    batch_format="pyarrow").take_all()))
+            need = k - (n_le - len(ties))
+            tie_tbl = pa.table({
+                "u": pa.array([u for u, _ in ties[:need]], ntype),
+                "v": pa.array([v for _, v in ties[:need]], ntype)})
+            pos_test = (lt.drop_columns(["__h"])
+                        .union(ray.data.from_arrow(tie_tbl)).materialize())
     pos_train = hash_join(E, pos_test, on=["u", "v"], how="anti",
                           num_partitions=num_partitions)
 
@@ -457,7 +691,6 @@ def edge_holdout(
     def _dd_node(df: pd.DataFrame) -> pd.DataFrame:
         return df.drop_duplicates(["node"])
 
-    ntype = arrow_types(E.schema())["u"]
     nodes = grouped_apply(E.map_batches(_endpoints, batch_format="pyarrow"),
                           ["node"], _dd_node, num_partitions=num_partitions,
                           map_side=_dd_node).materialize()
@@ -535,22 +768,37 @@ def edge_holdout(
                 ["u", "v"], _min_i, num_partitions=num_partitions,
                 map_side=_min_i)),
             pa.schema([("u", ntype), ("v", ntype), ("i", pa.int64())]))
-        neg_pool = hash_join(cand_e, E, on=["u", "v"], how="anti",
-                             num_partitions=num_partitions)
-        neg_all = neg_pool.sort(["i"]).limit(k_neg).materialize()
-        if neg_all.count() < k_neg:
+        neg_pool = _pin(hash_join(cand_e, E, on=["u", "v"], how="anti",
+                                  num_partitions=num_partitions),
+                        num_partitions)
+        n_pool = neg_pool.count()
+        if n_pool < k_neg:
             raise ValueError(
-                f"edge_holdout: only {neg_all.count()} negative pairs found "
+                f"edge_holdout: only {n_pool} negative pairs found "
                 f"for {k_neg} requested — graph too dense for neg_oversample="
                 f"{neg_oversample}; raise it.")
         # deterministic split by candidate rank: the k lowest-rank
-        # negatives are the test pool, the rest the train pool
-        ranks = sorted(r["i"] for r in neg_all.select_columns(["i"]).take_all())
-        cut = ranks[k - 1] if k > 0 else -1
-        negs = (neg_all.filter(expr=f"i <= {cut}").drop_columns(["i"])
+        # negatives are the test pool, ranks k+1..k_neg the train pool.
+        # Ranks i are UNIQUE (one candidate pair per id, dedup keeps the
+        # min id per pair), so the exact distributed k-th element +
+        # map-only range filters select exact counts — no global sort,
+        # no driver materialization of the pool.
+        from kgray.kernels.selection import kth_smallest
+
+        cut = (kth_smallest(neg_pool, "i", k, bounds=(0, n_cand - 1))
+               if k > 0 else -1)
+        cut_all = (kth_smallest(neg_pool, "i", k_neg,
+                               bounds=(0, n_cand - 1))
+                   if n_pool > k_neg else None)
+        negs = (neg_pool.filter(expr=f"i <= {cut}").drop_columns(["i"])
                 .materialize() if k > 0 else E.limit(0))
-        negs_train = (neg_all.filter(expr=f"i > {cut}").drop_columns(["i"])
-                      .materialize() if neg_train and k_neg > k else None)
+        if neg_train and k_neg > k:
+            tail = (f"i > {cut} and i <= {cut_all}" if cut_all is not None
+                    else f"i > {cut}")
+            negs_train = (neg_pool.filter(expr=tail).drop_columns(["i"])
+                          .materialize())
+        else:
+            negs_train = None
     else:
         negs = E.limit(0)
         negs_train = None

@@ -1140,6 +1140,13 @@ def profile_columns(
     pruned = ds.select_columns(columns)
 
     # ---- algebraic partials: n_rows / n_null / native min / max --------
+    # Per-batch extrema are pickled NATIVE values (type-agnostic binary
+    # column); the driver fold compares natively and renders to string
+    # once at the end.  Folding on the rendered strings would give
+    # lexicographic results for numeric columns (max('9999','60000') =
+    # '9999').
+    import pickle as _pkl
+
     def _stats(t: pa.Table) -> pa.Table:
         rows = []
         for c in columns:
@@ -1150,8 +1157,8 @@ def profile_columns(
                 "column": c,
                 "n_rows": len(t),
                 "n_null": col.null_count,
-                "min_str": None if mn is None else str(mn),
-                "max_str": None if mx is None else str(mx),
+                "min_pkl": None if mn is None else _pkl.dumps(mn),
+                "max_pkl": None if mx is None else _pkl.dumps(mx),
             })
         return pa.Table.from_pylist(rows)
 
@@ -1160,12 +1167,16 @@ def profile_columns(
             batch_format="pyarrow"):
         for r in b.to_pylist():
             a = agg.setdefault(r["column"], {"n_rows": 0, "n_null": 0,
-                                             "min_str": None, "max_str": None})
+                                             "min": None, "max": None})
             a["n_rows"] += r["n_rows"]
             a["n_null"] += r["n_null"]
-            for k, op in (("min_str", min), ("max_str", max)):
-                if r[k] is not None:
-                    a[k] = r[k] if a[k] is None else op(a[k], r[k])
+            for pk, k, op in (("min_pkl", "min", min), ("max_pkl", "max", max)):
+                if r[pk] is not None:
+                    v = _pkl.loads(r[pk])
+                    a[k] = v if a[k] is None else op(a[k], v)
+    for a in agg.values():
+        a["min_str"] = None if a["min"] is None else str(a["min"])
+        a["max_str"] = None if a["max"] is None else str(a["max"])
 
     # ---- exact distinct: one melted (column, value) exchange ------------
     def _melt(t: pa.Table) -> pa.Table:

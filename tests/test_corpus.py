@@ -474,6 +474,39 @@ def test_bigram_nll_hand_example_and_forced_join_path(ray_session):
     assert np.allclose(joined["nll"], got["nll"], atol=2e-6)
 
 
+def test_bigram_nll_empty_doc_mid_batch_attribution(ray_session):
+    """Regression: a zero-token doc in the MIDDLE of a batch must not
+    shift bigram attribution of every later doc (the start-flag cumsum
+    collapsed when an empty doc shared its offset with its successor)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from kgray.stages.corpus import bigram_nll
+
+    # offsets [0,2,2,4,4,6]: empty + whitespace + None docs interleaved
+    df = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3, 4, 5],
+        "text": ["a b", "", "c d", "   ", "a b", None],
+    })
+    ds = ray.data.from_pandas(df)
+    got = (bigram_nll(ds, model_broadcast_limit=2_000_000)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    # model: tokens a:2 b:2 c:1 d:1, N=6; bigrams (a,b):2 (c,d):1
+    N = 6.0
+    p_ab = 0.9 * (2 / 2) + 0.1 * (2 / N)
+    p_cd = 0.9 * (1 / 1) + 0.1 * (1 / N)
+    assert got["doc_id"].tolist() == [0, 2, 4]
+    assert np.allclose(
+        got["nll"],
+        [round(-np.log(p_ab), 6), round(-np.log(p_cd), 6),
+         round(-np.log(p_ab), 6)], atol=2e-6)
+    joined = (bigram_nll(ds, model_broadcast_limit=0)
+              .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert joined["doc_id"].tolist() == got["doc_id"].tolist()
+    assert np.allclose(joined["nll"], got["nll"], atol=2e-6)
+
+
 def test_bigram_nll_join_path_matches_broadcast_random(ray_session):
     import numpy as np
     import pandas as pd

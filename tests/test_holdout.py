@@ -219,3 +219,24 @@ def test_cli_holdouts(tmp_path):
     assert got[0] == "subject\tobject" and len(got) == 3
     for f in ("pos_train_edges.tsv", "neg_train.tsv", "neg_test.tsv"):
         assert (out / f).exists()
+
+
+def test_edge_holdout_fastpath_matches_distributed_random(ray_session):
+    """The driver fast-path (one collect, all-numpy) must reproduce the
+    distributed structure's exact output — forest picks, splitmix64
+    pos_test ranking, negative bijection/dedup/cut — on a random graph,
+    including neg_train and validation splits."""
+    rng = np.random.RandomState(11)
+    src = rng.randint(0, 120, size=600)
+    dst = rng.randint(0, 120, size=600)
+    ds = ray.data.from_arrow(pa.table({
+        "src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())}))
+    for kw in ({}, {"neg_train": True}, {"validation": True}):
+        a = edge_holdout(ds, train_fraction=0.7, seed=3, num_partitions=4,
+                         **kw).to_pandas()
+        b = edge_holdout(ds, train_fraction=0.7, seed=3, num_partitions=4,
+                         node_broadcast_limit=0, **kw).to_pandas()
+        key = ["split", "u", "v"]
+        pd.testing.assert_frame_equal(
+            a.sort_values(key).reset_index(drop=True)[key],
+            b.sort_values(key).reset_index(drop=True)[key])

@@ -5,6 +5,7 @@ property tests — SURVEY §5 — so this is strictly stronger coverage)."""
 import duckdb
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import pytest
 import ray.data
 from hypothesis import HealthCheck, given, settings
@@ -305,3 +306,38 @@ def test_apply_merge_matches_python_greedy(word_lens, alphabet, seed):
     ref_off = np.concatenate([[0], np.cumsum([len(w) for w in ref])])
     assert got_flat.tolist() == ref_flat
     assert got_off.tolist() == ref_off.tolist()
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(data=st.data())
+def test_kth_smallest_matches_sorted(ray_session, data):
+    """kth_smallest (histogram-refinement selection) equals the sorted
+    answer with multiplicity, across duplicates, skew, and tiny
+    collect limits that force multiple refinement rounds."""
+    from kgray.kernels.selection import kth_smallest
+
+    n = data.draw(st.integers(min_value=1, max_value=400))
+    vals = data.draw(st.lists(
+        st.integers(min_value=-10**12, max_value=10**12),
+        min_size=n, max_size=n))
+    k = data.draw(st.integers(min_value=1, max_value=n))
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"x": np.array(vals, np.int64)})).repartition(3)
+    got = kth_smallest(ds, "x", k, n_buckets=7, collect_limit=5)
+    assert got == sorted(vals)[k - 1]
+
+
+def test_kth_smallest_uint64_hashes(ray_session):
+    """Full-range uint64 values (hash columns): driver arithmetic must
+    stay arbitrary-precision, batch arithmetic rebases before casting."""
+    from kgray.kernels.selection import kth_smallest
+
+    rng = np.random.RandomState(5)
+    vals = rng.randint(0, 2**63, size=1000, dtype=np.int64).astype(
+        np.uint64) * np.uint64(2) + np.uint64(1)
+    ds = ray.data.from_arrow(
+        pa.table({"h": pa.array(vals, pa.uint64())})).repartition(4)
+    for k in (1, 17, 500, 1000):
+        assert kth_smallest(ds, "h", k, n_buckets=16,
+                            collect_limit=32) == int(np.sort(vals)[k - 1])

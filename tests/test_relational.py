@@ -420,3 +420,18 @@ def test_profile_columns_nulls_and_distinct(ray_session):
     assert got.loc["s", "min_str"] == "a" and got.loc["s", "max_str"] == "c"
     assert got.loc["x", "n_null"] == 2 and got.loc["x", "n_distinct"] == 2
     assert got.loc["x", "min_str"] == "1.5" and got.loc["x", "max_str"] == "2.5"
+
+
+def test_profile_columns_numeric_fold_not_lexicographic(ray_session):
+    """Regression: the cross-batch min/max fold must compare NATIVE
+    values, not rendered strings — with per-block extrema of differing
+    digit counts, a string fold gives max '9999' over 60000 and
+    min '10' under 2."""
+    from kgray.stages.relational import profile_columns
+
+    # repartition(3) puts 9999 and 60000 in different blocks
+    df = pd.DataFrame({"n": [9999, 3, 60000, 2, 10, 45000]})
+    got = profile_columns(ray.data.from_pandas(df).repartition(3),
+                          ["n"], num_partitions=2).set_index("column")
+    assert got.loc["n", "min_str"] == "2"
+    assert got.loc["n", "max_str"] == "60000"
