@@ -14,10 +14,12 @@ the (materialized-once) edge list + O(N) per task for the partial.
 
 Scale bound: the node count N must fit a worker's heap twice
 (rank vector + partial), i.e. N ≲ 500M at 8 bytes — the documented
-broadcast limit, enforced loudly. Beyond that a rank-exchange variant
-(edges joined with ranks on src, groupby dst) is the join-based path,
-exactly like `construct`'s giant-KB back half vs its broadcast front;
-it trades 2 shuffles/iteration for unbounded N.
+broadcast limit. Beyond it the size switch routes to
+:func:`pagerank_exchange` (edges joined with ranks on src, grouped sum
+by dst, state join back) — exactly like `construct`'s giant-KB back
+half vs its broadcast front; it trades ~3 exchanges/iteration for
+unbounded N, and returns the ranks as a Dataset so nothing driver-side
+is ever sized O(nodes).
 """
 
 from __future__ import annotations
@@ -57,6 +59,33 @@ def pagerank(
     # may carry join-heavy lineage (see canonical.py:108 for why).
     e = edges.select_columns([src, dst]).materialize()
 
+    # ---- size switch BEFORE any O(nodes) driver fold ---------------------
+    # The broadcast path's node/out-degree fold is itself O(nodes) on
+    # the driver, so the dispatch must precede it.  2·|edge rows| bounds
+    # the node count; when that bound exceeds the limit, one distributed
+    # distinct-count pass decides exactly (negligible next to the
+    # exchange variant's per-iteration cost).
+    if 2 * e.count() > broadcast_limit:
+        from kgray.kernels.hashagg import auto_partitions, grouped_apply
+
+        def _nodes_only(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as _pc
+            return pa.table({"node": pa.concat_arrays([
+                _pc.unique(t.column(src).combine_chunks()),
+                _pc.unique(t.column(dst).combine_chunks())])})
+
+        def _dd(df: "pd.DataFrame") -> "pd.DataFrame":
+            return df.drop_duplicates(["node"])
+
+        n_exact = grouped_apply(
+            e.map_batches(_nodes_only, batch_format="pyarrow"), ["node"],
+            _dd, num_partitions=auto_partitions(), map_side=_dd).count()
+        if n_exact > broadcast_limit:
+            # rank-exchange variant: ranks stay a Dataset, ~3 exchanges
+            # per iteration, nothing driver-side sized O(nodes)
+            return pagerank_exchange(e, src=src, dst=dst, damping=damping,
+                                     max_iters=max_iters, tol=tol)
+
     # ---- node index + out-degree: one streaming pass --------------------
     # Node ids must be integers on this (broadcast) path: the rank
     # vector is indexed by searchsorted over a fixed-width id array.
@@ -89,12 +118,6 @@ def pagerank(
     if n == 0:
         return pa.table({"node": pa.array([], pa.int64()),
                          "rank": pa.array([], pa.float64())}), 0
-    if n > broadcast_limit:
-        raise ValueError(
-            f"pagerank broadcast path: {n} nodes exceeds broadcast_limit="
-            f"{broadcast_limit}; use a rank-exchange variant for graphs "
-            "whose node set outgrows a worker's heap."
-        )
     nodes_ref = ray.put(nodes)
 
     # ---- power iteration: one shuffle-free pass per round ----------------
@@ -133,6 +156,171 @@ def pagerank(
             f"(last L1 delta {delta:.3e} >= tol {tol:.1e}); raise max_iters."
         )
     return pa.table({"node": pa.array(nodes), "rank": pa.array(ranks)}), it
+
+
+def pagerank_exchange(
+    edges: Dataset,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    max_iters: int = 50,
+    tol: float = 1e-10,
+    num_partitions: Optional[int] = None,
+) -> Tuple[Dataset, int]:
+    """Rank-exchange PageRank — the size-switched sibling of the
+    broadcast path for graphs whose NODE SET outgrows a worker's heap.
+    Identical model (parallel edges, uniform dangling redistribution,
+    L1/tol termination, loud non-convergence); returns the ranks as a
+    ``Dataset(node, rank)`` — nothing driver-side or broadcast is ever
+    sized O(nodes), only O(1) scalars (n, dangling mass, L1 delta) fold
+    to the driver.
+
+    Data movement per iteration (the documented trade vs the broadcast
+    path's zero): ① edges ⋈ state on src (exchange over edges + n state
+    rows) → per-edge contributions, ② grouped SUM by dst with map-side
+    combine (exchange over combined per-node rows), ③ state ⋈ sums on
+    node (two O(n) sides).  Every iterate is block-pinned and
+    lineage-severed (``pin_blocks``) — the iterative-Dataset discipline
+    from the Borůvka/CC family.
+    """
+    import pyarrow.compute as pc
+
+    from kgray.kernels.hashagg import (arrow_types, auto_partitions,
+                                       grouped_apply, pin_blocks,
+                                       register_schema)
+    from kgray.stages.relational import hash_join
+
+    if max_iters < 1:
+        raise ValueError(f"max_iters must be >= 1, got {max_iters}")
+    if num_partitions is None:
+        num_partitions = auto_partitions()
+
+    e = edges.select_columns([src, dst]).materialize()
+    if e.count() == 0:
+        return e.map_batches(
+            lambda t: pa.table({"node": pa.array([], pa.int64()),
+                                "rank": pa.array([], pa.float64())}),
+            batch_format="pyarrow"), 0
+    ntype = arrow_types(e.schema())[src]
+
+    # ---- state: (node, deg, rank) — one exchange to build ---------------
+    def _ends(t: pa.Table) -> pa.Table:
+        vc = t.column(src).combine_chunks().value_counts()
+        du = pc.unique(t.column(dst).combine_chunks())
+        return pa.table({
+            "node": pa.concat_arrays([
+                vc.field("values").cast(ntype), du.cast(ntype)]),
+            "deg": pa.concat_arrays([vc.field("counts").cast(pa.int64()),
+                                     pa.nulls(len(du), pa.int64())]),
+        })
+
+    def _sumdeg(df: "pd.DataFrame") -> "pd.DataFrame":
+        return df.groupby("node", as_index=False, sort=False)["deg"].sum(
+            min_count=0).fillna({"deg": 0})
+
+    deg_ds = grouped_apply(
+        e.map_batches(_ends, batch_format="pyarrow"), ["node"], _sumdeg,
+        num_partitions=num_partitions, map_side=_sumdeg)
+    deg_ds = pin_blocks(deg_ds.map_batches(
+        lambda t: pa.table({"node": t.column("node").cast(ntype),
+                            "deg": t.column("deg").cast(pa.int64())}),
+        batch_format="pyarrow"), num_partitions)
+    n = deg_ds.count()
+    r0 = 1.0 / n
+    state = pin_blocks(deg_ds.map_batches(
+        lambda t: t.append_column(
+            "rank", pa.array(np.full(len(t), r0, np.float64))),
+        batch_format="pyarrow"), num_partitions)
+
+    def _fold2(ds: Dataset, fn) -> Tuple[float, float]:
+        """Fold two float partials per batch to the driver (O(blocks))."""
+        a = b = 0.0
+        for blk in ds.map_batches(fn, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow"):
+            a += float(blk.column("a").to_numpy().sum())
+            b += float(blk.column("b").to_numpy().sum())
+        return a, b
+
+    def _dangling_partial(t: pa.Table) -> pa.Table:
+        r = t.column("rank").to_numpy(zero_copy_only=False)
+        d = t.column("deg").to_numpy(zero_copy_only=False)
+        return pa.table({"a": pa.array([float(r[d == 0].sum())]),
+                         "b": pa.array([0.0])})
+
+    dangling_mass, _ = _fold2(state, _dangling_partial)
+    state_t = {"node": ntype, "deg": pa.int64(), "rank": pa.float64()}
+
+    it = 0
+    for it in range(1, max_iters + 1):
+        # ① per-edge contributions: join src → w = rank/deg (deg > 0)
+        w_src = register_schema(state.map_batches(
+            lambda t: pa.table({
+                src: t.column("node"),
+                "__w": pc.divide(
+                    t.column("rank"),
+                    pc.cast(pc.max_element_wise(
+                        t.column("deg"), pa.scalar(1, pa.int64())),
+                        pa.float64())),
+            }).filter(pc.greater(t.column("deg"), pa.scalar(0, pa.int64()))),
+            batch_format="pyarrow"),
+            pa.schema([(src, ntype), ("__w", pa.float64())]))
+        contrib = hash_join(e, w_src, on=src, how="inner",
+                            num_partitions=num_partitions)
+
+        # ② grouped SUM by destination (map-side combined)
+        def _to_node(t: pa.Table) -> pa.Table:
+            return pa.table({"node": t.column(dst), "c": t.column("__w")})
+
+        def _sumc(df: "pd.DataFrame") -> "pd.DataFrame":
+            return df.groupby("node", as_index=False, sort=False)["c"].sum()
+
+        sums = register_schema(
+            grouped_apply(
+                contrib.map_batches(_to_node, batch_format="pyarrow"),
+                ["node"], _sumc, num_partitions=num_partitions,
+                map_side=_sumc
+            ).map_batches(
+                lambda t: pa.table({"node": t.column("node").cast(ntype),
+                                    "c": t.column("c").cast(pa.float64())}),
+                batch_format="pyarrow"),
+            pa.schema([("node", ntype), ("c", pa.float64())]))
+
+        # ③ rank update: state LEFT JOIN sums
+        base = (1.0 - damping) / n + damping * dangling_mass / n
+        j = hash_join(register_schema(
+            state, pa.schema(list(state_t.items()))), sums,
+            on="node", how="left", num_partitions=num_partitions)
+
+        def _update(t: pa.Table) -> pa.Table:
+            c = pc.fill_null(t.column("c"), 0.0)
+            new = pc.add(pc.multiply(c, pa.scalar(damping, pa.float64())),
+                         pa.scalar(base, pa.float64()))
+            return pa.table({"node": t.column("node"), "deg": t.column("deg"),
+                             "rank": new, "prev": t.column("rank")})
+
+        new_state = pin_blocks(j.map_batches(_update, batch_format="pyarrow"),
+                               num_partitions)
+
+        # fold |Δ| and the NEXT round's dangling mass in one pass
+        def _delta_dangling(t: pa.Table) -> pa.Table:
+            r = t.column("rank").to_numpy(zero_copy_only=False)
+            p = t.column("prev").to_numpy(zero_copy_only=False)
+            d = t.column("deg").to_numpy(zero_copy_only=False)
+            return pa.table({"a": pa.array([float(np.abs(r - p).sum())]),
+                             "b": pa.array([float(r[d == 0].sum())])})
+
+        delta, dangling_mass = _fold2(new_state, _delta_dangling)
+        state = pin_blocks(new_state.map_batches(
+            lambda t: t.drop_columns(["prev"]), batch_format="pyarrow"),
+            num_partitions)
+        if delta < tol:
+            break
+    else:
+        raise RuntimeError(
+            f"pagerank_exchange did not converge in {max_iters} iterations "
+            f"(last L1 delta {delta:.3e} >= tol {tol:.1e}); raise max_iters."
+        )
+    return state.select_columns(["node", "rank"]), it
 
 
 def pagerank_dense_reference(

@@ -161,3 +161,44 @@ def test_k_core_empty_core_and_validation(ray_session):
     assert len(got) == 0
     with pytest.raises(ValueError):
         k_core(ray.data.from_pandas(df), k=0)
+
+
+def test_pagerank_exchange_matches_broadcast(ray_session):
+    """Forced size-switch: the rank-exchange variant (Dataset ranks,
+    nothing O(nodes) driver-side) must match the broadcast path and the
+    dense reference on a random graph with dangling nodes and parallel
+    edges."""
+    from kgray.stages.graph import pagerank_exchange
+
+    rng = np.random.default_rng(9)
+    src = rng.integers(0, 35, 250)
+    dst = rng.integers(0, 40, 250)  # nodes 35..39 likely dangling
+    ds = _ds(list(zip(src.tolist(), dst.tolist())))
+    # damping=0.5 halves the mixing time — the exchange variant pays
+    # ~3 exchange barriers per iteration, so keep iterations ~30
+    bt, _ = pagerank(ds, damping=0.5, max_iters=100, tol=1e-11)
+    broad = bt.to_pandas().set_index("node")["rank"].sort_index()
+    xd, _ = pagerank_exchange(ds, damping=0.5, max_iters=100, tol=1e-11,
+                              num_partitions=4)
+    exch = xd.to_pandas().set_index("node")["rank"].sort_index()
+    assert list(exch.index) == list(broad.index)
+    assert np.abs(exch - broad).max() < 1e-8
+    ref = pagerank_dense_reference(src, dst, damping=0.5, max_iters=100,
+                                   tol=1e-11)
+    assert np.abs(exch - ref.reindex(exch.index)).max() < 1e-8
+    assert abs(exch.sum() - 1.0) < 1e-9
+
+
+def test_pagerank_size_switch_dispatch(ray_session):
+    """pagerank() with broadcast_limit=0 must route to the exchange
+    variant (returns a Dataset) and still produce the same ranks."""
+    import ray.data as rd
+
+    pairs = [(1, 2), (1, 2), (3, 1), (2, 3), (4, 1)]
+    t, _ = pagerank(_ds(pairs), damping=0.5, max_iters=100, tol=1e-11)
+    want = t.to_pandas().set_index("node")["rank"].sort_index()
+    got_ds, _ = pagerank(_ds(pairs), damping=0.5, max_iters=100, tol=1e-11,
+                         broadcast_limit=0)
+    assert isinstance(got_ds, rd.Dataset)
+    got = got_ds.to_pandas().set_index("node")["rank"].sort_index()
+    assert np.abs(got - want).max() < 1e-8
