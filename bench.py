@@ -63,8 +63,47 @@ def construct_config(num_cpus: int) -> dict:
         num_partitions=max(16, num_cpus),
     )
 
-# Per-query benchmarks (a representative slice of the operator surface).
+# Per-query benchmarks — the full registry minus construct_kg (it IS
+# the headline metric, timed separately) and the long-iterative graph
+# queries whose in-query dense-reference verifiers dominate wall time
+# at sf0.1 (pagerank: 200 power iterations; connected_components /
+# k_core / triangle_count: multi-round exchanges — their perf band is
+# pinned by tests and the bfs_distances entry below instead).
 BENCH_QUERIES = [
+    "ann_lsh",
+    "approx_distinct",
+    "approx_quantiles",
+    "bpe_encode",
+    "bpe_token_count",
+    "bpe_tokenize",
+    "degree_distribution",
+    "extract_text",
+    "filter_prefix",
+    "filter_prune",
+    "fingerprint",
+    "graph_stats",
+    "grouped_distinct_count",
+    "hash_join",
+    "holdout_split",
+    "integrity_missing_nodes",
+    "integrity_stub_repair",
+    "kgx_edge_dedup",
+    "kgx_priority_merge",
+    "kgx_priority_merge_duplicates",
+    "langid",
+    "length_histogram",
+    "multimodal_dedup",
+    "multimodal_features",
+    "orders_by_nation",
+    "rollup",
+    "session_gap",
+    "sliding_window",
+    "text_stats",
+    "top_n_per_group",
+    "tumbling_window",
+    "union_by_name",
+    "whole_row_dedup",
+    "dedup_minhash",
     "kgx_node_merge",
     "kgx_edge_provenance",
     "dedup_minhash_pairs",

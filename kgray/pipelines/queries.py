@@ -563,24 +563,71 @@ def _ann_recall_check(approx, sf_dir: str, floor: float, name: str):
     )
 
 
+def _dump_ann_candidates(pairs, sf_dir: str, name: str) -> None:
+    """Persist an approximate-ANN query's (q_id, vec_id) candidate set
+    to a deterministic per-sf path so its ORACLE can brute-force-rank
+    the SAME subset in SQL (the hashing/quantization is seed-fixed, so
+    the subset — and therefore the ranked result — is deterministic;
+    this turns the formerly rows-only queries into rows+hash-checkable
+    ones). Oracle-harness support, not operator work: the collect is
+    O(candidates) at the fixed correctness sf."""
+    import os
+
+    os.makedirs("/tmp/kgray_oracle", exist_ok=True)
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    t = pa.concat_tables(pairs.iter_batches(batch_format="pyarrow"),
+                         promote_options="default")
+    pq.write_table(t, f"/tmp/kgray_oracle/{name}_cand_{tag}.parquet")
+
+
 def q_ann_lsh(sf_dir: str):
-    """LSH ANN (approximate, rows-only) — self-asserting: raises unless
-    mean recall@10 vs the exact brute force clears the pinned floor."""
-    from kgray.stages.similarity import ann_topk_lsh
+    """LSH ANN — self-asserting (raises unless mean recall@10 vs the
+    exact brute force clears the pinned floor) AND oracle-checked: the
+    seed-fixed candidate set is dumped for SQL_ANN_CAND to brute-force
+    rank, so the deterministic part (candidate membership + ranking)
+    rows+hash-matches DuckDB."""
+    from kgray.stages.similarity import ann_topk_lsh, lsh_candidate_pairs
 
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    approx = ann_topk_lsh(ds, _query_matrix(sf_dir), k=10).select_columns(["q_id", "vec_id", "rank"])
+    qm = _query_matrix(sf_dir)
+    _dump_ann_candidates(lsh_candidate_pairs(ds, qm), sf_dir, "ann_lsh")
+    ds2 = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    approx = ann_topk_lsh(ds2, qm, k=10).select_columns(["q_id", "vec_id", "rank"])
     return _ann_recall_check(approx, sf_dir, floor=0.5, name="ann_lsh")
 
 
 def q_ann_ivf(sf_dir: str):
-    """IVF coarse-quantizer ANN (approximate, rows-only) — self-asserting
-    like ann_lsh; recall floors also pinned in tests/test_similarity.py."""
-    from kgray.stages.similarity import ann_topk_ivf
+    """IVF coarse-quantizer ANN — self-asserting like ann_lsh, and
+    oracle-checked the same way (seed-fixed candidate dump +
+    brute-force SQL ranking of the subset)."""
+    from kgray.stages.similarity import ann_topk_ivf, ivf_candidate_pairs
 
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    approx = ann_topk_ivf(ds, _query_matrix(sf_dir), k=10).select_columns(["q_id", "vec_id", "rank"])
+    qm = _query_matrix(sf_dir)
+    _dump_ann_candidates(ivf_candidate_pairs(ds, qm), sf_dir, "ann_ivf")
+    ds2 = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    approx = ann_topk_ivf(ds2, qm, k=10).select_columns(["q_id", "vec_id", "rank"])
     return _ann_recall_check(approx, sf_dir, floor=0.5, name="ann_ivf")
+
+
+def _sql_ann_cand(name: str) -> str:
+    """Brute-force SQL ranking of the candidate subset dumped by the
+    matching query at the driver's correctness sf (0.01). The query
+    must run before its oracle — the driver and the mirror sweep both
+    do — and the dump is deterministic, so a dump from any prior run
+    of the same sf is equally valid."""
+    return f"""
+SELECT q_id, vec_id, rank FROM (
+  SELECT c.q_id, c.vec_id,
+    ROW_NUMBER() OVER (
+      PARTITION BY c.q_id
+      ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC, c.vec_id
+    ) AS rank
+  FROM read_parquet('/tmp/kgray_oracle/{name}_cand_sf0.01.parquet') c
+  JOIN embeddings e ON e.vec_id = c.vec_id
+  JOIN embeddings q ON q.vec_id = c.q_id
+) WHERE rank <= 10
+"""
 
 
 def q_dedup_simhash(sf_dir: str):
@@ -5430,6 +5477,8 @@ ORACLES = {
     "top_orders": SQL_TOP_ORDERS,
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "ann_topk": SQL_ANN_TOPK,
+    "ann_lsh": _sql_ann_cand("ann_lsh"),
+    "ann_ivf": _sql_ann_cand("ann_ivf"),
     "token_count": SQL_TOKEN_COUNT,
     "bpe_token_count": SQL_BPE_TOKEN_COUNT,
     "text_stats": SQL_TEXT_STATS,

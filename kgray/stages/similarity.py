@@ -117,6 +117,127 @@ class _HyperplaneHasher:
         return np.stack(out, axis=1)
 
 
+def _lsh_state(ds: Dataset, query_matrix: np.ndarray,
+               n_bits: Optional[int], n_tables: int):
+    """Deterministic LSH probe state shared by :func:`ann_topk_lsh` and
+    :func:`lsh_candidate_pairs` — factoring it guarantees the candidate
+    emitter sees EXACTLY the hasher/probe the top-k scan uses."""
+    q = _normalize(np.asarray(query_matrix, dtype=np.float64))
+    dim = q.shape[1]
+    if n_bits is None:
+        n = ds.count()
+        n_bits = int(min(16, max(2, np.log2(max(2, n / 64)))))
+    hasher = _HyperplaneHasher(dim, n_bits, n_tables)
+    q_buckets = hasher.buckets(q)  # (Q, T)
+    # table → bucket → [q ids]
+    probe = [dict() for _ in range(n_tables)]
+    for qi in range(q.shape[0]):
+        for t in range(n_tables):
+            probe[t].setdefault(int(q_buckets[qi, t]), []).append(qi)
+    return q, hasher, probe
+
+
+def _ivf_state(ds: Dataset, query_matrix: np.ndarray, n_cells: int,
+               n_probe: int, sample_size: int, train_iters: int,
+               seed: int, vec_col: str):
+    """Deterministic IVF quantizer state shared by :func:`ann_topk_ivf`
+    and :func:`ivf_candidate_pairs` (fixed seed + fixed-order sample →
+    identical centroids/probe sets)."""
+    q = _normalize(np.asarray(query_matrix, dtype=np.float64))
+    rng = np.random.RandomState(seed)
+    sample_rows = ds.limit(sample_size).take_all()
+    samp = _normalize(np.asarray([r[vec_col] for r in sample_rows], dtype=np.float64))
+    n_c = min(n_cells, len(samp))
+    cent = samp[rng.choice(len(samp), size=n_c, replace=False)]
+    for _ in range(train_iters):
+        assign = np.argmax(samp @ cent.T, axis=1)
+        for c in range(n_c):
+            members = samp[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+        cent = _normalize(cent)
+    probe_cells = np.argsort(-(q @ cent.T), axis=1)[:, : min(n_probe, n_c)]
+    cell_qs: dict = {}
+    for qi in range(q.shape[0]):
+        for c in probe_cells[qi]:
+            cell_qs.setdefault(int(c), []).append(qi)
+    return q, cent, cell_qs
+
+
+def lsh_candidate_pairs(
+    ds: Dataset,
+    query_matrix: np.ndarray,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_bits: Optional[int] = None,
+    n_tables: int = 6,
+) -> Dataset:
+    """The (q_id, vec_id) candidate set :func:`ann_topk_lsh` scores —
+    every corpus vector sharing ≥ 1 bucket with the query.  Exists so
+    an external oracle can brute-force-rank the candidate subset and
+    rows-match the approximate operator (its only non-deterministic-
+    looking part, the hashing, is in fact seed-fixed).  One map-only
+    pass; per-batch vectorized bucket compute."""
+    q, hasher, probe = _lsh_state(ds, query_matrix, n_bits, n_tables)
+    ref = ray.put((hasher, probe))
+
+    def _cand(tbl: pa.Table) -> pa.Table:
+        hs, pr = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        vecs = _normalize(np.asarray(tbl.column(vec_col).to_pylist(), dtype=np.float64))
+        ids = np.asarray(tbl.column(id_col).to_pylist())
+        vb = hs.buckets(vecs)
+        out_q, out_id = [], []
+        for r in range(vecs.shape[0]):
+            qs = set()
+            for t in range(vb.shape[1]):
+                qs.update(pr[t].get(int(vb[r, t]), ()))
+            for qi in qs:
+                out_q.append(qi)
+                out_id.append(ids[r])
+        return pa.table({"q_id": pa.array(out_q, type=pa.int32()),
+                         id_col: pa.array(out_id)})
+
+    return ds.map_batches(_cand, batch_format="pyarrow", batch_size=4096)
+
+
+def ivf_candidate_pairs(
+    ds: Dataset,
+    query_matrix: np.ndarray,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_cells: int = 64,
+    n_probe: int = 8,
+    sample_size: int = 10_000,
+    train_iters: int = 5,
+    seed: int = 41,
+) -> Dataset:
+    """The (q_id, vec_id) candidate set :func:`ann_topk_ivf` scores —
+    every corpus vector whose cell is probed by the query.  Same role
+    as :func:`lsh_candidate_pairs` (oracle support)."""
+    q, cent, cell_qs = _ivf_state(ds, query_matrix, n_cells, n_probe,
+                                  sample_size, train_iters, seed, vec_col)
+    ref = ray.put((cent, cell_qs))
+
+    def _cand(tbl: pa.Table) -> pa.Table:
+        cm, cq = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        vecs = _normalize(np.asarray(tbl.column(vec_col).to_pylist(), dtype=np.float64))
+        ids = np.asarray(tbl.column(id_col).to_pylist())
+        cells = np.argmax(vecs @ cm.T, axis=1)
+        out_q, out_id = [], []
+        for c in np.unique(cells):
+            qs = cq.get(int(c))
+            if not qs:
+                continue
+            rows = np.flatnonzero(cells == c)
+            for qi in qs:
+                out_q.extend([qi] * len(rows))
+                out_id.extend(ids[rows])
+        return pa.table({"q_id": pa.array(out_q, type=pa.int32()),
+                         id_col: pa.array(out_id)})
+
+    return ds.map_batches(_cand, batch_format="pyarrow", batch_size=4096)
+
+
 def ann_topk_lsh(
     ds: Dataset,
     query_matrix: np.ndarray,
@@ -134,18 +255,7 @@ def ann_topk_lsh(
     bits over a small corpus makes every bucket a near-singleton and
     recall collapses; too few over a big corpus degrades to brute
     force. Parquet-backed datasets answer ``count()`` from metadata."""
-    q = _normalize(np.asarray(query_matrix, dtype=np.float64))
-    dim = q.shape[1]
-    if n_bits is None:
-        n = ds.count()
-        n_bits = int(min(16, max(2, np.log2(max(2, n / 64)))))
-    hasher = _HyperplaneHasher(dim, n_bits, n_tables)
-    q_buckets = hasher.buckets(q)  # (Q, T)
-    # table → bucket → [q ids]
-    probe = [dict() for _ in range(n_tables)]
-    for qi in range(q.shape[0]):
-        for t in range(n_tables):
-            probe[t].setdefault(int(q_buckets[qi, t]), []).append(qi)
+    q, hasher, probe = _lsh_state(ds, query_matrix, n_bits, n_tables)
     ref = ray.put((q, hasher, probe))
 
     def _scan(tbl: pa.Table) -> pa.Table:
@@ -204,29 +314,8 @@ def ann_topk_ivf(
     and is never broadcast — per batch, work is
     O(B·n_cells + probed·Q_cell) instead of O(B·Q).
     """
-    q = _normalize(np.asarray(query_matrix, dtype=np.float64))
-    dim = q.shape[1]
-
-    # ---- train coarse quantizer on a sample (driver; tiny state) ----
-    rng = np.random.RandomState(seed)
-    sample_rows = ds.limit(sample_size).take_all()
-    samp = _normalize(np.asarray([r[vec_col] for r in sample_rows], dtype=np.float64))
-    n_c = min(n_cells, len(samp))
-    cent = samp[rng.choice(len(samp), size=n_c, replace=False)]
-    for _ in range(train_iters):
-        assign = np.argmax(samp @ cent.T, axis=1)
-        for c in range(n_c):
-            members = samp[assign == c]
-            if len(members):
-                cent[c] = members.mean(axis=0)
-        cent = _normalize(cent)
-
-    # query → its n_probe nearest cells; cell → [q ids]
-    probe_cells = np.argsort(-(q @ cent.T), axis=1)[:, : min(n_probe, n_c)]
-    cell_qs: dict = {}
-    for qi in range(q.shape[0]):
-        for c in probe_cells[qi]:
-            cell_qs.setdefault(int(c), []).append(qi)
+    q, cent, cell_qs = _ivf_state(ds, query_matrix, n_cells, n_probe,
+                                  sample_size, train_iters, seed, vec_col)
     ref = ray.put((q, cent, cell_qs))
 
     def _scan(tbl: pa.Table) -> pa.Table:
