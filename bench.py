@@ -310,7 +310,11 @@ def run_bench() -> dict:
     # as this bench run. This shared VM's speed swings 1.3-1.9x across
     # host windows (BASELINE.md round-3), so absolute bench numbers are
     # comparable across rounds only relative to this stamp.
-    if not os.environ.get("GRAFT_SKIP_QUERIES"):
+    # The stamp rides EVERY bench emission — headline-only runs
+    # (GRAFT_SKIP_QUERIES=1) are exactly the ones used to chase
+    # regressions across host windows, so they need it most. Scaling
+    # children skip it via GRAFT_SKIP_PROBE (the parent probes once).
+    if not os.environ.get("GRAFT_SKIP_PROBE"):
         try:
             sl, st = _calibration_inputs()
             result["host_probe_wall_sec"] = round(_probe_fleet_wall(sl, st, 8), 3)
@@ -529,6 +533,7 @@ def run_scaling() -> dict:
             RAY_GRAFT_CPUS=str(ncpu),
             GRAFT_BENCH_PPD=os.environ.get("GRAFT_SCALING_PPD", "1600"),
             GRAFT_SKIP_QUERIES="1",
+            GRAFT_SKIP_PROBE="1",  # the parent probes the window once
         )
         # Drain the previous leg's dirty-page writeback before timing —
         # back-to-back legs otherwise pay each other's 4+ GB flush.
