@@ -98,6 +98,35 @@ def main(argv=None) -> int:
     pv.add_argument("--output", required=True)
     pv.add_argument("--to", required=True, choices=["tsv", "jsonl", "parquet"])
 
+    # ---- kg-chat CLI surface (reference run.py:276-381) ------------------
+    # The reference registers import/test-query/show-schema/app/chat/qna
+    # only when the external kg-chat package imports. The three DATA
+    # commands are pure data-processing (load KGX TSVs into a queryable
+    # DuckDB store, sample it, show its schema) — implemented natively
+    # here. The three LLM commands wrap an external chat package and
+    # gate exactly like the reference does (clear error when absent).
+    def _chat_db_args(sp):
+        sp.add_argument("--database", default="duckdb",
+                        choices=["duckdb", "neo4j"])
+        sp.add_argument("--data-dir", required=True,
+                        help="directory with the merged KGX *nodes*.tsv / *edges*.tsv")
+
+    _chat_db_args(sub.add_parser(
+        "import", help="load the KGX TSVs into a queryable store"))
+    _chat_db_args(sub.add_parser(
+        "test-query", help="sample query over the imported store"))
+    _chat_db_args(sub.add_parser(
+        "show-schema", help="print the imported store's table schemas"))
+    for name, hlp in (("app", "chat web app (requires an external chat package)"),
+                      ("chat", "interactive chat (requires an external chat package)"),
+                      ("qna", "one-shot question (requires an external chat package)")):
+        sp = sub.add_parser(name, help=hlp)
+        _chat_db_args(sp)
+        if name == "qna":
+            sp.add_argument("query", type=str)
+        if name == "app":
+            sp.add_argument("--debug", action="store_true")
+
     args = p.parse_args(argv)
 
     if args.cmd == "merge":
@@ -186,6 +215,35 @@ def main(argv=None) -> int:
             ds.write_parquet(args.output)
         print(args.output)
         return 0
+
+    if args.cmd in ("import", "test-query", "show-schema"):
+        from kgray.state.kgstore import (import_kg_duckdb, sample_query,
+                                         show_schema)
+
+        if args.database != "duckdb":
+            p.error(f"database {args.database!r} requires external packages "
+                    "not present in this environment; use duckdb")
+        if args.cmd == "import":
+            counts = import_kg_duckdb(args.data_dir)
+            print(json.dumps(counts))
+        elif args.cmd == "test-query":
+            for row in sample_query(args.data_dir):
+                print(json.dumps(row))
+        else:
+            print(json.dumps(show_schema(args.data_dir)))
+        return 0
+
+    if args.cmd in ("app", "chat", "qna"):
+        # mirror of the reference's conditional registration: these wrap
+        # an external LLM chat package (reference: "kg-chat must be
+        # installed for these CLI commands to work")
+        try:
+            import kg_chat  # noqa: F401
+        except ImportError:
+            p.error(f"'{args.cmd}' requires the external kg-chat package, "
+                    "which is not installed; the data commands "
+                    "(import / test-query / show-schema) work without it")
+        p.error(f"'{args.cmd}' is not wired to an LLM backend in this build")
 
     if args.cmd == "query":
         from kgray.sources.sparql import result_dict_to_tsv, run_query

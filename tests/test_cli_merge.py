@@ -114,3 +114,43 @@ def test_cli_convert_to_jsonl(ray_session, data_dir, tmp_path):
         parse_options=pacsv.ParseOptions(delimiter="\t")).count()
     assert back.count() == n
     assert "id" in back.schema().names
+
+
+def test_cli_kgchat_data_commands(tmp_path, capsys):
+    """The kg-chat CLI surface's data commands (reference run.py:276-381)
+    run natively over DuckDB: import loads the KGX TSVs, test-query
+    samples nodes, show-schema prints table schemas; the LLM commands
+    error clearly without the external package."""
+    import json
+
+    from kgray.cli import main
+
+    d = tmp_path / "kg"
+    d.mkdir()
+    (d / "merged_nodes.tsv").write_text(
+        "id\tname\tcategory\nA:1\talpha\tbiolink:Gene\nB:2\tbeta\tbiolink:Protein\n")
+    (d / "merged_edges.tsv").write_text(
+        "subject\tpredicate\tobject\nA:1\trelated_to\tB:2\n")
+
+    assert main(["import", "--data-dir", str(d)]) == 0
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out == {"nodes": 2, "edges": 1}
+
+    assert main(["test-query", "--data-dir", str(d)]) == 0
+    rows = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    assert {r["id"] for r in rows} == {"A:1", "B:2"}
+
+    assert main(["show-schema", "--data-dir", str(d)]) == 0
+    schema = json.loads(capsys.readouterr().out.strip())
+    assert set(schema) == {"nodes", "edges"}
+    assert schema["nodes"]["id"] == "VARCHAR"
+
+    import pytest
+
+    with pytest.raises(SystemExit):
+        main(["chat", "--data-dir", str(d)])
+    err = capsys.readouterr().err
+    assert "kg-chat" in err
+
+    with pytest.raises(SystemExit):
+        main(["import", "--database", "neo4j", "--data-dir", str(d)])
