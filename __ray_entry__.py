@@ -11,7 +11,7 @@ The driver initialises Ray BEFORE importing this module; nothing here
 * ``queries()``    — one callable per implemented operator/pipeline
   (SURVEY.md §2 + training-data ops); see kgray/pipelines/queries.py.
 * ``oracle_sql()`` — matching DuckDB SQL per query where expressible
-  (135 of 158); the rows-only rest (approximate ANN/sketches, model
+  (137 of 158); the rows-only rest (bounded-error sketches, model
   scoring, iterative graph/cluster algorithms, the construction and
   curation pipelines) SELF-ASSERT in-query (recall/error/monotonicity
   bounds) and are pinned by tests/ (byte-goldens, P/R vs generator
