@@ -713,6 +713,14 @@ if __name__ == "__main__":
         print(json.dumps(result))
     else:
         result = run_bench()
-        with open("bench_out.json", "w") as f:
+        # Headline-only runs (scaling-leg children, regression reps with
+        # GRAFT_SKIP_QUERIES=1) must not clobber the committed full
+        # per-operator table — park their artifact in /tmp instead.
+        if os.environ.get("GRAFT_SKIP_QUERIES"):
+            os.makedirs("/tmp/kgray_bench", exist_ok=True)
+            out_path = "/tmp/kgray_bench/bench_out_leg.json"
+        else:
+            out_path = os.path.join(_REPO, "bench_out.json")
+        with open(out_path, "w") as f:
             json.dump(result, f, indent=1)
         print(json.dumps(result))

@@ -202,8 +202,18 @@ def extract_and_link_shard(
     # CPU so the actor pool stays saturated.
     in_bytes = sum(os.path.getsize(f) for f in files)
     ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    nblocks = max(2 * ncpu, -(-in_bytes * 4 // (64 << 20)))
-    ds = ray.data.read_parquet(files, override_num_blocks=nblocks)
+    # Floor the task count at 8 per ACTOR, not just 2 per CPU: blocks are
+    # the actor stage's task quanta, and with only ~3 chunky (~7 s) tasks
+    # per actor the ramp-down tail leaves a third of a 31-actor pool idle
+    # (measured: 96 tasks / 31 actors ran the stage at effective
+    # parallelism 21; the same corpus at 7 actors packed fine — the loss
+    # is exactly what the two-level scaling ratio measures).
+    pool = actor_concurrency if isinstance(actor_concurrency, int) else max(actor_concurrency)
+    nblocks = max(8 * pool, 2 * ncpu, -(-in_bytes * 4 // (64 << 20)))
+    if os.environ.get("KGRAY_NO_OVERRIDE"):
+        ds = ray.data.read_parquet(files)
+    else:
+        ds = ray.data.read_parquet(files, override_num_blocks=nblocks)
     ds = ds.map_batches(
         PageToEdges,
         fn_constructor_kwargs={
