@@ -188,10 +188,14 @@ def extract_and_link_shard(
     extract_batch_size: int = 512,
     actor_concurrency=(1, 8),
     actor_num_cpus: float = 1.0,
-) -> int:
+    defer_count: bool = False,
+):
     """Front half over one input shard → ``__part``-partitioned canonical
     edge partials (the exchange spill AND the resume checkpoint).
-    Returns rows written. ``actor_num_cpus < 1`` oversubscribes the
+    Returns rows written — or, with ``defer_count=True``, a
+    ``concurrent.futures.Future`` resolving to that count (the footer
+    scan runs on a thread off the critical path).
+    ``actor_num_cpus < 1`` oversubscribes the
     actor pool slightly so read/write tasks interleave with the
     CPU-bound actors instead of starving behind them."""
     # Bound the block count explicitly: Ray's size-based splitting makes
@@ -233,6 +237,19 @@ def extract_and_link_shard(
         import sys as _sys
 
         print(ds.stats(), file=_sys.stderr)
+    if defer_count:
+        # The spill row count is a footer-metadata scan over thousands of
+        # small files — ~6 s of SERIAL driver wall on an 8-partition
+        # 8M-page shard, sitting on the front half's critical path for a
+        # number that is purely informational. Hand back a future instead;
+        # construct_kg resolves it while the driver idles in the reduce
+        # fleet's ray.get.
+        from concurrent.futures import ThreadPoolExecutor
+
+        ex = ThreadPoolExecutor(1)
+        fut = ex.submit(_dir_rows, out_dir)
+        ex.shutdown(wait=False)
+        return fut
     return _dir_rows(out_dir)
 
 
@@ -606,6 +623,11 @@ def construct_kg(
     triples_root = os.path.join(out_dir, "triples")
     ls_thread.join()
     alias_ref = _ls["ref"]
+    deferred_counts: List[Any] = []
+
+    def _backfill_counts() -> None:
+        for _key, _fp, _nf, _fut in deferred_counts:
+            manifest.mark_shard(_key, _fp, triples_rows=int(_fut.result()), input_files=_nf)
     for i, files in enumerate(shards):
         key = f"shard={i:04d}"
         # The spilled partials depend on the pages AND on the alias KB
@@ -618,7 +640,7 @@ def construct_kg(
         shard_out = os.path.join(triples_root, key)
         if resume and manifest.shard_done(key, fp) and os.path.exists(shard_out):
             continue
-        rows = extract_and_link_shard(
+        rows_fut = extract_and_link_shard(
             files,
             alias_ref,
             cref,
@@ -628,8 +650,14 @@ def construct_kg(
             extract_batch_size=extract_batch_size,
             actor_concurrency=actor_concurrency,
             actor_num_cpus=actor_num_cpus,
+            defer_count=True,
         )
-        manifest.mark_shard(key, fp, triples_rows=rows, input_files=len(files))
+        # Resume-critical fields (fingerprint, status) land immediately;
+        # the informational spill row count backfills once its footer
+        # scan resolves (overlapped with the next shard / the reduce
+        # fleet — it was ~6 s of serial driver wall per 8M-page shard).
+        manifest.mark_shard(key, fp, input_files=len(files))
+        deferred_counts.append((key, fp, len(files), rows_fut))
     timings["front_sec"] = round(_time.perf_counter() - t_mark, 3)
     if "t1" in _nb:  # node thread already finished: report its span
         timings["node_thread_sec"] = round(_nb["t1"] - _nb["t0"], 3)
@@ -652,6 +680,7 @@ def construct_kg(
     if giant_kb:
         nb_thread.join()
         assert labels_ds is not None
+        _backfill_counts()
         edges_rows, nodes_rows, n_missing = _backhalf_giant(
             out_dir, triples_root, labels_ds, nodes_t, edges_out, nodes_out, num_partitions
         )
@@ -679,6 +708,7 @@ def construct_kg(
             _reduce_partition_write.remote(files_p, p, edges_tmp, known_ref)
             for p, files_p in sorted(part_files.items())
         ]
+        _backfill_counts()  # resolves while the reduce fleet runs
 
         # Node side: small KBs merged on the node thread already; big
         # KBs launch their raw merge tasks HERE so they interleave with
