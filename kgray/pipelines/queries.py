@@ -578,6 +578,12 @@ def _dump_ann_candidates(pairs, sf_dir: str, name: str) -> None:
     t = pa.concat_tables(pairs.iter_batches(batch_format="pyarrow"),
                          promote_options="default")
     pq.write_table(t, f"/tmp/kgray_oracle/{name}_cand_{tag}.parquet")
+    # The oracle SQL is one static string shared by every harness (the
+    # driver at sf0.01, pytest at sf0.001), so it cannot carry an sf
+    # tag: it reads this last-written untagged copy instead. Safe under
+    # the documented query-before-oracle contract; the tagged copy
+    # above is kept for cross-sf debugging.
+    pq.write_table(t, f"/tmp/kgray_oracle/{name}_cand_latest.parquet")
 
 
 def q_ann_lsh(sf_dir: str):
@@ -612,10 +618,10 @@ def q_ann_ivf(sf_dir: str):
 
 def _sql_ann_cand(name: str) -> str:
     """Brute-force SQL ranking of the candidate subset dumped by the
-    matching query at the driver's correctness sf (0.01). The query
-    must run before its oracle — the driver and the mirror sweep both
-    do — and the dump is deterministic, so a dump from any prior run
-    of the same sf is equally valid."""
+    matching query. The query must run before its oracle — the driver,
+    pytest's oracle board and the mirror sweep all do — and the dump is
+    deterministic per sf, so the last-written untagged copy is exactly
+    the running harness's candidate set."""
     return f"""
 SELECT q_id, vec_id, rank FROM (
   SELECT c.q_id, c.vec_id,
@@ -623,7 +629,7 @@ SELECT q_id, vec_id, rank FROM (
       PARTITION BY c.q_id
       ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC, c.vec_id
     ) AS rank
-  FROM read_parquet('/tmp/kgray_oracle/{name}_cand_sf0.01.parquet') c
+  FROM read_parquet('/tmp/kgray_oracle/{name}_cand_latest.parquet') c
   JOIN embeddings e ON e.vec_id = c.vec_id
   JOIN embeddings q ON q.vec_id = c.q_id
 ) WHERE rank <= 10
