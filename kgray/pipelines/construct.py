@@ -212,8 +212,16 @@ def extract_and_link_shard(
     # (measured: 96 tasks / 31 actors ran the stage at effective
     # parallelism 21; the same corpus at 7 actors packed fine — the loss
     # is exactly what the two-level scaling ratio measures).
+    # ... but don't shatter a small shard into confetti chasing that
+    # floor: blocks below ~16 MiB in-memory turn the spill into
+    # hundreds-of-rows files whose create/footer cost dominates
+    # (measured: the bare 8/actor floor cost ~25% wall on a 2M-page
+    # corpus where it forced 6 MB blocks). The floor therefore yields
+    # to a 16 MiB-per-block ceiling on the task count.
     pool = actor_concurrency if isinstance(actor_concurrency, int) else max(actor_concurrency)
-    nblocks = max(8 * pool, 2 * ncpu, -(-in_bytes * 4 // (64 << 20)))
+    size64 = -(-in_bytes * 4 // (64 << 20))
+    size16 = -(-in_bytes * 4 // (16 << 20))
+    nblocks = max(2 * ncpu, size64, min(8 * pool, size16))
     if os.environ.get("KGRAY_NO_OVERRIDE"):
         ds = ray.data.read_parquet(files)
     else:
