@@ -72,6 +72,9 @@ def construct_config(num_cpus: int) -> dict:
 BENCH_QUERIES = [
     "ann_lsh",
     "approx_distinct",
+    "min_by",
+    "ntile",
+    "grouped_covar",
     "approx_quantiles",
     "bpe_encode",
     "bpe_token_count",

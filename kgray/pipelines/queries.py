@@ -3884,6 +3884,71 @@ SELECT user_id, event_id, value FROM (
 """
 
 
+def q_min_by(sf_dir: str):
+    """Per-user ARGMIN event (lowest value, event_id tie-break): the
+    mirror of max_by — same O(groups)-partial monoid, one row per
+    (batch, key) enters the exchange (relational.min_by)."""
+    from kgray.stages.relational import min_by
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "value"])
+    out = min_by(ds, key="user_id", order_cols=["value", "event_id"])
+    return out.map_batches(
+        lambda t: t.select(["user_id", "event_id", "value"]),
+        batch_format="pyarrow")
+
+
+SQL_MIN_BY = """
+SELECT user_id, event_id, value FROM (
+  SELECT user_id, event_id, value,
+    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value ASC, event_id ASC) AS rn
+  FROM events) s WHERE rn = 1
+"""
+
+
+def q_ntile(sf_dir: str):
+    """Global NTILE(7) quantile bucketing over a continuous column
+    (curriculum binning): rides range_rank's boundary-sampled rank
+    exchange — never a global sort — and maps the exact global row
+    number to its bucket in closed form, using the total the rank's
+    count pre-pass already folded (split.ntile)."""
+    from kgray.stages.split import ntile
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "value"])
+    out = ntile(ds, value_col="value", id_col="event_id", n=7)
+    return out.map_batches(
+        lambda t: t.select(["event_id", "bucket"]), batch_format="pyarrow")
+
+
+SQL_NTILE = """
+SELECT event_id,
+       CAST(NTILE(7) OVER (ORDER BY value, event_id) AS BIGINT) AS bucket
+FROM events WHERE value IS NOT NULL
+"""
+
+
+def q_grouped_covar(sf_dir: str):
+    """Per-flag sample/population covariance cov(l_quantity,
+    l_discount): mergeable centered partials (Chan et al. pairwise
+    merge — no raw-moment cancellation), O(groups) rows to the driver,
+    zero shuffle (relational.grouped_covar)."""
+    from kgray.stages.relational import grouped_covar
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_discount"])
+    return grouped_covar(ds, "l_returnflag", "l_quantity", "l_discount")
+
+
+SQL_GROUPED_COVAR = """
+SELECT l_returnflag, COUNT(*) AS n_rows,
+       ROUND(COVAR_SAMP(l_quantity, l_discount), 6) AS covar_samp,
+       ROUND(COVAR_POP(l_quantity, l_discount), 6) AS covar_pop
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 def q_unpivot(sf_dir: str):
     """Wide → long melt of three lineitem measures (SQL UNPIVOT as a
     UNION ALL of per-column selects) — map-only, zero shuffle."""
@@ -5457,6 +5522,9 @@ QUERIES = {
     "profile": q_profile,
     "percentile_disc": q_percentile_disc,
     "cume_dist": q_cume_dist,
+    "min_by": q_min_by,
+    "ntile": q_ntile,
+    "grouped_covar": q_grouped_covar,
 }
 
 ORACLES = {
@@ -5566,6 +5634,9 @@ ORACLES = {
     "window_dedup": SQL_WINDOW_DEDUP,
     "doc_entropy": SQL_DOC_ENTROPY,
     "max_by": SQL_MAX_BY,
+    "min_by": SQL_MIN_BY,
+    "ntile": SQL_NTILE,
+    "grouped_covar": SQL_GROUPED_COVAR,
     "unpivot": SQL_UNPIVOT,
     "containment_pairs": SQL_CONTAINMENT_PAIRS,
     "grouped_topk_tokens": SQL_GROUPED_TOPK_TOKENS,

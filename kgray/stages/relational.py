@@ -863,6 +863,100 @@ def max_by(
                          map_side=_best)
 
 
+def min_by(
+    ds: Dataset,
+    key: str,
+    order_cols: Sequence[str],
+    num_partitions: Optional[int] = None,
+) -> Dataset:
+    """Per-group ARGMIN row (SQL ``arg_min`` / ``ROW_NUMBER ... ASC =
+    1``) — the mirror of :func:`max_by`, same O(groups)-partial monoid
+    (one row per (batch, key) enters the exchange).
+
+    NULL semantics match ``ORDER BY ... ASC`` under DuckDB's default
+    NULLS LAST: a NULL in an order column sorts as LARGEST, so it can
+    never beat a non-null value for the argmin; an all-NULL key still
+    emits its rn=1 row, tie-broken by the remaining columns.
+    """
+    order_cols = list(order_cols)
+    if num_partitions is None:
+        num_partitions = auto_partitions()
+
+    def _best(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return df
+        df = df.sort_values([key] + order_cols, kind="mergesort",
+                            na_position="last")
+        return df.drop_duplicates(subset=[key], keep="first")
+
+    return grouped_apply(ds, [key], _best, num_partitions=num_partitions,
+                         map_side=_best)
+
+
+def grouped_covar(
+    ds: Dataset,
+    group_cols: Sequence[str] | str,
+    x_col: str,
+    y_col: str,
+    round_digits: int = 6,
+) -> pa.Table:
+    """Per-group sample AND population covariance from mergeable
+    ``(n, mean_x, mean_y, C)`` partials, where ``C = Σ(x−x̄)(y−ȳ)`` —
+    the numerically robust parallel form (Chan/Golub/LeVeque pairwise
+    merge), not the cancellation-prone ``Σxy − ΣxΣy/n`` raw-moment
+    fold: partials center within each batch, and the driver merge adds
+    the exact cross-term ``Δx·Δy·n_a·n_b/(n_a+n_b)``.
+
+    Scale shape: identical to :func:`grouped_corr` — one map pass
+    folds O(groups) partial rows to the driver, no shuffle at all.
+    """
+    group_cols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+
+    def _partials(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[group_cols].copy(deep=False)
+        d["__x"] = df[x_col].to_numpy(np.float64)
+        d["__y"] = df[y_col].to_numpy(np.float64)
+        g = d.groupby(group_cols, sort=False)
+        d["__c"] = ((d["__x"] - g["__x"].transform("mean"))
+                    * (d["__y"] - g["__y"].transform("mean")))
+        out = g.agg(n=("__x", "size"), mx=("__x", "mean"), my=("__y", "mean"))
+        out["c"] = d.groupby(group_cols, sort=False)["__c"].sum()
+        return out.reset_index()
+
+    stats: dict = {}
+    parts = ds.select_columns(group_cols + [x_col, y_col]).map_batches(
+        _partials, batch_format="pandas")
+    for b in parts.iter_batches(batch_format="pandas"):
+        for row in b.itertuples(index=False):
+            key = tuple(getattr(row, c) for c in group_cols)
+            if key not in stats:
+                stats[key] = (int(row.n), row.mx, row.my, row.c)
+                continue
+            n0, mx0, my0, c0 = stats[key]
+            n1 = int(row.n)
+            n = n0 + n1
+            dx, dy = row.mx - mx0, row.my - my0
+            stats[key] = (n,
+                          mx0 + dx * n1 / n,
+                          my0 + dy * n1 / n,
+                          c0 + row.c + dx * dy * n0 * n1 / n)
+    rows = []
+    for key in sorted(stats):
+        n, _, _, c = stats[key]
+        rows.append((*key, n, c / (n - 1) if n > 1 else None, c / n))
+    out = pd.DataFrame(rows, columns=group_cols + ["n_rows", "covar_samp",
+                                                   "covar_pop"])
+    out["n_rows"] = out["n_rows"].astype(np.int64)
+    tbl = pa.Table.from_pandas(out, preserve_index=False)
+    from kgray.kernels.hashagg import stable_round
+    for col in ("covar_samp", "covar_pop"):
+        idx = tbl.column_names.index(col)
+        tbl = tbl.set_column(
+            idx, col, stable_round(tbl.column(col).cast(pa.float64()),
+                                   round_digits))
+    return tbl
+
+
 def unpivot(
     ds: Dataset,
     id_cols: Sequence[str],

@@ -358,6 +358,8 @@ def range_rank(
     rank_col: str = "rnk",
     num_partitions=None,
     sample_per_part: int = 64,
+    ntile_n=None,
+    ntile_col: str = "bucket",
 ) -> Dataset:
     """Exact global 0-based rank by ``(value_col, id_col)`` ascending
     (``ROW_NUMBER() − 1``) for CONTINUOUS / unbounded-cardinality
@@ -453,6 +455,11 @@ def range_rank(
                   batch.column("n").to_numpy())
     offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
     oref = ray.put(offsets)
+    # NTILE rides for free: the counts pre-pass already knows the
+    # global total, and SQL's NTILE(n) is a closed-form map of the
+    # 0-based ROW_NUMBER — the first (total % n) buckets get
+    # ceil(total/n) rows, the rest floor(total/n).
+    total = int(counts.sum())
 
     def _tag(t: pa.Table) -> pa.Table:
         return t.append_column("__rpart", pa.array(_assign(t)))
@@ -472,10 +479,42 @@ def range_rank(
             np.where(new, np.arange(len(df)), 0))
         out = df.drop(columns="__rpart")
         out[rank_col] = off[p] + local
+        if ntile_n is not None:
+            size_small, n_big = divmod(total, int(ntile_n))
+            size_big = size_small + 1
+            cutoff = n_big * size_big  # rows living in the big buckets
+            r = out[rank_col].to_numpy(np.int64)
+            out[ntile_col] = np.where(
+                r < cutoff,
+                r // size_big,
+                n_big + (r - cutoff) // max(size_small, 1),
+            ).astype(np.int64) + 1
         return out
 
     return grouped_apply(tagged, ["__rpart"], _rank,
                          num_partitions=num_partitions)
+
+
+def ntile(
+    ds: Dataset,
+    value_col: str,
+    id_col: str,
+    n: int,
+    bucket_col: str = "bucket",
+    **kwargs,
+) -> Dataset:
+    """Global ``NTILE(n)`` quantile bucketing over a continuous column
+    — the curriculum-binning / difficulty-stratification primitive.
+
+    Rides :func:`range_rank`'s boundary-sampled rank exchange (no
+    global sort, data never moves in sorted order); the bucket id is a
+    closed-form function of the exact global row number, using the
+    total count the rank's O(batches × P) pre-pass already folded.
+    SQL tie semantics match ``NTILE(n) OVER (ORDER BY value, id)``
+    because the underlying rank IS that ROW_NUMBER.
+    """
+    return range_rank(ds, value_col, id_col, ntile_n=n,
+                      ntile_col=bucket_col, **kwargs)
 
 
 def mix_corpus(

@@ -297,6 +297,61 @@ def test_max_by_nulls_lose_like_sql_nulls_last(ray_session):
     assert got["id"].tolist() == exp["id"].tolist() == [10, 21, 30]
 
 
+def test_min_by_nulls_lose_like_sql_nulls_last(ray_session):
+    """ARGMIN mirror of max_by: a NULL order value must never beat a
+    non-null one under ORDER BY v ASC (DuckDB NULLS LAST); an all-NULL
+    group still emits its rn=1 row (lowest id)."""
+    import duckdb
+
+    from kgray.stages.relational import min_by
+
+    df = pd.DataFrame({
+        "g": [1, 1, 1, 2, 2, 3, 3],
+        "v": [5.0, np.nan, 4.0, np.nan, np.nan, 7.0, np.nan],
+        "id": [10, 11, 12, 20, 21, 30, 31],
+    })
+    got = (
+        min_by(ray.data.from_pandas(df), key="g", order_cols=["v", "id"],
+               num_partitions=3)
+        .to_pandas().sort_values("g").reset_index(drop=True)
+    )
+    exp = duckdb.sql("""
+        SELECT g, v, id FROM (
+          SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY g ORDER BY v ASC, id ASC) AS rn FROM df) s
+        WHERE rn = 1 ORDER BY g
+    """).df()
+    assert got["id"].tolist() == exp["id"].tolist() == [12, 20, 30]
+
+
+def test_grouped_covar_centered_merge_vs_duckdb(ray_session):
+    """Large common offset across many blocks: the raw-moment fold
+    Σxy − ΣxΣy/n would cancel catastrophically here; the centered
+    pairwise merge must stay within the shared ROUND."""
+    import duckdb
+
+    from kgray.stages.relational import grouped_covar
+
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame({
+        "g": rng.integers(0, 3, 4000),
+        "x": rng.normal(1e6, 3.0, 4000),
+        "y": rng.normal(-1e6, 2.0, 4000),
+    })
+    ds = ray.data.from_pandas(df).repartition(8)
+    got = (grouped_covar(ds, "g", "x", "y")
+           .to_pandas().sort_values("g").reset_index(drop=True))
+    exp = duckdb.sql("""
+        SELECT g, COUNT(*) AS n_rows,
+               ROUND(COVAR_SAMP(x, y), 6) AS covar_samp,
+               ROUND(COVAR_POP(x, y), 6) AS covar_pop
+        FROM df GROUP BY g ORDER BY g
+    """).df()
+    assert got["n_rows"].tolist() == exp["n_rows"].tolist()
+    np.testing.assert_allclose(got["covar_samp"], exp["covar_samp"], atol=2e-6)
+    np.testing.assert_allclose(got["covar_pop"], exp["covar_pop"], atol=2e-6)
+
+
 def test_first_last_by_null_order_matches_sql(ray_session):
     """ASC NULLS LAST: a NULL order value may claim LAST_VALUE but
     never FIRST_VALUE, exactly as the ROW_NUMBER oracle ranks it."""

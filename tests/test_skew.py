@@ -81,6 +81,43 @@ def test_range_rank_multiblock_and_duplicates(ray_session):
     assert (got["rnk"].to_numpy() == exp_rnk).all()
 
 
+def test_ntile_matches_sql_buckets(ray_session):
+    """NTILE closed form vs DuckDB on an uneven total (total % n != 0
+    → big and small buckets both exercised), multi-block input."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from kgray.stages.split import ntile
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame({"id": np.arange(1003), "v": rng.normal(0, 1, 1003)})
+    ds = ray.data.from_pandas(df).repartition(9)
+    got = (ntile(ds, value_col="v", id_col="id", n=7, num_partitions=5)
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    exp = duckdb.sql("""
+        SELECT id, CAST(NTILE(7) OVER (ORDER BY v, id) AS BIGINT) AS bucket
+        FROM df ORDER BY id
+    """).df()
+    assert (got["bucket"].to_numpy() == exp["bucket"].to_numpy()).all()
+
+
+def test_ntile_more_buckets_than_rows(ray_session):
+    """total < n: SQL gives each row its own bucket 1..total — the
+    closed form's divmod edge (size_small == 0)."""
+    import pandas as pd
+    import ray.data
+
+    from kgray.stages.split import ntile
+
+    df = pd.DataFrame({"id": [3, 1, 2], "v": [30.0, 10.0, 20.0]})
+    got = (ntile(ray.data.from_pandas(df), value_col="v", id_col="id",
+                 n=10, num_partitions=2)
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    assert got["bucket"].tolist() == [1, 2, 3]
+
+
 def test_mix_corpus_proportions_and_determinism(ray_session):
     import numpy as np
     import pandas as pd
