@@ -683,8 +683,8 @@ def k_core(
             removed_any = False
             break
         if n_below <= broadcast_limit:
-            drop = set(r["u"] for r in below.iter_rows())
-            dref = ray.put(np.array(sorted(drop), dtype=object))
+            drop = np.unique(below.to_pandas()["u"].to_numpy())
+            dref = ray.put(drop.astype(object))
 
             def _filter(t: pa.Table, _ref=dref) -> pa.Table:
                 import pyarrow.compute as pc
