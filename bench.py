@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "min_by",
     "ntile",
     "grouped_covar",
+    "spearman",
     "approx_quantiles",
     "bpe_encode",
     "bpe_token_count",

@@ -3949,6 +3949,33 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def q_spearman(sf_dir: str):
+    """Global Spearman rank correlation of (l_quantity,
+    l_extendedprice) with SQL average-rank tie handling: size-switched
+    — broadcast value→avg-rank maps from one histogram fold (zero
+    shuffles) below distinct_limit; range_rank + per-value mean + id
+    joins above it (distributed path pinned equal by the forced-switch
+    test in tests/test_relational.py) (relational.spearman_corr)."""
+    from kgray.stages.relational import spearman_corr
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_quantity", "l_extendedprice"])
+    return spearman_corr(ds, "l_quantity", "l_extendedprice")
+
+
+SQL_SPEARMAN = """
+SELECT COUNT(*) AS n_rows, ROUND(CORR(r_x, r_y), 6) AS spearman
+FROM (
+  SELECT RANK() OVER (ORDER BY l_quantity)
+           + (COUNT(*) OVER (PARTITION BY l_quantity) - 1) / 2.0 AS r_x,
+         RANK() OVER (ORDER BY l_extendedprice)
+           + (COUNT(*) OVER (PARTITION BY l_extendedprice) - 1) / 2.0 AS r_y
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL) s
+"""
+
+
 def q_unpivot(sf_dir: str):
     """Wide → long melt of three lineitem measures (SQL UNPIVOT as a
     UNION ALL of per-column selects) — map-only, zero shuffle."""
@@ -5525,6 +5552,7 @@ QUERIES = {
     "min_by": q_min_by,
     "ntile": q_ntile,
     "grouped_covar": q_grouped_covar,
+    "spearman": q_spearman,
 }
 
 ORACLES = {
@@ -5637,6 +5665,7 @@ ORACLES = {
     "min_by": SQL_MIN_BY,
     "ntile": SQL_NTILE,
     "grouped_covar": SQL_GROUPED_COVAR,
+    "spearman": SQL_SPEARMAN,
     "unpivot": SQL_UNPIVOT,
     "containment_pairs": SQL_CONTAINMENT_PAIRS,
     "grouped_topk_tokens": SQL_GROUPED_TOPK_TOKENS,

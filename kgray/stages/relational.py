@@ -957,6 +957,183 @@ def grouped_covar(
     return tbl
 
 
+def _co_moment_merge(a: tuple, b: tuple) -> tuple:
+    """Pairwise merge of centered co-moment partials
+    ``(n, mx, my, Cxx, Cyy, Cxy)`` (Chan et al.) — exact cross terms,
+    no raw-moment cancellation."""
+    n0, mx0, my0, cxx0, cyy0, cxy0 = a
+    n1, mx1, my1, cxx1, cyy1, cxy1 = b
+    n = n0 + n1
+    dx, dy = mx1 - mx0, my1 - my0
+    f = n0 * n1 / n
+    return (n, mx0 + dx * n1 / n, my0 + dy * n1 / n,
+            cxx0 + cxx1 + dx * dx * f,
+            cyy0 + cyy1 + dy * dy * f,
+            cxy0 + cxy1 + dx * dy * f)
+
+
+def spearman_corr(
+    ds: Dataset,
+    x_col: str,
+    y_col: str,
+    id_col: Optional[str] = None,
+    round_digits: int = 6,
+    distinct_limit: int = 2_000_000,
+    num_partitions: Optional[int] = None,
+) -> pa.Table:
+    """Global Spearman rank correlation with SQL average-rank tie
+    handling (``RANK() + (tie_count − 1) / 2``) — the monotone-
+    association statistic behind feature screening and drift monitors.
+    Rows with a NULL in either column are excluded (mirror in SQL).
+
+    Size-switched like the rest of the engine:
+
+    * **broadcast path** (combined distinct values ≤ ``distinct_limit``):
+      one combiner-fronted map pass folds both per-value histograms to
+      the driver (O(distinct) rows), the value→average-rank maps come
+      from prefix sums over the sorted distinct values, broadcast once
+      via ``ray.put``, and ONE more map pass emits centered co-moment
+      partials — zero shuffles.
+    * **distributed path** (above the limit): per column,
+      ``split.range_rank`` assigns exact global row numbers (boundary-
+      sampled, never a global sort); a per-value grouped mean turns
+      them into average ranks (the mean of a tie run's consecutive row
+      numbers IS the SQL average rank); two hash joins pair the
+      per-row ranks back up on ``id_col`` (required here: unique,
+      non-null). Exchanges are O(rows) on value/id — no structure
+      sized O(distinct) ever lands on one worker or the driver.
+
+    Both paths fold the same ``(n, mx, my, Cxx, Cyy, Cxy)`` centered
+    partials (pairwise merge) and emit one row ``(n_rows, spearman)``.
+    """
+    cols = [x_col, y_col] + ([id_col] if id_col else [])
+
+    def _flt(t: pa.Table) -> pa.Table:
+        return t.filter(pc.and_(pc.is_valid(t.column(x_col)),
+                                pc.is_valid(t.column(y_col))))
+
+    src = ds.select_columns(cols).map_batches(_flt, batch_format="pyarrow")
+
+    def _hist(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for tag, col in (("x", x_col), ("y", y_col)):
+            vc = df[col].value_counts()
+            out.append(pd.DataFrame({
+                "t": tag,
+                "v": vc.index.to_numpy(np.float64),
+                "c": vc.to_numpy(np.int64)}))
+        return pd.concat(out, ignore_index=True)
+
+    hist: dict = {"x": {}, "y": {}}
+    n_distinct = 0
+    small = True
+    for b in src.map_batches(_hist, batch_format="pandas").iter_batches(
+            batch_format="pandas"):
+        for row in b.itertuples(index=False):
+            d = hist[row.t]
+            if row.v not in d:
+                n_distinct += 1
+            d[row.v] = d.get(row.v, 0) + row.c
+        if n_distinct > distinct_limit:
+            small = False
+            break
+
+    def _partials(df: pd.DataFrame, rx: np.ndarray, ry: np.ndarray
+                  ) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(columns=["n", "mx", "my", "cxx", "cyy",
+                                         "cxy"])
+        mx, my = rx.mean(), ry.mean()
+        dx, dy = rx - mx, ry - my
+        return pd.DataFrame({"n": [len(df)], "mx": [mx], "my": [my],
+                             "cxx": [(dx * dx).sum()],
+                             "cyy": [(dy * dy).sum()],
+                             "cxy": [(dx * dy).sum()]})
+
+    if small:
+        maps = {}
+        for tag, d in hist.items():
+            vals = np.sort(np.fromiter(d.keys(), dtype=np.float64,
+                                       count=len(d)))
+            cnts = np.fromiter((d[v] for v in vals), dtype=np.int64,
+                               count=len(vals))
+            prev = np.concatenate([[0], np.cumsum(cnts)[:-1]])
+            maps[tag] = (vals, prev + (cnts + 1) / 2.0)  # 1-based avg rank
+        mref = ray.put(maps)
+
+        def _score(df: pd.DataFrame) -> pd.DataFrame:
+            m = ray.get(mref) if not isinstance(mref, dict) else mref
+            vx, ax = m["x"]
+            vy, ay = m["y"]
+            rx = ax[np.searchsorted(vx, df[x_col].to_numpy(np.float64))]
+            ry = ay[np.searchsorted(vy, df[y_col].to_numpy(np.float64))]
+            return _partials(df, rx, ry)
+
+        parts = src.map_batches(_score, batch_format="pandas")
+    else:
+        if id_col is None:
+            raise ValueError(
+                f"spearman_corr: distinct values exceed distinct_limit="
+                f"{distinct_limit}; the distributed path needs a unique "
+                f"id_col to pair per-row ranks")
+        from kgray.stages.split import range_rank
+
+        if num_partitions is None:
+            num_partitions = auto_partitions()
+        flt = src.materialize()  # 2-3 pruned columns, consumed 2×
+
+        sides = {}
+        for col in (x_col, y_col):
+            rr = range_rank(flt.select_columns([id_col, col]),
+                            value_col=col, id_col=id_col,
+                            num_partitions=num_partitions)
+
+            def _vp(df: pd.DataFrame, _c=col) -> pd.DataFrame:
+                g = df.groupby(_c, sort=False)["rnk"]
+                return g.agg(s="sum", c="size").reset_index()
+
+            def _ar(df: pd.DataFrame, _c=col) -> pd.DataFrame:
+                g = df.groupby(_c, sort=False)[["s", "c"]].sum()
+                # mean of a tie run's consecutive 0-based row numbers,
+                # +1 → the SQL 1-based average rank
+                return pd.DataFrame({
+                    _c: g.index.to_numpy(),
+                    f"__ar_{_c}": (g["s"] / g["c"] + 1.0).to_numpy()})
+
+            avg = grouped_apply(
+                rr.map_batches(_vp, batch_format="pandas"), [col], _ar,
+                num_partitions=num_partitions)
+            sides[col] = hash_join(
+                rr, avg, on=col, num_partitions=num_partitions,
+            ).select_columns([id_col, f"__ar_{col}"])
+
+        paired = hash_join(sides[x_col], sides[y_col], on=id_col,
+                           num_partitions=num_partitions)
+
+        def _score_j(df: pd.DataFrame) -> pd.DataFrame:
+            return _partials(df, df[f"__ar_{x_col}"].to_numpy(np.float64),
+                             df[f"__ar_{y_col}"].to_numpy(np.float64))
+
+        parts = paired.map_batches(_score_j, batch_format="pandas")
+
+    acc = None
+    for b in parts.iter_batches(batch_format="pandas"):
+        for row in b.itertuples(index=False):
+            cur = (int(row.n), row.mx, row.my, row.cxx, row.cyy, row.cxy)
+            acc = cur if acc is None else _co_moment_merge(acc, cur)
+    if acc is None:
+        return pa.table({"n_rows": pa.array([], pa.int64()),
+                         "spearman": pa.array([], pa.float64())})
+    n, _, _, cxx, cyy, cxy = acc
+    den = np.sqrt(cxx * cyy)
+    rho = float(cxy / den) if den > 0 else None
+    tbl = pa.table({"n_rows": pa.array([n], pa.int64()),
+                    "spearman": pa.array([rho], pa.float64())})
+    from kgray.kernels.hashagg import stable_round
+    return tbl.set_column(1, "spearman",
+                          stable_round(tbl.column("spearman"), round_digits))
+
+
 def unpivot(
     ds: Dataset,
     id_cols: Sequence[str],

@@ -352,6 +352,40 @@ def test_grouped_covar_centered_merge_vs_duckdb(ray_session):
     np.testing.assert_allclose(got["covar_pop"], exp["covar_pop"], atol=2e-6)
 
 
+def test_spearman_both_paths_match_duckdb(ray_session):
+    """Tie-heavy data: the broadcast histogram path and the forced
+    distributed path (distinct_limit=0 → range_rank + per-value mean +
+    id joins) must both equal SQL's average-rank Spearman; NULL pairs
+    excluded."""
+    import duckdb
+
+    from kgray.stages.relational import spearman_corr
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({
+        "rid": np.arange(3000),
+        "x": rng.integers(0, 12, 3000).astype(float),  # heavy ties
+        "y": rng.normal(0, 1, 3000).round(1),          # moderate ties
+    })
+    df.loc[::97, "x"] = np.nan  # NULL pairs must be excluded
+    ds = ray.data.from_pandas(df).repartition(7)
+    exp = duckdb.sql("""
+        SELECT COUNT(*) AS n_rows, ROUND(CORR(r_x, r_y), 6) AS spearman
+        FROM (
+          SELECT RANK() OVER (ORDER BY x)
+                   + (COUNT(*) OVER (PARTITION BY x) - 1) / 2.0 AS r_x,
+                 RANK() OVER (ORDER BY y)
+                   + (COUNT(*) OVER (PARTITION BY y) - 1) / 2.0 AS r_y
+          FROM df WHERE x IS NOT NULL AND y IS NOT NULL) s
+    """).df()
+    bc = spearman_corr(ds, "x", "y").to_pandas()
+    dist = spearman_corr(ds, "x", "y", id_col="rid",
+                         distinct_limit=0, num_partitions=5).to_pandas()
+    assert bc["n_rows"].iloc[0] == dist["n_rows"].iloc[0] == exp["n_rows"].iloc[0]
+    assert abs(bc["spearman"].iloc[0] - exp["spearman"].iloc[0]) <= 2e-6
+    assert abs(dist["spearman"].iloc[0] - exp["spearman"].iloc[0]) <= 2e-6
+
+
 def test_first_last_by_null_order_matches_sql(ray_session):
     """ASC NULLS LAST: a NULL order value may claim LAST_VALUE but
     never FIRST_VALUE, exactly as the ROW_NUMBER oracle ranks it."""
