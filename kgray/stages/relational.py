@@ -1024,19 +1024,37 @@ def spearman_corr(
                 "c": vc.to_numpy(np.int64)}))
         return pd.concat(out, ignore_index=True)
 
-    hist: dict = {"x": {}, "y": {}}
-    n_distinct = 0
+    # Vectorized, MEMORY-BOUNDED driver fold of the per-batch
+    # histograms: buffer partial frames, refold with one groupby-sum C
+    # pass whenever the buffer exceeds ~4× the limit, and bail to the
+    # distributed path as soon as the folded distinct count crosses
+    # distinct_limit — the driver never holds more than O(limit) rows
+    # and never runs a per-row Python loop.
+    frames: list = []
+    buffered = 0
     small = True
+
+    def _refold() -> pd.DataFrame:
+        return (pd.concat(frames, ignore_index=True)
+                .groupby(["t", "v"], sort=False)["c"].sum().reset_index())
+
     for b in src.map_batches(_hist, batch_format="pandas").iter_batches(
             batch_format="pandas"):
-        for row in b.itertuples(index=False):
-            d = hist[row.t]
-            if row.v not in d:
-                n_distinct += 1
-            d[row.v] = d.get(row.v, 0) + row.c
-        if n_distinct > distinct_limit:
-            small = False
-            break
+        frames.append(b)
+        buffered += len(b)
+        if buffered > 4 * distinct_limit:
+            frames = [_refold()]
+            buffered = len(frames[0])
+            if buffered > distinct_limit:
+                small = False
+                break
+    if small:
+        folded = _refold()
+        small = len(folded) <= distinct_limit
+        if len(folded) == 0:  # no non-null pairs at all
+            return pa.table({"n_rows": pa.array([], pa.int64()),
+                             "spearman": pa.array([], pa.float64())})
+        agg = folded.sort_values("v").set_index(["t", "v"])["c"]
 
     def _partials(df: pd.DataFrame, rx: np.ndarray, ry: np.ndarray
                   ) -> pd.DataFrame:
@@ -1052,11 +1070,10 @@ def spearman_corr(
 
     if small:
         maps = {}
-        for tag, d in hist.items():
-            vals = np.sort(np.fromiter(d.keys(), dtype=np.float64,
-                                       count=len(d)))
-            cnts = np.fromiter((d[v] for v in vals), dtype=np.int64,
-                               count=len(vals))
+        for tag in ("x", "y"):
+            s = agg.loc[tag]  # sorted by value (groupby sort=True)
+            vals = s.index.to_numpy(np.float64)
+            cnts = s.to_numpy(np.int64)
             prev = np.concatenate([[0], np.cumsum(cnts)[:-1]])
             maps[tag] = (vals, prev + (cnts + 1) / 2.0)  # 1-based avg rank
         mref = ray.put(maps)

@@ -384,6 +384,10 @@ def test_spearman_both_paths_match_duckdb(ray_session):
     assert bc["n_rows"].iloc[0] == dist["n_rows"].iloc[0] == exp["n_rows"].iloc[0]
     assert abs(bc["spearman"].iloc[0] - exp["spearman"].iloc[0]) <= 2e-6
     assert abs(dist["spearman"].iloc[0] - exp["spearman"].iloc[0]) <= 2e-6
+    # tight-but-sufficient limit: forces a mid-stream driver refold
+    # while still resolving to the broadcast path — result unchanged
+    mid = spearman_corr(ds, "x", "y", distinct_limit=100).to_pandas()
+    assert mid.equals(bc)
 
 
 def test_first_last_by_null_order_matches_sql(ray_session):
