@@ -76,6 +76,7 @@ BENCH_QUERIES = [
     "ntile",
     "grouped_covar",
     "spearman",
+    "grouped_ntile",
     "approx_quantiles",
     "bpe_encode",
     "bpe_token_count",

@@ -3964,6 +3964,30 @@ def q_spearman(sf_dir: str):
     return spearman_corr(ds, "l_quantity", "l_extendedprice")
 
 
+def q_grouped_ntile(sf_dir: str):
+    """Per-language length quartiles (NTILE(4) within each lang by
+    n_chars): one exchange on lang, vectorized closed form per
+    partition — the grouped sibling of the global ntile
+    (relational.grouped_ntile)."""
+    from kgray.stages.relational import grouped_ntile
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "lang", "n_chars"])
+    out = grouped_ntile(ds, key="lang", order_col="n_chars", n=4,
+                        tie_col="doc_id")
+    return out.map_batches(
+        lambda t: t.select(["doc_id", "lang", "bucket"]),
+        batch_format="pyarrow")
+
+
+SQL_GROUPED_NTILE = """
+SELECT doc_id, lang,
+       CAST(NTILE(4) OVER (PARTITION BY lang
+                           ORDER BY n_chars, doc_id) AS BIGINT) AS bucket
+FROM documents
+"""
+
+
 SQL_SPEARMAN = """
 SELECT COUNT(*) AS n_rows, ROUND(CORR(r_x, r_y), 6) AS spearman
 FROM (
@@ -5553,6 +5577,7 @@ QUERIES = {
     "ntile": q_ntile,
     "grouped_covar": q_grouped_covar,
     "spearman": q_spearman,
+    "grouped_ntile": q_grouped_ntile,
 }
 
 ORACLES = {
@@ -5666,6 +5691,7 @@ ORACLES = {
     "ntile": SQL_NTILE,
     "grouped_covar": SQL_GROUPED_COVAR,
     "spearman": SQL_SPEARMAN,
+    "grouped_ntile": SQL_GROUPED_NTILE,
     "unpivot": SQL_UNPIVOT,
     "containment_pairs": SQL_CONTAINMENT_PAIRS,
     "grouped_topk_tokens": SQL_GROUPED_TOPK_TOKENS,

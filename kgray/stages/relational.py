@@ -748,6 +748,51 @@ def grouped_percent_rank(
     return grouped_apply(ds, [key], _reduce, num_partitions=num_partitions)
 
 
+def grouped_ntile(
+    ds: Dataset,
+    key: str,
+    order_col: str,
+    n: int,
+    tie_col: Optional[str] = None,
+    bucket_col: str = "bucket",
+    num_partitions: Optional[int] = None,
+) -> Dataset:
+    """Per-group ``NTILE(n)`` — the last member of the grouped window
+    family (rank / dense_rank / percent_rank / cume_dist live in the
+    sibling functions; the GLOBAL ntile is ``split.ntile``).
+
+    SQL semantics: within each group, rows ordered by ``(order_col,
+    tie_col)`` land in buckets 1..n where the first ``size % n``
+    buckets get ``ceil(size/n)`` rows. Same shape as
+    :func:`grouped_rank`: one exchange on ``key``, vectorized closed
+    form per partition. Partitioning assumption: one key's rows fit a
+    worker's heap (the standard grouped-window assumption).
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if num_partitions is None:
+        num_partitions = auto_partitions()
+    order = [order_col] + ([tie_col] if tie_col else [])
+
+    def _reduce(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values([key] + order, kind="mergesort")
+        sizes = part.groupby(key, sort=False)[order_col].transform("size") \
+                    .to_numpy(np.int64)
+        pos = part.groupby(key, sort=False).cumcount().to_numpy(np.int64)
+        size_small, n_big = np.divmod(sizes, n)
+        size_big = size_small + 1
+        cutoff = n_big * size_big
+        part = part.copy(deep=False)
+        part[bucket_col] = np.where(
+            pos < cutoff,
+            pos // np.maximum(size_big, 1),
+            n_big + (pos - cutoff) // np.maximum(size_small, 1),
+        ).astype(np.int64) + 1
+        return part
+
+    return grouped_apply(ds, [key], _reduce, num_partitions=num_partitions)
+
+
 def _skyline_pairs(x: np.ndarray, y: np.ndarray) -> tuple:
     """Pareto frontier of 2-D points (both dims MAX-oriented): the
     distinct (x, y) pairs not dominated (x' ≥ x ∧ y' ≥ y, one strict).

@@ -352,6 +352,30 @@ def test_grouped_covar_centered_merge_vs_duckdb(ray_session):
     np.testing.assert_allclose(got["covar_pop"], exp["covar_pop"], atol=2e-6)
 
 
+def test_grouped_ntile_uneven_and_tiny_groups(ray_session):
+    """Groups both larger and smaller than n, with ties: bucket labels
+    must match SQL NTILE's big-buckets-first rule exactly."""
+    import duckdb
+
+    from kgray.stages.relational import grouped_ntile
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame({
+        "g": np.repeat(["a", "b", "c"], [11, 2, 7]),
+        "v": rng.integers(0, 4, 20),  # heavy ties -> tie_col decides
+        "id": np.arange(20),
+    })
+    got = (grouped_ntile(ray.data.from_pandas(df), key="g", order_col="v",
+                         n=4, tie_col="id", num_partitions=3)
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    exp = duckdb.sql("""
+        SELECT id, CAST(NTILE(4) OVER (PARTITION BY g ORDER BY v, id)
+                        AS BIGINT) AS bucket
+        FROM df ORDER BY id
+    """).df()
+    assert got["bucket"].tolist() == exp["bucket"].tolist()
+
+
 def test_spearman_both_paths_match_duckdb(ray_session):
     """Tie-heavy data: the broadcast histogram path and the forced
     distributed path (distinct_limit=0 → range_rank + per-value mean +
